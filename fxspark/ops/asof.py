@@ -1,0 +1,120 @@
+"""As-of / point-in-time operators (SURVEY.md §2.3 Q6-Q9).
+
+The reference's "PreviousRates" CTE finds, per pair, the event **strictly
+before** the per-pair max event at/under a cutoff — i.e. the *second-latest*
+event at-or-before the cutoff.  It does this with a self-join to a grouped max
+plus a correlated scalar subquery (``/root/reference/Fx_1min.py:180-196``).
+Spark-first we emit the already-decorrelated window form: filter to the cutoff,
+rank descending, take rank ``n``.
+
+``asof_join`` generalizes the pattern into a keyed backward as-of join (the
+operator TimescaleDB/kdb call "asof"): for each left row, the latest right row
+with ``right.on <= left.on`` per key.
+
+Scale notes (100 TB):
+
+- ``nth_before_cutoff``: the cutoff filter is pushed to the scan (partition /
+  row-group pruning on the time column), then one shuffle on the key.
+- ``asof_join`` uses the union+window formulation: ONE shuffle of
+  (key, time)-sorted union instead of a join + per-key subquery; no broadcast
+  needed, skew handled by AQE. This is the standard distributed as-of plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nth_before_cutoff(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    cutoff: Column,
+    cutoff_col: str | None = None,
+    n: int = 2,
+) -> DataFrame:
+    """Rank-``n`` most-recent row per key among rows at/before ``cutoff``.
+
+    ``n=2`` replicates the reference's second-latest-before-cutoff semantics
+    exactly (``Fx_1min.py:190-196``); ``n=1`` is a plain as-of lookup.
+    ``cutoff_col`` defaults to the first ``order_by`` column.
+    """
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    cutoff_col = cutoff_col or order[0]
+    filtered = df.filter(F.col(cutoff_col) <= cutoff)
+    w = Window.partitionBy(
+        *([keys] if isinstance(keys, str) else list(keys))
+    ).orderBy(*[F.col(c).desc() for c in order])
+    return (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == n)
+        .drop("_rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] | str,
+    on: str,
+    right_payload: Sequence[str] | None = None,
+    tolerance: Column | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``right.on <= left.on`` per key.
+
+    Implemented as tagged union + ``last(..., ignorenulls)`` over a
+    (key, time)-ordered running window — a single sort-shuffle, linear in
+    input size, regardless of how many left rows map to each right row.
+
+    ``tolerance``: optional max staleness interval; matches older than
+    ``left.on - tolerance`` are nulled out.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in keys and c != on]
+    left_cols = left.columns
+
+    r = right.select(
+        *keys,
+        F.col(on).alias("_t"),
+        F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("_rpay"),
+        F.lit(1).alias("_side"),  # right sorts before left at equal time
+    )
+    l = left.select(
+        "*",
+        F.col(on).alias("_t"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        F.lit(2).alias("_side"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_asof", F.last("_rpay", ignorenulls=True).over(w))
+    if tolerance is not None:
+        rt_w = w  # carry the matched right time alongside for staleness check
+        unioned = unioned.withColumn(
+            "_rt", F.when(F.col("_side") == 1, F.col("_t"))
+        )
+        matched = unioned.withColumn(
+            "_asof", F.last("_rpay", ignorenulls=True).over(rt_w)
+        ).withColumn("_asof_t", F.last("_rt", ignorenulls=True).over(rt_w))
+        matched = matched.withColumn(
+            "_asof",
+            F.when(F.col("_asof_t") >= F.col("_t") - tolerance, F.col("_asof")),
+        )
+    out = matched.filter(F.col("_side") == 2).select(
+        *left_cols,
+        *[
+            F.col(f"_asof.{c}").alias(c if c not in left_cols else f"{c}{suffix}")
+            for c in right_payload
+        ],
+    )
+    return out

@@ -1,0 +1,103 @@
+"""Latest-per-key operators (SURVEY.md §2.3 Q5, Q6, Q10).
+
+The reference's "LatestRates" CTE is ``ROW_NUMBER() OVER (PARTITION BY
+ccy_couple ORDER BY event_date_time DESC) = 1``
+(``/root/reference/Fx_1min.py:159-173``); its "LatestEOD" CTE is a grouped
+``MAX(event_time)`` (``Fx_1min.py:182-188``). Both are generalized here.
+
+Scale notes (100 TB):
+
+- ``latest_per_key_agg`` is the default: a hash aggregate with map-side partial
+  combine — one shuffle of (key → single struct), no per-partition sort, no
+  full materialization of any group. At 1B keys this is the plan you want.
+- ``latest_per_key_window`` keeps ALL columns of the winning row without a
+  self-join, at the cost of a shuffle+sort per partition. Use when the payload
+  is wide or when ``n > 1`` ranks are needed.
+- Both shuffle only on the key; skewed keys are handled by AQE skew-join /
+  partial aggregation, not by salting in the operator itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(names: Sequence[str] | str) -> list[str]:
+    return [names] if isinstance(names, str) else list(names)
+
+
+def latest_per_key_agg(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Latest row per key via ``max_by`` aggregate (single shuffle, no sort).
+
+    ``order_by`` columns form the recency ordering (later entries break ties);
+    the struct comparison is lexicographic, so ordering is total as long as the
+    combined order columns are unique per key.  Returns ``keys + payload``.
+    """
+    keys, order = _cols(keys), _cols(order_by)
+    if payload is None:
+        payload = [c for c in df.columns if c not in keys]
+    ord_struct = F.struct(*[F.col(c) for c in order])
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in payload])
+    out = df.groupBy(*keys).agg(F.max_by(pay_struct, ord_struct).alias("_latest"))
+    return out.select(*keys, *[F.col(f"_latest.{c}").alias(c) for c in payload])
+
+
+def latest_per_key_window(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    n: int = 1,
+) -> DataFrame:
+    """Top-``n`` most-recent rows per key via window ``row_number``.
+
+    Mirrors the reference's rn=1 filter (``Fx_1min.py:169-172``); ``n>1``
+    generalizes it (rank 2 = the "previous" row the reference digs out with a
+    correlated subquery, ``Fx_1min.py:191-196``).
+    """
+    keys, order = _cols(keys), _cols(order_by)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def grouped_max(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    agg_col: str,
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """``SELECT keys, MAX(agg_col) ... GROUP BY keys`` (``Fx_1min.py:182-188``).
+
+    Partial (map-side) aggregation makes this the cheapest latest-key lookup at
+    scale — it ships one value per key per input partition.
+    """
+    keys = _cols(keys)
+    aggs = [F.max(agg_col).alias(f"max_{agg_col}")]
+    for name, col in (extra_aggs or {}).items():
+        aggs.append(col.alias(name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def dedup_latest(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+) -> DataFrame:
+    """Last-writer-wins dedup on a natural key.
+
+    This is the pure-DataFrame equivalent of the reference's
+    ``ON DUPLICATE KEY UPDATE`` upsert (``Fx_1min.py:106-109``): among rows
+    sharing ``keys``, keep the one with the greatest ``order_by``.
+    """
+    return latest_per_key_agg(df, keys, order_by)

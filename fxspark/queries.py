@@ -1,0 +1,506 @@
+"""Composed queries — the engine's declared query surface.
+
+Each query exists twice, deliberately:
+
+1. A Spark-first DataFrame composition of the operator library (this module's
+   ``q_*`` functions, registered in ``QUERIES``).
+2. An ANSI-SQL oracle (``ORACLE``) that DuckDB runs on the same parquet files;
+   the driver hash-compares both at sf0.01 (the t2 correctness gate).
+
+Naming discipline: every computed column is aliased identically in both forms
+(the driver sorts columns by name before hashing).
+
+Determinism discipline (the hash is exact, not approximate):
+
+- Sums over doubles are order-dependent in the last ulp; every aggregated
+  double is first cast to an exact DECIMAL, summed exactly, then cast back to
+  double — identical bits in both engines regardless of plan/partitioning.
+- Non-aggregated double arithmetic (a*b, a/b) is IEEE-deterministic and safe.
+- Rankings always carry a unique tie-breaker column.
+
+The FX-domain semantics of the reference query (latest active rate vs
+second-latest rate before a business-day cutoff — see SURVEY.md §2.3) are
+exercised on the ``events`` table: ``user_id`` plays ``ccy_couple``,
+``value`` plays ``rate``, ``ts`` plays both event/ingestion time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fxspark.ops.asof import asof_join, nth_before_cutoff
+from fxspark.ops.change import pct_change_label
+from fxspark.ops.joins import anti_join, dim_join, semi_join
+from fxspark.ops.latest import dedup_latest, grouped_max, latest_per_key_agg
+from fxspark.ops.windows import active_window, sessionize, time_bucket
+from fxspark.session import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+# events cutoff literal used by the as-of family (mid-range of the Jan-2024 data)
+CUTOFF = "2024-01-20 00:00:00"
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def exact_sum(col: F.Column, scale: int = 4) -> F.Column:
+    """Order-independent sum of a double column: decimal-exact, back to double."""
+    return F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Reference-core family (events table) — SURVEY.md §2.3
+# ---------------------------------------------------------------------------
+
+@query(
+    "latest_event_per_user",
+    oracle=f"""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key (Q5, ``Fx_1min.py:159-173``) as a max_by aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    return latest_per_key_agg(
+        events, "user_id", ["ts", "event_id"],
+        payload=["event_id", "ts", "event_type", "value"],
+    )
+
+
+@query(
+    "second_latest_before_cutoff",
+    oracle=f"""
+    SELECT user_id, event_id, ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 2
+    """,
+)
+def q_second_latest_before_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's correlated-subquery argmax (Q9, ``Fx_1min.py:190-196``),
+    decorrelated to rank-2-before-cutoff."""
+    events = load_table(spark, sf_dir, "events")
+    return nth_before_cutoff(
+        events, "user_id", ["ts", "event_id"], cutoff=F.lit(CUTOFF).cast("timestamp"),
+        cutoff_col="ts", n=2,
+    ).select("user_id", "event_id", "ts", "value")
+
+
+@query(
+    "active_events",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+)
+def q_active_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-max recency window (Q2-Q3, ``Fx_1min.py:149-157``)."""
+    events = load_table(spark, sf_dir, "events")
+    return active_window(events, "ts", F.expr("INTERVAL 1 HOUR")).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+def _rate_change(
+    spark: SparkSession, sf_dir: str, how: str, cutoff: str = CUTOFF
+) -> DataFrame:
+    """The full reference analytics query (SURVEY.md §2.3 semantics), on events:
+
+    current  = latest value among rows within 1 day of global max ts
+    previous = value at the SECOND-latest ts at/before the cutoff
+    change   = round(100*(cur-prev)/prev, 2) || '%', v1 NULL fallback on left join
+    """
+    events = load_table(spark, sf_dir, "events")
+    current = latest_per_key_agg(
+        active_window(events, "ts", F.expr("INTERVAL 1 DAY")),
+        "user_id", ["ts", "event_id"], payload=["value"],
+    ).select("user_id", F.col("value").alias("current_value"))
+    previous = nth_before_cutoff(
+        events, "user_id", ["ts", "event_id"],
+        cutoff=F.lit(cutoff).cast("timestamp"), cutoff_col="ts", n=2,
+    ).select("user_id", F.col("value").alias("previous_value"))
+    joined = current.join(previous, "user_id", how)
+    return joined.select(
+        "user_id",
+        "current_value",
+        "previous_value",
+        pct_change_label(F.col("current_value"), F.col("previous_value")).alias(
+            "percentage_change"
+        ),
+    )
+
+
+_RATE_CHANGE_ORACLE = """
+    WITH ActiveEvents AS (
+      SELECT * FROM events
+      WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+    ), CurrentRates AS (
+      SELECT user_id, value AS current_value
+      FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ActiveEvents
+      ) WHERE rn = 1
+    ), PreviousRates AS (
+      SELECT user_id, value AS previous_value
+      FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{cutoff}'
+      ) WHERE rn = 2
+    )
+    SELECT c.user_id, c.current_value, p.previous_value,
+           CASE WHEN p.previous_value IS NULL THEN 'No Previous Rate'
+                ELSE printf('%.2f', round((c.current_value - p.previous_value)
+                                          / p.previous_value * 100, 2)) || '%'
+           END AS percentage_change
+    FROM CurrentRates c {join} JOIN PreviousRates p USING (user_id)
+"""
+
+
+@query(
+    "rate_change_report",
+    oracle=_RATE_CHANGE_ORACLE.format(cutoff=CUTOFF, join="INNER"),
+)
+def q_rate_change_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 reference query: inner join (``Fx_1min.py:147-217``)."""
+    return _rate_change(spark, sf_dir, "inner")
+
+
+# The left variant uses an early cutoff so some users genuinely lack a rank-2
+# prior event → the 'No Previous Rate' branch is exercised at gate scale.
+EARLY_CUTOFF = "2024-01-01 02:00:00"
+
+
+@query(
+    "rate_change_report_left",
+    oracle=_RATE_CHANGE_ORACLE.format(cutoff=EARLY_CUTOFF, join="LEFT"),
+)
+def q_rate_change_report_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 reference query: left join + 'No Previous Rate'
+    (``update_exchange_rates.py:202-213``)."""
+    return _rate_change(spark, sf_dir, "left", cutoff=EARLY_CUTOFF)
+
+
+@query(
+    "dedup_latest_events",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins upsert semantics (S5, ``Fx_1min.py:106-109``) as a
+    keyed dedup on (user_id, event_type)."""
+    events = load_table(spark, sf_dir, "events")
+    return dedup_latest(
+        events, ["user_id", "event_type"], ["ts", "event_id"]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+@query(
+    "user_activity_summary",
+    oracle="""
+    SELECT user_id, max(ts) AS max_ts, count(*) AS event_count,
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_activity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped max + counts (Q6, ``Fx_1min.py:182-188``)."""
+    events = load_table(spark, sf_dir, "events")
+    return grouped_max(
+        events, "user_id", "ts",
+        extra_aggs={
+            "event_count": F.count(F.lit(1)),
+            "total_value": exact_sum(F.col("value")),
+        },
+    ).withColumnRenamed("max_ts", "max_ts")
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           count(json_extract_string(props, '$.k')) AS k_count
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON navigation (P1-P2, ``Fx_1min.py:69-76``) via
+    ``get_json_object`` — stays JVM-side, no Python."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(k).alias("k_count")
+    )
+
+
+@query(
+    "session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch analog of streaming session windows)."""
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(events, "user_id", "ts", F.expr("INTERVAL 30 MINUTES"))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "daily_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           grouping(event_type) AS g_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY ROLLUP (day, event_type)
+    """,
+)
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hypertable-style day×type cube slice)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", time_bucket(F.col("ts"), "day"))
+        .rollup("day", "event_type")
+        .agg(
+            F.grouping("event_type").alias("g_type"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+        .select("day", "event_type", "g_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "asof_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.event_id AS click_event_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for each purchase, the latest click at/before it
+    for the same user (union+running-window plan — one shuffle)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_event_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    return asof_join(
+        purchases, clicks, keys="user_id", on="ts",
+        right_payload=["click_event_id", "click_ts"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational family (TPC-H-ish tables) — §2.5 gaps made first-class
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) ) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the bench flagship: scan + pushed
+    filter + hash aggregate with map-side partials, no joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price, 6).alias("sum_disc_price"),
+            exact_sum(charge, 6).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (window ranking, generalizes Q5)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_nationkey = c.c_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: 5-way join with broadcast dims
+    (nation/region/supplier) and shuffle joins on the fact keys."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "supplier", "nation", "region")}
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        exact_sum(revenue, 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "customers_without_recent_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    """,
+)
+def q_customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — §2.5 gap made first-class.
+
+    Scoped to orders since 2000 so the result is non-empty at every sf
+    (an empty differential is trivially-matching evidence)."""
+    customer = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(customer, recent, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "late_shipment_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS semi join: orders with any lineitem shipped
+    more than 60 days after the order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_keys = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("o_orderkey")
+    )
+    late = semi_join(orders, late_keys, "o_orderkey")
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))

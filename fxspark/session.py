@@ -1,0 +1,101 @@
+"""SparkSession factory + table loading.
+
+The reference delegates all execution to a local MySQL server
+(``/root/reference/Fx_1min.py:26``); here the "server" is a SparkSession tuned
+for the scale the engine targets:
+
+- AQE on (runtime broadcast-join selection, skew-join splitting, partition
+  coalescing) — at 100 TB this is what keeps the one-size shuffle setting sane.
+- Session timezone pinned to UTC: the reference stores UTC ingestion times and
+  converts NY business-day cutoffs explicitly (``Fx_1min.py:133-141``); pinning
+  the session avoids host-tz-dependent results.
+- Arrow enabled for the few pandas-UDF paths (multimodal decode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def get_spark(app_name: str = "fxspark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for the test harness;
+    on a real cluster the caller passes none of this and spark-submit decides.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    shuffle_parts = os.environ.get("FXSPARK_SHUFFLE_PARTITIONS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Testdata stores TIMESTAMP(NANOS) which Spark has no native type for;
+        # read as epoch-ns long, then load_table floor-divides to micros —
+        # exactly what DuckDB's parquet reader does, so both engines see
+        # identical microsecond values (filters, ordering, output).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("FXSPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer metadata only —
+    cheap at any scale; one footer read per table path)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    TIMESTAMP(NANOS) columns (read as epoch-ns longs under
+    ``nanosAsLong``) are converted to microsecond timestamps by floor
+    division — bit-identical to DuckDB's parquet reader, keeping the
+    oracle differential exact.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in _nanos_timestamp_cols(path):
+        # integer `div` (not `/`): epoch-ns exceeds double's 2^53 exactness
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load the full star schema as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,38 @@
+"""Differential test: every declared query vs its DuckDB oracle.
+
+This mirrors the driver's t2 correctness gate (sf0.01); the default test run
+uses sf0.001 for speed — set FXSPARK_TEST_SF_DIR=/root/testdata/sf0.01 to run
+at the gate's scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fxspark.queries import ORACLE, QUERIES
+from tests.oracle_diff import compare, diff_report, duck_connect, run_oracle
+
+ORACLED = sorted(ORACLE.keys())
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = run_oracle(duck, ORACLE[name])
+    res = compare(sdf, odf)
+    assert res["ok"], diff_report(name, res)
+
+
+def test_all_queries_run(spark, sf_dir):
+    """Queries without an oracle still must run and have a stable schema."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(5).collect()
