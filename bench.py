@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "headline_total_wall", "value": <sum of per-query medians>,
+     "unit": "sec", "queries": {name: median_sec, ...}, "sf": <float>}
+
+Execution is forced with a noop sink (full compute, no driver materialization
+cost), median of REPS warm runs after one warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from fxspark.queries import QUERIES
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "rate_change_report",
+    "latest_event_per_user",
+    "top_orders_per_customer",
+    "asof_purchase_click",
+    "session_stats",
+    "daily_rollup",
+    "late_shipment_orders",
+]
+
+REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from fxspark.session import get_spark
+
+    spark = get_spark("fxspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        runs = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,8 +17,13 @@ NO_PREVIOUS = "No Previous Rate"
 
 
 def pct_change(cur: Column, prev: Column, scale: int = 2) -> Column:
-    """``round(100 * (cur - prev) / prev, scale)`` (``Fx_1min.py:208``)."""
-    return F.round((cur - prev) / prev * 100, scale)
+    """``round(100 * (cur - prev) / prev, scale)`` (``Fx_1min.py:208``).
+
+    A zero base yields NULL (``try_divide``) — MySQL's division-by-zero
+    semantics, which the reference implicitly relies on; under Spark's ANSI
+    mode a plain ``/`` would instead raise.
+    """
+    return F.round(F.try_divide(cur - prev, prev) * 100, scale)
 
 
 def pct_change_label(cur: Column, prev: Column, scale: int = 2) -> Column:

@@ -174,7 +174,7 @@ _RATE_CHANGE_ORACLE = """
     SELECT c.user_id, c.current_value, p.previous_value,
            CASE WHEN p.previous_value IS NULL THEN 'No Previous Rate'
                 ELSE printf('%.2f', round((c.current_value - p.previous_value)
-                                          / p.previous_value * 100, 2)) || '%'
+                                          / nullif(p.previous_value, 0) * 100, 2)) || '%'
            END AS percentage_change
     FROM CurrentRates c {join} JOIN PreviousRates p USING (user_id)
 """
