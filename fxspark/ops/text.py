@@ -1,0 +1,96 @@
+"""Text-analysis operators (north-star extension, BASELINE.json).
+
+Everything here is built-in ``pyspark.sql.functions`` expressions — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path. At 100 TB these run as
+pure map-side projections: no shuffle at all until an aggregation is asked
+for, so they scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small English stopword set (public knowledge; the usual top function words)
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# Marker (function) words per language for the n-gram/stopword language-ID
+# heuristic — the classic "profile" approach, tiny on purpose.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "los", "que", "y", "es"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased text (single-space split to stay
+    byte-identical with the SQL oracle's ``string_split``)."""
+    return F.split(F.lower(F.trim(col)), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_count(col: Column) -> Column:
+    """Count of non-alphanumeric, non-space characters."""
+    return F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
+
+
+def stopword_hits(col: Column, words: list[str] | None = None) -> Column:
+    """Number of tokens (with multiplicity) that are stopwords."""
+    words = STOPWORDS if words is None else words
+    stop = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stop, t)))
+
+
+def stopword_ratio(col: Column) -> Column:
+    return F.try_divide(stopword_hits(col), token_count(col))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0, ~2]:
+
+    length term (saturating at 500 chars) + stopword-ratio term
+    - punctuation-density penalty.  The exact formula is declared (and
+    oracle-checked), not learned.
+    """
+    n_chars = F.length(col).cast("double")
+    length_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop_term = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    punct_pen = F.try_divide(punct_count(col).cast("double"), n_chars)
+    return F.round(length_term + stop_term - F.coalesce(punct_pen, F.lit(0.0)), 4)
+
+
+def lang_scores(col: Column, markers: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    """Marker-word hit count per language."""
+    markers = LANG_MARKERS if markers is None else markers
+    return {lang: stopword_hits(col, words) for lang, words in markers.items()}
+
+
+def lang_id(col: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Argmax language by marker hits; 'unknown' when no marker fires.
+
+    Deterministic tie-break: dict order (first language wins ties), encoded as
+    a strict ``>`` comparison chain — identical semantics are easy to state in
+    plain SQL for the oracle.
+    """
+    scores = lang_scores(col, markers)
+    items = list(scores.items())
+    best_lang = F.lit(items[0][0])
+    best_score = items[0][1]
+    for lang, s in items[1:]:
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("unknown"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    (md5 rather than xxhash so the SQL oracle can reproduce it — both engines
+    emit identical lowercase hex.)
+    """
+    return F.md5(F.lower(F.trim(col)).cast("binary"))

@@ -504,3 +504,208 @@ def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late = semi_join(orders, late_keys, "o_orderkey")
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis / dedup family (documents table) — north-star extensions
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+@query(
+    "doc_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+           len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS stop_hits,
+           round(least(length(text)/500.0, 1.0)
+                 + coalesce(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))
+                            / CAST(nullif(len(toks), 0) AS DOUBLE), 0.0)
+                 - coalesce(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                            / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 4) AS quality
+    FROM t
+    """,
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: token/char/punct counts, stopword hits,
+    composite quality score — all JVM-side expressions (ops/text.py)."""
+    from fxspark.ops import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars"),
+        tx.punct_count(c).alias("n_punct"),
+        tx.stopword_hits(c).alias("stop_hits"),
+        tx.quality_score(c).alias("quality"),
+    )
+
+
+@query(
+    "doc_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY fp
+    """,
+)
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (ops/dedup.exact_dedup)."""
+    from fxspark.ops.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@query(
+    "doc_token_topk",
+    oracle="""
+    SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY freq DESC, token LIMIT 20
+    """,
+)
+def q_doc_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-k (explode + count + deterministic
+    order) — the wordcount pattern that underlies BPE-style token stats."""
+    from fxspark.ops.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "doc_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t)-1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trigram-Jaccard near-dup pairs (threshold 0.8) via the inverted
+    shingle index — lossless candidate generation, one shuffle per side.
+
+    (The DuckDB oracle brute-forces all pairs; same result set, different
+    plan — which is the point of the differential.)"""
+    from fxspark.ops.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@query("minhash_lsh_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard-verified — the
+    100 TB-scale path for doc_jaccard_pairs (tests assert both agree)."""
+    from fxspark.ops.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=64, bands=16,
+                             threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search family (embeddings table) — north-star extensions
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """list_sum(list_apply(list_zip({a}, {b}), p -> p[1]*p[2]))
+           / (sqrt(list_sum(list_apply({a}, x -> x*x)))
+              * sqrt(list_sum(list_apply({b}, x -> x*x))))"""
+
+
+def _dbl(col: str) -> str:
+    return f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+@query(
+    "embedding_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
+         q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, {_COS_SQL.format(a='emb', b='qv')} AS cos
+    FROM e, q
+    ORDER BY cos DESC, vec_id LIMIT 20
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 to the vec_id=0 embedding — bit-exact with
+    the SQL fold (sequential double-precision accumulation in both engines)."""
+    from fxspark.ops.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return cosine_topk(emb, q, k=20)
+
+
+@query(
+    "embedding_knn_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
+         q AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 3),
+         scored AS (
+           SELECT q.qid, e.vec_id, {_COS_SQL.format(a='e.emb', b='q.qv')} AS cos
+           FROM e, q WHERE e.vec_id <> q.qid
+         )
+    SELECT qid, vec_id, cos, rk FROM (
+      SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-3 neighbors for each of 3 query vectors (broadcast
+    queries, window rank per query)."""
+    from fxspark.ops.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return knn_join(queries, emb, k=3, exclude_same_id=True)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(a='a.emb', b='b.emb')} AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.emb', b='b.emb')} >= 0.45
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45) — exact
+    all-pairs tier of the dedup family."""
+    from fxspark.ops.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, 0.45)
