@@ -1,0 +1,186 @@
+"""Operator-level unit + property tests on hand-written frames.
+
+The reference has no tests (SURVEY.md §5); this suite encodes the invariants
+its behavior implies: upsert idempotence/last-writer-wins, window-rank vs
+groupBy-max agreement, second-latest semantics, as-of join vs a naive
+per-row lookup, and MinHash-LSH agreeing with exact Jaccard.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fxspark.ops.asof import asof_join, nth_before_cutoff
+from fxspark.ops.dedup import jaccard_pairs, minhash_lsh_pairs
+from fxspark.ops.latest import (
+    dedup_latest,
+    grouped_max,
+    latest_per_key_agg,
+    latest_per_key_window,
+)
+from fxspark.ops.text import lang_id
+from fxspark.ops.windows import sessionize
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def rates(spark):
+    """exchange_rates-shaped frame (FIXTURES.md A1): duplicate natural keys
+    with different ingestion times exercise last-writer-wins."""
+    rows = [
+        # ccy, rate, event date,            ingestion ts
+        ("EUR/USD", 1.0300, "2025-01-16", "2025-01-17 09:00:00"),
+        ("EUR/USD", 1.0291, "2025-01-15", "2025-01-17 09:00:00"),
+        ("EUR/USD", 1.0250, "2025-01-14", "2025-01-17 09:00:00"),
+        ("EUR/USD", 1.0299, "2025-01-16", "2025-01-17 09:00:30"),  # re-ingest
+        ("GBP/USD", 1.2500, "2025-01-16", "2025-01-17 09:00:00"),
+        ("GBP/USD", 1.2400, "2025-01-15", "2025-01-17 08:00:00"),
+        ("JPY/USD", 0.0065, "2025-01-16", "2025-01-10 09:00:00"),  # stale only
+    ]
+    return spark.createDataFrame(
+        [
+            Row(
+                ccy_couple=c,
+                rate=r,
+                date=ts(d),
+                event_time=int(ts(d).timestamp() * 1000),
+                timestamp=ts(t),
+            )
+            for c, r, d, t in rows
+        ]
+    )
+
+
+def test_dedup_latest_last_writer_wins(rates):
+    """Re-ingesting a (ccy_couple, date) keeps the newest ingestion
+    (``Fx_1min.py:106-109`` ON DUPLICATE KEY UPDATE)."""
+    out = dedup_latest(rates, ["ccy_couple", "date"], ["timestamp"])
+    eur16 = out.filter(
+        (F.col("ccy_couple") == "EUR/USD") & (F.col("date") == ts("2025-01-16"))
+    ).collect()
+    assert len(eur16) == 1 and eur16[0]["rate"] == 1.0299
+
+
+def test_dedup_latest_idempotent(rates):
+    """Upsert idempotence: dedup(dedup(x) ∪ dedup(x)) == dedup(x)."""
+    once = dedup_latest(rates, ["ccy_couple", "date"], ["timestamp"])
+    twice = dedup_latest(once.unionAll(once), ["ccy_couple", "date"], ["timestamp"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_latest_agg_equals_window(rates):
+    """max_by aggregate form ≡ row_number window form (plan differs, result
+    must not)."""
+    a = latest_per_key_agg(
+        rates, "ccy_couple", ["event_time", "timestamp"], payload=["rate"]
+    )
+    w = latest_per_key_window(
+        rates, "ccy_couple", ["event_time", "timestamp"]
+    ).select("ccy_couple", "rate")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, w.collect()))
+
+
+def test_second_latest_semantics(rates, spark):
+    """Q9: rank 2 at/before cutoff is the second-latest, strictly-before-max
+    event (``Fx_1min.py:190-196``)."""
+    cutoff = F.lit("2025-01-16 23:59:59").cast("timestamp")
+    # the reference ranks over the upserted (deduped) store, so dedup first
+    store = dedup_latest(rates, ["ccy_couple", "date"], ["timestamp"])
+    out = nth_before_cutoff(
+        store, "ccy_couple", ["event_time"], cutoff=cutoff, cutoff_col="date", n=2,
+    )
+    got = {r["ccy_couple"]: r["rate"] for r in out.collect()}
+    assert got["EUR/USD"] == 1.0291  # second-latest date 01-15
+    assert got["GBP/USD"] == 1.2400
+    assert "JPY/USD" not in got  # only one event → no rank 2
+
+
+def test_grouped_max(rates):
+    out = grouped_max(rates, "ccy_couple", "event_time")
+    got = {r["ccy_couple"]: r["max_event_time"] for r in out.collect()}
+    assert got["EUR/USD"] == int(ts("2025-01-16").timestamp() * 1000)
+
+
+def test_asof_join_matches_naive(spark):
+    """asof_join (union+window plan) ≡ naive per-left-row argmax lookup."""
+    left = spark.createDataFrame(
+        [Row(k="a", t=i, lv=f"L{i}") for i in (5, 10, 20)]
+        + [Row(k="b", t=7, lv="L7")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=i, rv=f"R{i}") for i in (1, 6, 10, 15)]
+        + [Row(k="c", t=1, rv="Rc")]
+    )
+    out = asof_join(left, right, keys="k", on="t", right_payload=["rv"])
+    got = {(r["k"], r["t"]): r["rv"] for r in out.collect()}
+    assert got == {
+        ("a", 5): "R1",
+        ("a", 10): "R10",  # equal timestamps match (<=)
+        ("a", 20): "R15",
+        ("b", 7): None,  # no right rows for key b
+    }
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [Row(k="u", t=ts(x)) for x in
+         ("2024-01-01 00:00:00", "2024-01-01 00:10:00",  # session 0
+          "2024-01-01 01:00:00",                          # session 1 (50min gap)
+          "2024-01-01 01:20:00", "2024-01-01 01:49:00")]  # still session 1
+    )
+    out = sessionize(df, "k", "t", F.expr("INTERVAL 30 MINUTES"))
+    sids = [r["session_id"] for r in out.orderBy("t").collect()]
+    assert sids == [0, 0, 1, 1, 1]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(txt="the cat and the dog is here"),
+            Row(txt="der hund und die katze ist da"),
+            Row(txt="le chat et la porte est ici"),
+            Row(txt="xyzzy qwerty foo"),
+        ]
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("txt"))).collect()]
+    assert out == ["en", "de", "fr", "unknown"]
+
+
+def test_minhash_lsh_agrees_with_exact(spark, sf_dir):
+    """LSH candidates + exact verification must reproduce the exact
+    jaccard_pairs result at the 0.8 threshold (high-recall band config)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in
+        jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in
+        minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.8).collect()
+    }
+    assert lsh == exact
+
+
+def test_pct_change_golden(spark):
+    """Golden-output format parity: PDF p.5 `USDEUR 0.896100 0.20%` —
+    0.20% must print with two decimals."""
+    from fxspark.ops.change import pct_change_label
+
+    df = spark.createDataFrame([Row(cur=0.896100, prev=0.894312)])
+    out = df.select(
+        pct_change_label(F.col("cur"), F.col("prev")).alias("pc")
+    ).collect()[0]["pc"]
+    assert out == "0.20%"
+
+    df2 = spark.createDataFrame([Row(cur=1.0, prev=None)], "cur double, prev double")
+    out2 = df2.select(
+        pct_change_label(F.col("cur"), F.col("prev")).alias("pc")
+    ).collect()[0]["pc"]
+    assert out2 == "No Previous Rate"
