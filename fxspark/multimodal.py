@@ -1,0 +1,124 @@
+"""Multimodal column plumbing (north-star extension, BASELINE.json).
+
+Image/audio/video payloads are opaque ``binary`` columns + typed metadata
+structs; all heavy per-item work (decode, resize, feature-extract,
+frame-sample) runs as Arrow-batched pandas functions over ``mapInPandas`` —
+the only sane shape for Python media libs inside Spark.
+
+The decode step itself is STUBBED (this environment has no image/audio
+libraries): ``decode_image_meta`` parses real header bytes for PNG/JPEG/GIF
+dimensions JVM-feasible-but-done-in-pandas, and ``extract_features`` produces
+a deterministic fake embedding. The Spark-side plumbing — schema, batch
+iteration, partition sizing — is real and tested; swapping the stub for
+Pillow/ffmpeg is a one-function change.
+
+Scale notes: media rows are large and skew-prone — ``repartition`` by a hash
+of the id before ``mapInPandas`` so a few giant files can't serialize one
+task; batches stay bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, media_type string, n_bytes long"
+)
+META_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, format string, "
+    "width int, height int"
+)
+FEATURE_SCHEMA = "media_id long, feature array<float>"
+
+
+def to_media_frame(
+    df: DataFrame, id_col: str, payload_col: str, media_type: str
+) -> DataFrame:
+    """Wrap an arbitrary binary column as the canonical media frame."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.length(F.col(payload_col).cast("binary")).cast("long").alias("n_bytes"),
+    )
+
+
+def _sniff(payload: bytes | None) -> tuple[str, int, int]:
+    """Header-only format/dimension sniffing for PNG/GIF/JPEG; anything else
+    is 'unknown'. Real byte parsing — the deterministic part of decode."""
+    if not payload:
+        return ("empty", -1, -1)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"\xff\xd8":
+        return ("jpeg", -1, -1)  # full scan needs a decoder — stubbed
+    return ("unknown", -1, -1)
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """Per-item metadata extraction over mapInPandas (Arrow batches)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmt, w, h = [], [], []
+            for payload in pdf["payload"]:
+                f_, w_, h_ = _sniff(bytes(payload) if payload is not None else None)
+                fmt.append(f_)
+                w.append(w_)
+                h.append(h_)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "format": fmt,
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return media.mapInPandas(run, META_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fake feature extractor (STUB for a real model/codec):
+    embedding[i] = byte-histogram moment i of the payload. Replace the body
+    with a real encoder; the Spark plumbing (Arrow batch in, fixed-dim
+    array<float> out) is the contract that stays.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) == 0:
+                    feats.append(np.zeros(dim, dtype="float32"))
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).astype("float32"))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": [f.tolist() for f in feats]}
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def decode_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame sampling — requires a codec; explicitly not available here."""
+    raise NotImplementedError(
+        "video decode needs ffmpeg/av, not present in this environment; "
+        "the mapInPandas plumbing mirrors decode_image_meta"
+    )

@@ -1,0 +1,95 @@
+"""Streaming runner — the reference's scheduled micro-batches as a real
+Structured Streaming query (SURVEY.md §2.4 O2, §3 entry point 3).
+
+The reference emulates streaming with Task Scheduler at 1-minute cadence and
+"the DB is the state" (``/root/reference/run_update_1min.bat``, PDF p.4-5).
+Spark-first:
+
+- the rates feed is a file stream (``readStream``) of JSON payload drops;
+- each micro-batch runs the SAME batch upsert via ``foreachBatch`` —
+  checkpointing replaces the implicit DB state;
+- the "active within 30 s of max ingestion time" analytics (Q2-Q3) becomes a
+  real event-time window + watermark when run continuously.
+
+Scale notes: ``foreachBatch`` + keyed merge is the standard lakehouse
+streaming-upsert topology; state never lives in executors (no
+mapGroupsWithState needed for last-writer-wins — the store itself is the
+state), so executor loss costs only a micro-batch retry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from fxspark.ingest import normalize
+from fxspark.sink import read_table, upsert, write_table
+
+KEYS = ("ccy_couple", "date")
+ORDER = ("timestamp",)
+
+
+def stream_rates(spark: SparkSession, payload_dir: str) -> DataFrame:
+    """File-stream of raw payload drops: one JSON document per line, columns
+    (base_currency, target_currency, payload) — the streaming twin of
+    ``sources.json_dir_rates``."""
+    schema = "base_currency string, target_currency string, payload string"
+    return spark.readStream.schema(schema).json(payload_dir)
+
+
+def run_upsert_stream(
+    spark: SparkSession,
+    payload_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The minutely job (``Fx_1min.py`` + Task Scheduler) as one streaming
+    query: each micro-batch normalizes + upserts into the store.
+
+    ``available_now=True`` processes the backlog and stops — the scheduled
+    one-shot tick (``Trigger.AvailableNow``), used by tests.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rates, _bad = normalize(batch_df)
+        existing = read_table(spark, store_path)
+        write_table(upsert(existing, rates, KEYS, ORDER), store_path)
+
+    writer = stream_rates(spark, payload_dir).writeStream.foreachBatch(merge_batch)
+    writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_rate_stats(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "ccy_couple",
+    window_len: str = "1 minute",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Event-time windowed aggregate with late-data watermark — the streaming
+    generalization of the reference's 30-second "active" recency filter
+    (``Fx_1min.py:156``): per (window, key), the latest-rate-by-event-time
+    and observation count."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col(key_col))
+        .agg(
+            F.max_by("rate", "event_time").alias("latest_rate"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "latest_rate",
+            "n_obs",
+        )
+    )

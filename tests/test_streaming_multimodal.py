@@ -1,0 +1,110 @@
+"""Streaming upsert (Trigger.AvailableNow) + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _payload(base, target, series):
+    return {
+        "base_currency": base,
+        "target_currency": target,
+        "payload": json.dumps(
+            {
+                "Time Series FX (Daily)": {
+                    d: {"4. close": str(v)} for d, v in series.items()
+                }
+            }
+        ),
+    }
+
+
+def test_streaming_upsert_available_now(spark, tmp_path):
+    """File-stream → foreachBatch upsert: backlog processed, store merged,
+    re-delivery is idempotent (checkpoint advances)."""
+    from fxspark.streaming.runner import run_upsert_stream
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    with open(drops / "batch1.json", "w") as f:
+        f.write(json.dumps(_payload("EUR", "USD", {"2025-01-16": 1.0291})) + "\n")
+        f.write(json.dumps(_payload("GBP", "USD", {"2025-01-16": 1.2400})) + "\n")
+
+    q = run_upsert_stream(spark, str(drops), store, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(store).count() == 2
+
+    # second drop: one update (same key, new close) + one new key
+    with open(drops / "batch2.json", "w") as f:
+        f.write(json.dumps(_payload("EUR", "USD", {"2025-01-16": 1.0299})) + "\n")
+        f.write(json.dumps(_payload("JPY", "USD", {"2025-01-16": 0.0065})) + "\n")
+
+    q = run_upsert_stream(spark, str(drops), store, ckpt, available_now=True)
+    q.awaitTermination(120)
+    out = spark.read.parquet(store)
+    assert out.count() == 3  # upsert, not append
+    eur = out.filter(F.col("ccy_couple") == "EUR/USD").collect()[0]
+    assert str(eur["rate"]) == "1.029900"  # last writer won
+
+
+def test_windowed_rate_stats_plan(spark):
+    """The watermark+window aggregate builds on a streaming frame (plan-level
+    check: it must be a valid streaming plan with event-time watermark)."""
+    from fxspark.streaming.runner import windowed_rate_stats
+
+    batch = spark.createDataFrame(
+        [
+            Row(ccy_couple="EUR/USD", rate=1.03, event_time=1,
+                timestamp=__import__("datetime").datetime(2025, 1, 16, 9, 0, 0)),
+            Row(ccy_couple="EUR/USD", rate=1.04, event_time=2,
+                timestamp=__import__("datetime").datetime(2025, 1, 16, 9, 0, 30)),
+        ]
+    )
+    out = windowed_rate_stats(batch)  # watermark is a no-op on batch frames
+    rows = out.collect()
+    assert rows[0]["latest_rate"] == 1.04 and rows[0]["n_obs"] == 2
+
+
+PNG_1x2 = (
+    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+    + b"\x00\x00\x00\x01" + b"\x00\x00\x00\x02" + b"\x08\x06\x00\x00\x00"
+)
+
+
+def test_multimodal_meta_and_features(spark):
+    from fxspark.multimodal import decode_image_meta, extract_features, to_media_frame
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, blob=bytearray(PNG_1x2)),
+            Row(id=2, blob=bytearray(b"GIF89a" + b"\x03\x00\x04\x00")),
+            Row(id=3, blob=bytearray(b"\xff\xd8\xff\xe0rest")),
+            Row(id=4, blob=bytearray(b"not an image")),
+        ]
+    )
+    media = to_media_frame(df, "id", "blob", "image")
+    meta = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    assert (meta[1]["format"], meta[1]["width"], meta[1]["height"]) == ("png", 1, 2)
+    assert (meta[2]["format"], meta[2]["width"], meta[2]["height"]) == ("gif", 3, 4)
+    assert meta[3]["format"] == "jpeg"
+    assert meta[4]["format"] == "unknown"
+
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    assert len(feats[1]) == 8
+    # deterministic: same payload → same feature
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    assert feats == feats2
+
+
+def test_video_decode_is_explicitly_stubbed(spark):
+    from fxspark.multimodal import decode_video_frames
+
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(None)
