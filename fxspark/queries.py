@@ -435,15 +435,21 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {n: load_table(spark, sf_dir, n) for n in
          ("lineitem", "orders", "customer", "supplier", "nation", "region")}
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Join order: push the date filter into the orders scan; broadcast the
+    # true dimensions (customer/supplier/nation/region). orders is a fact —
+    # it shuffles with lineitem (AQE converts it to broadcast at small SF
+    # where it fits, without baking in a hint that breaks at 1000×).
+    orders_f = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
     joined = (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
         exact_sum(revenue, 6).alias("revenue"),
@@ -494,15 +500,15 @@ def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than 60 days after the order date."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late_keys = (
-        li.join(
-            orders.select("o_orderkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("o_orderkey")
+    # EXISTS(shipdate > orderdate+60) ⟺ max(shipdate) > orderdate+60, so
+    # pre-aggregate lineitem per order FIRST (map-side partial combine shrinks
+    # the shuffle 4×) and join orders once — one agg + one join instead of
+    # join + semi-join. At 100 TB this halves the shuffled bytes.
+    max_ship = grouped_max(li, "l_orderkey", "l_shipdate")
+    late = (
+        orders.join(max_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("max_l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
     )
-    late = semi_join(orders, late_keys, "o_orderkey")
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
