@@ -188,6 +188,54 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidates are generated by the pigeonhole trick: the 64-bit code splits
+    into 8 bytes; two codes within hamming distance 7 MUST agree on at least
+    one byte, so joining on (band, byte_value) is lossless for
+    ``max_hamming <= 7`` while touching only colliding buckets — the same
+    no-all-pairs shape as MinHash LSH, and the cheapest tier (one long per
+    doc of state instead of a k-long signature).
+    """
+    if max_hamming > 7:
+        raise ValueError("pigeonhole bands guarantee completeness only for max_hamming <= 7")
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col), n).alias("_code")
+    )
+    banded = sh.select(
+        "_id",
+        "_code",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_code"), 8 * b).bitwiseAND(F.lit(255))
+                    for b in range(8)
+                ]
+            )
+        ).alias("_band", "_bv"),
+    )
+    x = banded.select(
+        F.col("_id").alias("id_a"), F.col("_code").alias("_ca"), "_band", "_bv"
+    )
+    y = banded.select(
+        F.col("_id").alias("id_b"), F.col("_code").alias("_cb"), "_band", "_bv"
+    )
+    return (
+        x.join(y, ["_band", "_bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("_ca").bitwiseXOR(F.col("_cb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash64(col: Column, n: int = 1) -> Column:
     """64-bit SimHash of a text column: per-bit majority vote over token
     (or shingle) xxhash64 values, folded JVM-side with array expressions.

