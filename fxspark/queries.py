@@ -799,6 +799,120 @@ def q_order_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sales_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
+             AS grp_id
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grouping-sets family — SURVEY.md
+    §2.5 gap filled natively): per (flag, status), per flag, and grand total
+    in ONE pass — partial aggregation handles all levels map-side, vs 3
+    separate scans. grp_id disambiguates subtotal rows from data NULLs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # grp_id is declared as g(flag) + 2*g(status) explicitly on both sides —
+    # engines disagree on grouping_id() bit order, so never rely on it.
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.grouping("l_returnflag") + F.grouping("l_linestatus") * 2)
+        .cast("long")
+        .alias("grp_id"),
+    )
+
+
+@query(
+    "customer_set_ops",
+    oracle="""
+    WITH early AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'),
+         late  AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
+         urgent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late
+      EXCEPT
+      SELECT o_custkey FROM urgent
+    )
+    """,
+)
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra (INTERSECT/EXCEPT — SURVEY.md §2.5 gap filled natively):
+    customers active both early and late but never urgent. Spark plans these
+    as left-semi/left-anti hash joins — same shuffle shape as the join
+    family, no materialized distinct needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1994-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return early.intersect(late).exceptAll(urgent.distinct()).distinct()
+
+
+# 24-byte synthetic PNG header (magic + IHDR chunk header + 64x48 dims) —
+# prepended to even-doc payloads so decode_image_meta exercises the real
+# byte-parsing branch; odd docs stay raw text bytes ('unknown').
+_PNG_HEADER = (
+    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+    + (64).to_bytes(4, "big") + (48).to_bytes(4, "big")
+)
+
+
+def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fxspark.multimodal import to_media_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit(_PNG_HEADER), F.encode("text", "UTF-8")),
+    ).otherwise(F.encode("text", "UTF-8"))
+    return to_media_frame(
+        docs.select("doc_id", payload.alias("payload")), "doc_id", "payload", "image"
+    )
+
+
+@query(
+    "media_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text)) + 24
+                ELSE octet_length(encode(text)) END AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'unknown' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN 64 ELSE -1 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 48 ELSE -1 END AS height
+    FROM documents
+    """,
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata decode over mapInPandas (multimodal.py): binary
+    payloads (synthetic PNG headers on even docs) → format/dimensions.
+    The oracle restates the DECLARED sniffing semantics — the differential
+    checks the whole Arrow-batched plumbing end to end."""
+    from fxspark.multimodal import decode_image_meta
+
+    return decode_image_meta(_doc_media(spark, sf_dir))
+
+
+@query("media_features")  # rows-only: stub feature extractor (array output)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (STUB encoder, real plumbing): Arrow
+    batches in, fixed-dim array<float> out — the contract a real image/audio
+    model drops into (multimodal.extract_features)."""
+    from fxspark.multimodal import extract_features
+
+    return extract_features(_doc_media(spark, sf_dir))
+
+
 def _lsh_planes(n_planes: int = 6, dim: int = 64, seed: int = 7) -> list[list[float]]:
     """Deterministic random-hyperplane set on a dyadic grid (multiples of
     1/1024): every coordinate is exactly representable in binary floating
