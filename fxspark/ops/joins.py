@@ -39,3 +39,46 @@ def dim_join(
     side — the reference's 110-key pair-universe join shape
     (``Fx_1min.py:181-189``)."""
     return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that survives a hot key: the skewed side gets a random salt
+    in [0, salt), the other side is replicated ``salt``× with every salt
+    value, and the join runs on (key, salt) — one hot key now spreads over
+    ``salt`` shuffle partitions instead of melting one executor.
+
+    Use when AQE's skew-join split isn't available (e.g. the skew is in an
+    aggregation input, or the join is below AQE's split thresholds but above
+    one task's memory). Cost: ``salt``× replication of the small side — keep
+    that side shuffle-light. Result is row-identical to a plain join.
+    """
+    s = skewed.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    o = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return s.join(o, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def salted_count(df: DataFrame, key: str, salt: int = 16) -> DataFrame:
+    """Two-phase count for skewed group keys: pre-aggregate on (key, salt)
+    (spreads the hot key), then combine partials. Row-identical to
+    ``groupBy(key).count()``; the partial shuffle is bounded by
+    ``distinct_keys × salt`` rows regardless of skew.
+
+    (For built-in aggregates Spark's map-side partial aggregation already
+    does this implicitly — the operator exists for the shapes where partial
+    aggregation is disabled or the combine is custom.)
+    """
+    return (
+        df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+        .groupBy(key)
+        .agg(F.sum("_partial").cast("long").alias("n"))
+    )

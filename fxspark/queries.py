@@ -828,6 +828,31 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SURVEY.md §2.5 gap: the
+    reference has no distribution aggregates). Spark's sort-based
+    ``percentile`` is bit-identical to DuckDB's ``quantile_cont`` (same
+    linear-interpolation definition). The 100 TB variant swaps in
+    ``approx_percentile`` (t-digest, mergeable, no global sort) — declared
+    here exact so the differential stays a hash match."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
     "customer_set_ops",
     oracle="""
     WITH early AS (SELECT DISTINCT o_custkey FROM orders

@@ -253,3 +253,34 @@ def test_rp_lsh_equals_exact_within_bucket(spark, sf_dir):
     exact = [(r["vec_id"], r["cos"]) for r in cosine_topk(in_bucket, q, k=10).collect()]
     assert approx == exact
     assert approx[0][0] == 0  # the query vector always shares its own bucket
+
+
+def test_salted_join_row_identical(spark, sf_dir):
+    """salted_join must produce exactly the rows of the plain join — salting
+    only changes the shuffle distribution, never the result."""
+    from fxspark.ops.joins import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, "o_custkey").collect()
+    salted = salted_join(orders, cust, "o_custkey", salt=4).collect()
+    key = lambda r: (r["o_custkey"], r["o_orderkey"], r["c_mktsegment"])
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    from fxspark.ops.joins import salted_count
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plain = {
+        (r["o_custkey"], r["count"])
+        for r in orders.groupBy("o_custkey").count().collect()
+    }
+    salted = {
+        (r["o_custkey"], r["n"]) for r in salted_count(orders, "o_custkey").collect()
+    }
+    assert salted == plain
