@@ -1,0 +1,65 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference keeps all cross-run state in MySQL (the table IS the state —
+SURVEY.md §1.2, §3). For per-key derived state that should NOT round-trip
+through the store every micro-batch (running EWMA, counters), Structured
+Streaming's arbitrary-state API is the Spark-first shape: state lives in the
+state store (checkpointed, partitioned by key), updates arrive as Arrow
+batches, and executor loss replays only the failed micro-batch.
+
+Scale notes: state is per-key-small (3 scalars here) and partitioned on the
+grouping key, so the operator scales with distinct keys, not event volume;
+the per-batch work is one shuffle on the key plus an Arrow-batched pandas
+step. Keys that go quiet can be expired via a processing-time timeout —
+kept NoTimeout here because the FX pair universe is tiny and closed
+(110 pairs, ``/root/reference/currency_pairs.csv``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = (
+    "ccy_couple string, n_total long, ewma double, last_rate double"
+)
+STATE_SCHEMA = "n_total long, ewma double, last_rate double"
+
+
+def stateful_pair_stats(
+    events: DataFrame,
+    key_col: str = "ccy_couple",
+    order_col: str = "event_time",
+    rate_col: str = "rate",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key running stats maintained ACROSS micro-batches: total event
+    count, EWMA of the rate (``ewma = α·rate + (1-α)·ewma``), and the last
+    rate in event-time order. Emits one updated row per key per batch
+    (output mode ``update``).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        n, ewma, last = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            for rate in pdf.sort_values(order_col)[rate_col].astype(float):
+                ewma = rate if ewma is None else alpha * rate + (1 - alpha) * ewma
+                last = rate
+                n += 1
+        state.update((n, ewma, last))
+        yield pd.DataFrame(
+            [{key_col: key[0], "n_total": n, "ewma": ewma, "last_rate": last}]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )

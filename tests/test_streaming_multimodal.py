@@ -108,3 +108,50 @@ def test_video_decode_is_explicitly_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         decode_video_frames(None)
+
+
+def test_stateful_pair_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key state (count, EWMA, last) must carry
+    ACROSS micro-batches — two files forced into two batches via
+    maxFilesPerTrigger=1; the final EUR/USD row reflects all four events."""
+    from fxspark.streaming.stateful import stateful_pair_stats
+
+    drops = tmp_path / "sdrops"
+    drops.mkdir()
+    rows1 = [
+        {"ccy_couple": "EUR/USD", "event_time": 1, "rate": 1.0},
+        {"ccy_couple": "EUR/USD", "event_time": 2, "rate": 2.0},
+        {"ccy_couple": "GBP/USD", "event_time": 1, "rate": 1.25},
+    ]
+    rows2 = [
+        {"ccy_couple": "EUR/USD", "event_time": 3, "rate": 3.0},
+        {"ccy_couple": "EUR/USD", "event_time": 4, "rate": 4.0},
+    ]
+    for name, rows in (("a.json", rows1), ("b.json", rows2)):
+        with open(drops / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "ccy_couple string, event_time long, rate double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        stateful_pair_stats(stream)
+        .writeStream.format("memory")
+        .queryName("pair_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT * FROM pair_stats WHERE ccy_couple = 'EUR/USD' "
+        "ORDER BY n_total DESC LIMIT 1"
+    ).collect()[0]
+    # EWMA with alpha=0.5 over 1,2,3,4: 1 → 1.5 → 2.25 → 3.125
+    assert out["n_total"] == 4
+    assert out["ewma"] == pytest.approx(3.125)
+    assert out["last_rate"] == 4.0
