@@ -31,7 +31,26 @@ HEADLINE = [
     "late_shipment_orders",
 ]
 
+# North-star extension ops (dedup / similarity / text / multimodal) — timed
+# separately so the headline total stays comparable round-over-round.
+EXTENSION = [
+    "doc_stats",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_dedup_exact",
+    "doc_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_near_dup",
+    "embedding_ann_lsh",
+    "media_meta",
+    "order_value_percentiles",
+    "sales_rollup",
+]
+
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))
+EXT_REPS = int(os.environ.get("FXSPARK_BENCH_EXT_REPS", "1"))
 
 
 def main() -> None:
@@ -64,12 +83,26 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    ext_timings: dict[str, float] = {}
+    for name in [n for n in EXTENSION if n in QUERIES]:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        runs = []
+        for _ in range(EXT_REPS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        ext_timings[name] = round(statistics.median(runs), 4)
+        print(f"# ext {name}: {ext_timings[name]:.3f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extensions": ext_timings,
+        "extensions_total": round(sum(ext_timings.values()), 4),
         "sf": sf,
     }))
 

@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fxspark.ops.text import fingerprint, tokens
@@ -108,6 +108,53 @@ def jaccard_pairs(
     jac = F.col("_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("_inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard-≥-threshold pairs via prefix filtering (AllPairs/PPJoin):
+    result-identical to ``jaccard_pairs``, far fewer candidates.
+
+    Lemma: under any global total order of shingles, two sets with
+    J ≥ t must share a token within the first ``|A| − ⌈t·|A|⌉ + 1`` tokens
+    of each. Ordering by ascending document frequency makes those prefix
+    tokens the RAREST ones, so the inverted index only ever joins tiny
+    buckets — the standard set-similarity-join shape at 100 TB, where
+    indexing every shingle (the plain inverted index) melts on stop-shingles.
+    Candidates are then verified exactly with ``array_intersect``.
+    """
+    sets_ = _shingle_sets(df, id_col, text_col, n)
+    inv = sets_.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    freq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_s")
+    prefix = (
+        inv.join(freq, "_s")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_sz") - F.ceil(F.col("_sz") * threshold) + 1)
+        .select("_id", "_s")
+    )
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), "_s")
+        .join(prefix.select(F.col("_id").alias("id_b"), "_s"), "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets_.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sets_.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter / (F.size("_sha") + F.size("_shb") - inter)
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -206,9 +253,7 @@ def simhash_pairs(
     """
     if max_hamming > 7:
         raise ValueError("pigeonhole bands guarantee completeness only for max_hamming <= 7")
-    sh = df.select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col), n).alias("_code")
-    )
+    sh = simhash_codes(df, id_col, text_col, n)
     banded = sh.select(
         "_id",
         "_code",
@@ -234,6 +279,47 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_codes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 1
+) -> DataFrame:
+    """Per-document 64-bit SimHash code as ``(_id, _code)`` — the set-returning
+    twin of ``simhash64``, and the fast path: explode shingles once, then 64
+    vectorized ``sum(±1)`` bit-vote aggregates in ONE hash aggregation (the
+    same single-shuffle shape as ``minhash_signature``). The column-expression
+    form (64 sequential array folds per row) is ~30× slower at 5k docs and
+    degrades with document length; this form is plain scan + hash-agg and
+    scales like any groupBy.
+
+    Documents with zero shingles produce no row (no similarity signal).
+    """
+    sh = shingles(F.col(text_col), n) if n > 1 else F.array_distinct(tokens(F.col(text_col)))
+    hashed = df.select(
+        F.col(id_col).alias("_id"), F.explode(sh).alias("_s")
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("_h").bitwiseAND(
+                    F.lit(1 << b) if b < 63 else F.lit(-(2**63))
+                )
+                != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy("_id").agg(*votes)
+    code = F.lit(0).cast("long")
+    for b in range(64):
+        code = code.bitwiseOR(
+            F.when(
+                F.col(f"_v{b}") > 0,
+                F.lit(1 << b if b < 63 else -(2**63)),
+            ).otherwise(F.lit(0))
+        )
+    return agg.select("_id", code.alias("_code"))
 
 
 def simhash64(col: Column, n: int = 1) -> Column:

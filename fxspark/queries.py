@@ -619,11 +619,15 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index — lossless candidate generation, one shuffle per side.
 
     (The DuckDB oracle brute-forces all pairs; same result set, different
-    plan — which is the point of the differential.)"""
-    from fxspark.ops.dedup import jaccard_pairs
+    plan — which is the point of the differential.) Implementation is the
+    prefix-filtered set-similarity join (ops/dedup.jaccard_pairs_prefix):
+    only each doc's rarest (1-t)·|A|+1 shingles are indexed, so no
+    stop-shingle bucket ever goes quadratic — the plain inverted index
+    (ops/dedup.jaccard_pairs) is its small-N twin and test oracle."""
+    from fxspark.ops.dedup import jaccard_pairs_prefix
 
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
 @query("minhash_lsh_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
@@ -993,8 +997,10 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.45) — exact
-    all-pairs tier of the dedup family."""
-    from fxspark.ops.similarity import cosine_pairs
+    all-pairs tier of the dedup family, computed by the blocked-matmul path
+    (numpy BLAS candidates + sequential-fold exact re-score: bit-identical
+    to the zip_with form, ~20× faster)."""
+    from fxspark.ops.similarity import cosine_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, 0.45)
+    return cosine_pairs_blocked(emb, 0.45)

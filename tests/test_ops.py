@@ -284,3 +284,34 @@ def test_salted_count_matches_plain(spark, sf_dir):
         (r["o_custkey"], r["n"]) for r in salted_count(orders, "o_custkey").collect()
     }
     assert salted == plain
+
+
+def test_cosine_pairs_blocked_matches_plain(spark, sf_dir):
+    """Blocked-matmul all-pairs must be bit-identical to the zip_with fold
+    form — same pairs, same cos doubles (the exact re-score guarantees it)."""
+    from fxspark.ops.similarity import cosine_pairs, cosine_pairs_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plain = {(r["id_a"], r["id_b"]): r["cos"] for r in cosine_pairs(emb, 0.3).collect()}
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_pairs_blocked(emb, 0.3, n_blocks=4).collect()
+    }
+    assert blocked == plain
+
+
+def test_jaccard_prefix_matches_plain(spark, sf_dir):
+    """Prefix-filtered set-similarity join must reproduce the plain
+    inverted-index result exactly (the filter lemma is lossless)."""
+    from fxspark.ops.dedup import jaccard_pairs_prefix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "doc_id", "text", 3, 0.6).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(docs, "doc_id", "text", 3, 0.6).collect()
+    }
+    assert pref == plain
