@@ -832,6 +832,46 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE) AS DOUBLE) AS promo_share,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share of a ship month — conditional
+    aggregation over a fact-to-dimension join. part broadcasts (it's the
+    dim); the date filter pushes into the lineitem scan, so the join input
+    is one month of the fact, not the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev.cast("decimal(38,6)")).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return j.agg(
+        (100.0 * F.sum(promo).cast("double")
+         / exact_sum(rev, 6)).cast("double").alias("promo_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "order_value_percentiles",
     oracle="""
     SELECT o_orderpriority,
