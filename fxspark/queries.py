@@ -36,7 +36,7 @@ from fxspark.ops.change import pct_change_label
 from fxspark.ops.joins import anti_join, dim_join, semi_join
 from fxspark.ops.latest import dedup_latest, grouped_max, latest_per_key_agg
 from fxspark.ops.windows import active_window, sessionize, time_bucket
-from fxspark.session import load_table
+from fxspark.session import load_table, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -544,7 +544,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite quality score — all JVM-side expressions (ops/text.py)."""
     from fxspark.ops import text as tx
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -568,7 +568,7 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-text fingerprint (ops/dedup.exact_dedup)."""
     from fxspark.ops.dedup import exact_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return exact_dedup(docs, "text", "doc_id")
 
 
@@ -585,7 +585,7 @@ def q_doc_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) — the wordcount pattern that underlies BPE-style token stats."""
     from fxspark.ops.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -626,7 +626,7 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ops/dedup.jaccard_pairs) is its small-N twin and test oracle."""
     from fxspark.ops.dedup import jaccard_pairs_prefix
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
@@ -636,7 +636,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB-scale path for doc_jaccard_pairs (tests assert both agree)."""
     from fxspark.ops.dedup import minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=64, bands=16,
                              threshold=0.8)
 
@@ -669,7 +669,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL fold (sequential double-precision accumulation in both engines)."""
     from fxspark.ops.similarity import cosine_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return cosine_topk(emb, q, k=20)
 
@@ -695,7 +695,7 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, window rank per query)."""
     from fxspark.ops.similarity import knn_join
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
@@ -731,7 +731,7 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break chain as nested CASEs — same declared semantics, zero hashing."""
     from fxspark.ops.text import lang_id
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
     )
@@ -755,7 +755,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically — unlike md5 this is incremental/rolling-window capable."""
     from fxspark.ops.text import rolling_fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
 
 
@@ -768,7 +768,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming tracks token-set similarity."""
     from fxspark.ops.dedup import simhash_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=6)
 
 
@@ -940,7 +940,7 @@ _PNG_HEADER = (
 def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fxspark.multimodal import to_media_frame
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     payload = F.when(
         F.col("doc_id") % 2 == 0,
         F.concat(F.lit(_PNG_HEADER), F.encode("text", "UTF-8")),
@@ -1020,7 +1020,7 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable."""
     from fxspark.ops.similarity import rp_lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return rp_lsh_topk(emb, q, _lsh_planes(), k=10)
 
@@ -1042,5 +1042,5 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the zip_with form, ~20× faster)."""
     from fxspark.ops.similarity import cosine_pairs_blocked
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return cosine_pairs_blocked(emb, 0.45)

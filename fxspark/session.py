@@ -99,3 +99,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load the full star schema as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a SMALL input whose downstream per-row work is
+    CPU-heavy (shingling, hashing, pandas decode), so the map phase uses every
+    core instead of inheriting the scan's parallelism.
+
+    Why it exists: scan parallelism is bounded by parquet row groups — a
+    single-row-group file (the fixtures here) is ONE task no matter how many
+    cores, and 2.5M generated shingles were measured serializing on one core
+    (4.3 s of a 5.7 s query). The few-MB shuffle buys 32× map parallelism.
+    At 100 TB inputs arrive as many splits and the same call becomes a cheap
+    rebalance; for scan-bound queries (plain aggregates over wide facts)
+    don't use it — the shuffle would cost more than it saves.
+    """
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
