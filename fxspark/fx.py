@@ -85,3 +85,55 @@ def rate_change_report(
 def rate_change_pct(cur: F.Column, prev: F.Column) -> F.Column:
     """Raw numeric percentage change (unformatted variant)."""
     return pct_change(cur, prev)
+
+
+# The reference query as Spark SQL text (Q1 CTE chaining, `Fx_1min.py:147-217`)
+# — for users who bring SQL, not DataFrames. The `@utc_5pm_yesterday` session
+# variable (S-VAR, `Fx_1min.py:144-145`) becomes a named bind parameter
+# (:cutoff), fixing the reference's injection-prone f-string interpolation.
+# Catalyst plans the scalar subquery + window exactly like the DataFrame form.
+RATE_CHANGE_SQL = """
+WITH ActiveRates AS (
+  SELECT ccy_couple, rate, event_time, timestamp
+  FROM {rates}
+  WHERE timestamp >= (SELECT MAX(timestamp) FROM {rates}) - INTERVAL 30 SECONDS
+),
+CurrentRates AS (
+  SELECT ccy_couple, rate AS current_rate
+  FROM (SELECT ccy_couple, rate,
+               ROW_NUMBER() OVER (PARTITION BY ccy_couple
+                                  ORDER BY event_time DESC, timestamp DESC) AS rn
+        FROM ActiveRates) ranked
+  WHERE rn = 1
+),
+PreviousRates AS (
+  SELECT ccy_couple, rate AS previous_rate
+  FROM (SELECT ccy_couple, rate,
+               ROW_NUMBER() OVER (PARTITION BY ccy_couple
+                                  ORDER BY event_time DESC) AS rn
+        FROM {rates} WHERE date <= CAST(:cutoff AS TIMESTAMP)) ranked
+  WHERE rn = 2
+)
+SELECT c.ccy_couple, c.current_rate, p.previous_rate,
+       CASE WHEN p.previous_rate IS NULL THEN 'No Previous Rate'
+            ELSE CONCAT(format_string('%.2f',
+                   ROUND(try_divide(CAST(c.current_rate AS DOUBLE)
+                                    - CAST(p.previous_rate AS DOUBLE),
+                                    CAST(p.previous_rate AS DOUBLE)) * 100, 2)), '%')
+       END AS percentage_change
+FROM CurrentRates c INNER JOIN PreviousRates p USING (ccy_couple)
+"""
+
+
+def rate_change_report_sql(
+    rates: DataFrame, now: dt.datetime | None = None
+) -> DataFrame:
+    """``rate_change_report`` as executable SQL text — result-identical to
+    the DataFrame composition (tests assert it); same physical plan family
+    after Catalyst decorrelates the scalar subquery."""
+    spark = rates.sparkSession
+    return spark.sql(
+        RATE_CHANGE_SQL,
+        args={"cutoff": ny_cutoff(now).strftime("%Y-%m-%d %H:%M:%S")},
+        rates=rates,
+    )

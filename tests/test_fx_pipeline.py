@@ -136,3 +136,16 @@ def test_report_matches_reference_correlated_sql(spark, fixture_dir, tmp_path):
 
     res = compare(spark_out, oracle)
     assert res["ok"], diff_report("fx_rate_change_report", res)
+
+
+def test_report_sql_twin_matches_dataframe(spark, fixture_dir, tmp_path):
+    """The Spark-SQL text form (CTE chain + :cutoff bind parameter) must be
+    row-identical to the DataFrame composition on the same store."""
+    store = str(tmp_path / "exchange_rates")
+    tick(spark, store, rates_dir=str(fixture_dir), now=NOW, report=False)
+    rates = spark.read.parquet(store)
+
+    df_form = fx.rate_change_report(rates, now=NOW).toPandas()
+    sql_form = fx.rate_change_report_sql(rates, now=NOW).toPandas()
+    res = compare(df_form, sql_form)
+    assert res["ok"], diff_report("fx_rate_change_sql_twin", res)
