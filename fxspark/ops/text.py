@@ -34,6 +34,19 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern (public), restricted to the regex subset
+# Java and DuckDB interpret identically: contractions, letter runs, digit
+# runs, punctuation runs — each optionally space-prefixed.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-style token count under the BPE-ish pre-tokenizer regex —
+    the LLM-pipeline "how many tokens is this document" estimator (vs the
+    whitespace ``token_count``)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0))
+
+
 def punct_count(col: Column) -> Column:
     """Count of non-alphanumeric, non-space characters."""
     return F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))

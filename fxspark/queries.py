@@ -528,6 +528,9 @@ _STOP_SQL = "['the','a','an','and','or','of','to','in','is','it']"
     )
     SELECT doc_id,
            len(toks) AS n_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+             AS n_bpe_tokens,
            length(text) AS n_chars,
            length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
            len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS stop_hits,
@@ -549,6 +552,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         tx.token_count(c).alias("n_tokens"),
+        tx.bpe_token_count(c).alias("n_bpe_tokens"),
         F.length(c).alias("n_chars"),
         tx.punct_count(c).alias("n_punct"),
         tx.stopword_hits(c).alias("stop_hits"),
