@@ -116,6 +116,31 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize step (STUB for a real scaler): rewrites the PNG header's
+    dimension bytes (real byte surgery — the part a codec-backed resize
+    would also do) and leaves non-PNG payloads untouched; pixel resampling
+    itself needs Pillow and is exactly one line to swap in. Same
+    mapInPandas batch contract as ``decode_image_meta``."""
+    import pandas as pd
+
+    dims = struct.pack(">II", width, height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else None
+                if b and b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+                    b = b[:16] + dims + b[24:]
+                out.append(b)
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def decode_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame sampling — requires a codec; explicitly not available here."""
     raise NotImplementedError(

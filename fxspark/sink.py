@@ -73,6 +73,29 @@ def write_table(df: DataFrame, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist as a BUCKETED catalog table: rows are hash-partitioned into
+    ``n_buckets`` files by ``bucket_cols`` at write time, so any later
+    equi-join or aggregation on those columns reads co-located data and
+    plans WITHOUT a shuffle (the Exchange disappears — tests assert it).
+
+    This is the 100 TB answer to the reference's repeated per-run analysis
+    over the same keyed store: pay the partitioning once at ingest, never
+    per query. Choose ``n_buckets`` ≈ cluster cores at the target scale;
+    both sides of a co-located join must agree on it.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame | None:
     """Read the persisted table; None if it doesn't exist yet (first tick)."""
     if not os.path.exists(path):

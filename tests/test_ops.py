@@ -315,3 +315,28 @@ def test_jaccard_prefix_matches_plain(spark, sf_dir):
         for r in jaccard_pairs_prefix(docs, "doc_id", "text", 3, 0.6).collect()
     }
     assert pref == plain
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: two tables bucketed on the same key/buckets must
+    sort-merge join with NO Exchange in the plan (the bucketing replaces the
+    per-query shuffle) — and produce the same rows as the plain join."""
+    from fxspark.sink import write_bucketed
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = events.select("event_id", "user_id", "value")
+    b = events.groupBy("user_id").count()
+    write_bucketed(a, "bt_events", ["user_id"], 8)
+    write_bucketed(b, "bt_users", ["user_id"], 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta, tb = spark.table("bt_events"), spark.table("bt_users")
+        joined = ta.join(tb, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        expect = a.join(b, "user_id").count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS bt_events")
+        spark.sql("DROP TABLE IF EXISTS bt_users")

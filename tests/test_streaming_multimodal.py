@@ -155,3 +155,26 @@ def test_stateful_pair_stats_across_batches(spark, tmp_path):
     assert out["n_total"] == 4
     assert out["ewma"] == pytest.approx(3.125)
     assert out["last_rate"] == 4.0
+
+
+def test_resize_image_rewrites_png_dims(spark):
+    """resize_image must rewrite PNG header dims (decode sees the new size)
+    and pass non-PNG payloads through unchanged."""
+    import struct as _struct
+
+    from fxspark.multimodal import decode_image_meta, resize_image, to_media_frame
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + _struct.pack(">II", 640, 480) + b"body")
+    raw = b"not an image"
+    df = spark.createDataFrame(
+        [Row(i=1, p=bytearray(png)), Row(i=2, p=bytearray(raw))]
+    )
+    media = to_media_frame(df, "i", "p", "image")
+    resized = resize_image(media, 64, 48)
+    meta = {r["media_id"]: r for r in decode_image_meta(resized).collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (64, 48)
+    assert meta[2]["format"] == "unknown"
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in resized.collect()}
+    assert payloads[2] == raw            # non-PNG untouched
+    assert payloads[1][24:] == b"body"   # body untouched, header rewritten
