@@ -55,6 +55,47 @@ def nth_before_cutoff(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    tolerance_s: int,
+    keys: Sequence[str] | str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval range join: all (left, right) pairs with
+    ``|left.left_on − right.right_on| <= tolerance_s`` seconds (optionally
+    also equal on ``keys``).
+
+    A naive theta-join is a cross product; instead both sides are bucketed
+    into ``tolerance_s``-wide time bins and each left row equi-joins its own
+    and the two adjacent bins (any in-tolerance pair is at most one bin
+    apart), then the exact predicate filters. Shuffle cost is ~3× the data
+    on the bin key — linear, never quadratic; this is the standard
+    distributed range-join rewrite (Spark's own storage-partitioned range
+    join does the same under the hood).
+    """
+    keys = [] if keys is None else [keys] if isinstance(keys, str) else list(keys)
+    lbin = (F.unix_micros(F.col(left_on)) / F.lit(tolerance_s * 1_000_000)).cast("long")
+    rbin = (F.unix_micros(F.col(right_on)) / F.lit(tolerance_s * 1_000_000)).cast("long")
+
+    l = left.select(
+        "*", F.explode(F.array(lbin - 1, lbin, lbin + 1)).alias("_bin")
+    )
+    rename = {c: f"{c}{suffix}" for c in right.columns if c in left.columns and c not in keys}
+    r = right.select(
+        *[F.col(c).alias(rename.get(c, c)) for c in right.columns],
+        rbin.alias("_bin"),
+    )
+    r_on = rename.get(right_on, right_on)
+    joined = l.join(r, on=keys + ["_bin"]).filter(
+        F.abs(F.unix_micros(F.col(left_on)) - F.unix_micros(F.col(r_on)))
+        <= tolerance_s * 1_000_000
+    )
+    return joined.drop("_bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -836,6 +836,75 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_click_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800 * 1000000
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_purchase_click_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join (ops/asof.range_join): every (purchase, click)
+    pair by the same user within ±30 minutes. The oracle brute-forces the
+    theta-join; the engine buckets time into tolerance-wide bins and
+    equi-joins adjacent bins — linear shuffle, no cross product."""
+    from fxspark.ops.asof import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withColumnRenamed("c_user_id", "user_id")
+    return range_join(
+        p, c, "purchase_ts", "click_ts", tolerance_s=1800, keys="user_id"
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
+@query(
+    "rolling_value_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(38,6)))
+                OVER w AS DOUBLE) AS sum_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling event-time window (RANGE frame): per user, the trailing-1-hour
+    value sum/count at every event — the time-series smoothing shape the FX
+    domain implies. Spark range frames need a numeric order key, so ts is
+    ordered as epoch MICROseconds (a seconds cast would truncate sub-second
+    events into the wrong frame); sums go through decimal (frame content is
+    order-stable, frame SUM order is not)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@query(
     "promo_revenue_share",
     oracle="""
     SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'

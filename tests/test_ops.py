@@ -340,3 +340,27 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS bt_events")
         spark.sql("DROP TABLE IF EXISTS bt_users")
+
+
+def test_range_join_matches_naive(spark):
+    """Binned range join must equal the naive theta-join exactly, including
+    pairs that straddle bin boundaries."""
+    from fxspark.ops.asof import range_join
+
+    l = spark.createDataFrame(
+        [Row(k="a", lt=ts(f"2024-01-01 00:{m:02d}:00"), lid=m) for m in (0, 10, 59)]
+    )
+    r = spark.createDataFrame(
+        [Row(k="a", rt=ts(f"2024-01-01 00:{m:02d}:30"), rid=m) for m in (4, 9, 30)]
+        + [Row(k="b", rt=ts("2024-01-01 00:00:00"), rid=99)]  # other key
+    )
+    got = {
+        (x["lid"], x["rid"])
+        for x in range_join(l, r, "lt", "rt", tolerance_s=300, keys="k").collect()
+    }
+    naive = set()
+    for lr in l.collect():
+        for rr in r.collect():
+            if lr["k"] == rr["k"] and abs((lr["lt"] - rr["rt"]).total_seconds()) <= 300:
+                naive.add((lr["lid"], rr["rid"]))
+    assert got == naive and len(got) > 0
