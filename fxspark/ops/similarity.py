@@ -202,6 +202,67 @@ def cosine_pairs_blocked(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means over the embeddings; returns the frame
+    with a ``_cell`` column (nearest-centroid id) plus the centroid list.
+
+    MLlib's distributed k-means builds the codebook; assignment is then a
+    plain map. At 100 TB the codebook is trained on a sample and broadcast —
+    training cost is independent of corpus size.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("_fv", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell").fit(feat)
+    assigned = model.transform(feat).drop("_fv")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN top-k: score only corpus vectors in the ``n_probe`` cells
+    whose centroids are closest to the query (by cosine). The second ANN
+    tier next to ``rp_lsh_topk``: data-adaptive cells (k-means) vs
+    data-oblivious hyperplanes — better recall on clustered corpora, at the
+    cost of training the codebook.
+
+    ``query`` is a single-row frame with column ``qv``.
+    """
+    assigned, centroids = ivf_assign(corpus, n_cells, vec_col, seed)
+    qv = query.select("qv")
+    cent = qv.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "_cell int, _cv array<double>"
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("_cell", cosine(F.col("_cv"), F.col("qv")).alias("_sim"))
+        .orderBy(F.col("_sim").desc())
+        .limit(n_probe)
+        .select("_cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "_cell")
+        .crossJoin(F.broadcast(qv))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("qv")).alias("cos"))
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],

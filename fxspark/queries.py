@@ -1098,6 +1098,19 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(emb, q, _lsh_planes(), k=10)
 
 
+@query("embedding_ivf_topk")  # rows-only: k-means codebook has no SQL twin
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for the vec_id=0 query: k-means coarse quantizer,
+    probe the 4 nearest of 16 cells (ops/similarity.ivf_topk) — the
+    data-adaptive ANN tier next to the hyperplane-LSH one; tests pin it to
+    exact brute force when every cell is probed."""
+    from fxspark.ops.similarity import ivf_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivf_topk(emb, q, n_cells=16, n_probe=4, k=10)
+
+
 @query(
     "embedding_near_dup",
     oracle=f"""

@@ -364,3 +364,18 @@ def test_range_join_matches_naive(spark):
             if lr["k"] == rr["k"] and abs((lr["lt"] - rr["rt"]).total_seconds()) <= 300:
                 naive.add((lr["lid"], rr["rid"]))
     assert got == naive and len(got) > 0
+
+
+def test_ivf_topk_equals_exact_within_probed_cells(spark, sf_dir):
+    """IVF invariant (scale-independent): the IVF result must equal
+    brute-force top-k restricted to the probed cells, and the query vector
+    itself must surface when its own cell is probed."""
+    from fxspark.ops.similarity import cosine_topk, ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    approx = [(r["vec_id"], r["cos"]) for r in
+              ivf_topk(emb, q, n_cells=8, n_probe=8, k=10).collect()]
+    # n_probe == n_cells → every cell probed → must equal exact brute force
+    exact = [(r["vec_id"], r["cos"]) for r in cosine_topk(emb, q, k=10).collect()]
+    assert approx == exact
