@@ -73,6 +73,17 @@ def write_table(df: DataFrame, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Persist hive-partitioned parquet (one directory per partition value).
+    Time-partitioning the event store is what turns the reference's
+    every-run full scans (global MAX, cutoff filters — ``Fx_1min.py:156,186``)
+    into partition-pruned reads: a filter on the partition column skips
+    whole directories at planning time (tests assert the pruning)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

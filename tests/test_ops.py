@@ -379,3 +379,28 @@ def test_ivf_topk_equals_exact_within_probed_cells(spark, sf_dir):
     # n_probe == n_cells → every cell probed → must equal exact brute force
     exact = [(r["vec_id"], r["cos"]) for r in cosine_topk(emb, q, k=10).collect()]
     assert approx == exact
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune at planning time: the
+    pruned scan reads strictly fewer files than the full store and the plan
+    carries the partition filter."""
+    from fxspark.session import load_table
+    from fxspark.sink import write_partitioned
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    store = str(tmp_path / "events_by_date")
+    write_partitioned(events, store, ["event_date"])
+
+    full = spark.read.parquet(store)
+    pruned = full.filter(F.col("event_date") == "2024-01-05")
+    n_full = len(full.inputFiles())
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    n_read = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < n_read < n_full
+    # pruned result still correct
+    expect = events.filter(F.to_date("ts") == "2024-01-05").count()
+    assert pruned.count() == expect
