@@ -52,6 +52,35 @@ EXTENSION = [
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))
 EXT_REPS = int(os.environ.get("FXSPARK_BENCH_EXT_REPS", "1"))
 
+FX_ROWS = int(os.environ.get("FXSPARK_BENCH_FX_ROWS", "1000000"))
+
+
+def synth_exchange_rates(spark, n_rows: int):
+    """Deterministic exchange_rates-shaped table (FIXTURES.md A1) generated
+    column-side from spark.range — no driver data, any size. 110 pairs,
+    ~daily event dates, ingestion times spread over the final hour so the
+    30-second active window selects a real subset."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_rows)
+    n_days = max(n_rows // 110, 1)
+    return base.select(
+        F.concat(
+            F.lit("P"), (F.col("id") % 110).cast("string"), F.lit("/USD")
+        ).alias("ccy_couple"),
+        (F.lit(1704067200000) + (F.col("id") / 110).cast("long")
+         * F.lit(86_400_000)).alias("event_time"),
+        F.timestamp_millis(
+            F.lit(1704067200000) + (F.col("id") / 110).cast("long") * F.lit(86_400_000)
+        ).alias("date"),
+        (F.lit(1.0) + F.pmod(F.col("id") * F.lit(2654435761), F.lit(1000)) / 1000.0)
+        .cast("decimal(10,6)").alias("rate"),
+        F.timestamp_millis(
+            F.lit(1704067200000 + n_days * 86_400_000)
+            - F.pmod(F.col("id") * F.lit(40503), F.lit(3600)) * F.lit(1000)
+        ).alias("timestamp"),
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,6 +123,26 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         ext_timings[name] = round(statistics.median(runs), 4)
         print(f"# ext {name}: {ext_timings[name]:.3f}s", file=sys.stderr)
+
+    # FX flagship at >=1e6 synthetic rows (BASELINE.md's FX-specific bench):
+    # the reference's whole analytics query, 10x the largest fixture.
+    import datetime as dt
+
+    from fxspark.fx import rate_change_report
+
+    rates = synth_exchange_rates(spark, FX_ROWS)
+    fx_now = dt.datetime(2024, 1, 2, 12, 0, 0)  # any date: cutoff is relative
+    def fx_run():
+        rate_change_report(
+            rates, now=fx_now, active_horizon="INTERVAL 30 SECONDS"
+        ).write.format("noop").mode("overwrite").save()
+    fx_run()
+    runs = []
+    for _ in range(EXT_REPS):
+        t0 = time.perf_counter(); fx_run()
+        runs.append(time.perf_counter() - t0)
+    ext_timings[f"fx_rate_change_{FX_ROWS // 1000}k"] = round(statistics.median(runs), 4)
+    print(f"# ext fx_rate_change_{FX_ROWS // 1000}k: {runs[-1]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
