@@ -808,6 +808,41 @@ def q_order_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "priority_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4)))
+                FILTER (o_orderstatus = 'F') AS DOUBLE) AS rev_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide reshape): order counts by priority × status as
+    columns. Spark's ``pivot`` with an EXPLICIT value list stays a single
+    hash aggregation (no extra pass to discover values — always pin the
+    list at scale); the oracle states the same thing as FILTERed aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("o_totalprice")).alias("rev"),
+        )
+        .select(
+            "o_orderpriority",
+            F.coalesce("F_n", F.lit(0)).alias("n_f"),
+            F.coalesce("O_n", F.lit(0)).alias("n_o"),
+            F.coalesce("P_n", F.lit(0)).alias("n_p"),
+            F.col("F_rev").alias("rev_f"),
+        )
+    )
+
+
+@query(
     "sales_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

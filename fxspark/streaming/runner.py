@@ -19,6 +19,8 @@ state), so executor loss costs only a micro-batch retry.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -65,6 +67,24 @@ def run_upsert_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("ccy_couple", "date"),
+    ts_col: str = "timestamp",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact dedup on the natural key with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes it, so state size tracks the key arrival rate × the
+    lateness bound instead of growing forever — the streaming twin of the
+    batch ``exact_dedup``/upsert family (first arrival wins, like the
+    reference's v1 duplicate-swallow, ``update_exchange_rates.py:101-102``).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
 
 
 def windowed_rate_stats(

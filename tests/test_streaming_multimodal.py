@@ -178,3 +178,37 @@ def test_resize_image_rewrites_png_dims(spark):
     payloads = {r["media_id"]: bytes(r["payload"]) for r in resized.collect()}
     assert payloads[2] == raw            # non-PNG untouched
     assert payloads[1][24:] == b"body"   # body untouched, header rewritten
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming dedup: duplicate natural keys arriving within the watermark
+    must be dropped (first arrival wins), distinct keys all pass."""
+    from fxspark.streaming.runner import dedup_stream
+
+    drops = tmp_path / "ddrops"
+    drops.mkdir()
+    rows = [
+        {"ccy_couple": "EUR/USD", "date": "2025-01-16", "rate": 1.01,
+         "timestamp": "2025-01-17 09:00:00"},
+        {"ccy_couple": "EUR/USD", "date": "2025-01-16", "rate": 1.02,   # dup key
+         "timestamp": "2025-01-17 09:00:05"},
+        {"ccy_couple": "GBP/USD", "date": "2025-01-16", "rate": 1.25,
+         "timestamp": "2025-01-17 09:00:10"},
+    ]
+    with open(drops / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "ccy_couple string, date string, rate double, timestamp timestamp"
+    stream = spark.readStream.schema(schema).json(str(drops))
+    q = (
+        dedup_stream(stream, keys=["ccy_couple", "date"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT ccy_couple, rate FROM dedup_stream_out").collect()
+    got = {(r["ccy_couple"], r["rate"]) for r in out}
+    assert got == {("EUR/USD", 1.01), ("GBP/USD", 1.25)}  # first arrival won
