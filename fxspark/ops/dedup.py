@@ -366,3 +366,50 @@ def simhash64(col: Column, n: int = 1) -> Column:
     for c in bit_cols[1:]:
         out = out.bitwiseOR(c)
     return out
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id, cluster_id)
+    where cluster_id is the smallest doc id reachable through pairs — the
+    step that turns pairwise matches into keep-one-per-cluster dedup.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels (one join + one groupBy per
+    round); converges in O(diameter) rounds, checked via a driver-side
+    changed-count — the standard large-graph CC under hash partitioning
+    (GraphX/GraphFrames do the same shape). ``localCheckpoint`` truncates
+    the growing lineage each round.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

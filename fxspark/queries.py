@@ -634,6 +634,45 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+@query(
+    "doc_dup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t)-1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact jaccard≥0.8
+    pair graph (ops/dedup.dup_clusters — iterative min-label propagation;
+    the DuckDB oracle walks the same graph with a recursive CTE). This is
+    the step real dedup pipelines need after pair generation: keep
+    min-id per cluster, drop the rest."""
+    from fxspark.ops.dedup import dup_clusters, jaccard_pairs_prefix
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
+    return dup_clusters(pairs)
+
+
 @query("minhash_lsh_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard-verified — the

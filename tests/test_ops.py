@@ -404,3 +404,15 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # pruned result still correct
     expect = events.filter(F.to_date("ts") == "2024-01-05").count()
     assert pruned.count() == expect
+
+
+def test_dup_clusters_chain_and_islands(spark):
+    """CC over pairs: a chain {1-2, 2-3} and an island {7-9} must collapse
+    to min-id clusters, regardless of pair orientation."""
+    from fxspark.ops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=2, id_b=3), Row(id_a=1, id_b=2), Row(id_a=9, id_b=7)]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
