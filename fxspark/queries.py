@@ -635,6 +635,38 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_sample_10pct",
+    oracle="""
+    SELECT doc_id, lang,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(lower(trim(text))[i]) AS BIGINT)
+                for i in range(1, len(lower(trim(text))) + 1)]),
+             (acc, c) -> (acc * 131 + c) % 1000000007) % 100 AS bucket
+    FROM documents
+    WHERE list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(lower(trim(text))[i]) AS BIGINT)
+                for i in range(1, len(lower(trim(text))) + 1)]),
+             (acc, c) -> (acc * 131 + c) % 1000000007) % 100 < 10
+    """,
+)
+def q_doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling: keep docs whose rolling
+    fingerprint lands in buckets 0-9 (~10%). Unlike ``df.sample`` this is
+    reproducible across runs/partitionings AND stable under re-ingestion
+    (same text ⇒ same bucket) — the sampling discipline a training-data
+    pipeline needs for held-out splits."""
+    from fxspark.ops.text import rolling_fingerprint
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = rolling_fingerprint(F.col("text")) % 100
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < 10
+    )
+
+
+@query(
     "doc_dup_clusters",
     oracle="""
     WITH RECURSIVE toks AS (
