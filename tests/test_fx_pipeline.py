@@ -149,3 +149,51 @@ def test_report_sql_twin_matches_dataframe(spark, fixture_dir, tmp_path):
     sql_form = fx.rate_change_report_sql(rates, now=NOW).toPandas()
     res = compare(df_form, sql_form)
     assert res["ok"], diff_report("fx_rate_change_sql_twin", res)
+
+
+def test_http_rates_local_server(spark):
+    """S2-S3 live-HTTP source against a localhost server: good pairs get the
+    JSON payload, a 404 pair degrades to NULL payload (per-row error
+    isolation, Fx_1min.py:86-90) without failing the task."""
+    import http.server
+    import threading
+
+    from pyspark.sql import Row
+
+    from fxspark.sources import http_rates
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if "EUR" in self.path:
+                body = json.dumps(
+                    {"Time Series FX (Daily)": {"2025-01-16": {"4. close": "1.03"}}}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        pairs = spark.createDataFrame(
+            [Row(base_currency="EUR", target_currency="USD"),
+             Row(base_currency="XXX", target_currency="YYY")]
+        )
+        out = {
+            r["base_currency"]: r["payload"]
+            for r in http_rates(
+                pairs, f"http://127.0.0.1:{port}/fx?from={{base}}&to={{target}}"
+            ).collect()
+        }
+        assert out["XXX"] is None
+        assert "Time Series FX (Daily)" in out["EUR"]
+    finally:
+        srv.shutdown()
