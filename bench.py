@@ -47,6 +47,12 @@ EXTENSION = [
     "media_meta",
     "order_value_percentiles",
     "sales_rollup",
+    "doc_dup_clusters",
+    "doc_sample_10pct",
+    "priority_status_pivot",
+    "purchase_click_range_join",
+    "rolling_value_avg",
+    "embedding_ivf_topk",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -381,9 +381,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the growing lineage each round.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # materialize ONCE: every propagation round re-reads the edge list,
+        # and without this the whole upstream pair pipeline re-executes per
+        # round (measured 3x the query cost at sf0.1)
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

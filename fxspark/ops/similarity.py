@@ -219,7 +219,12 @@ def ivf_assign(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feat = df.withColumn("_fv", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell").fit(feat)
+    # Few iterations on purpose: the codebook only routes probes — cell
+    # QUALITY barely moves recall past ~8 iterations, while each iteration
+    # is a full pass over the training set.
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=8, featuresCol="_fv", predictionCol="_cell"
+    ).fit(feat)
     assigned = model.transform(feat).drop("_fv")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids
