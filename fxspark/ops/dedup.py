@@ -131,7 +131,10 @@ def jaccard_pairs_prefix(
     indexing every shingle (the plain inverted index) melts on stop-shingles.
     Candidates are then verified exactly with ``array_intersect``.
     """
-    sets_ = _shingle_sets(df, id_col, text_col, n)
+    # The shingle explode is the CPU-heavy step and this plan references it
+    # four times (df-frequency, prefix index, both verify sides) — materialize
+    # it once instead of recomputing the split per reference.
+    sets_ = _shingle_sets(df, id_col, text_col, n).localCheckpoint()
     inv = sets_.select("_id", "_sz", F.explode("_sh").alias("_s"))
     freq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("_id").orderBy("_df", "_s")
@@ -187,10 +190,12 @@ def minhash_signature(
 
     k aggregate columns over one explode — a single shuffle on ``id_col``.
     """
-    inv = (
-        _shingle_sets(df, id_col, text_col, n)
-        .select("_id", F.explode("_sh").alias("_s"))
-        .select("_id", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE_31)).alias("_x"))
+    return _signature_from_sets(_shingle_sets(df, id_col, text_col, n), k)
+
+
+def _signature_from_sets(sets_: DataFrame, k: int) -> DataFrame:
+    inv = sets_.select("_id", F.explode("_sh").alias("_s")).select(
+        "_id", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE_31)).alias("_x")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_x") + F.lit(b), F.lit(_MERSENNE_31))).alias(f"h{i}")
@@ -220,7 +225,13 @@ def minhash_lsh_pairs(
     sharing a band bucket: this is the all-pairs-free 100 TB path.
     """
     r = k // bands
-    sig = minhash_signature(df, id_col, text_col, n, k)
+    # The shingle sets feed the signature AND both exact-verify sides; the
+    # signature feeds both sides of the band self-join — materialize each
+    # once rather than re-running the explode/agg per plan reference.
+    sets_ = _shingle_sets(df, id_col, text_col, n)
+    if verify:
+        sets_ = sets_.localCheckpoint()
+    sig = _signature_from_sets(sets_, k).localCheckpoint()
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -243,7 +254,6 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sets_ = _shingle_sets(df, id_col, text_col, n)
     sa = sets_.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     sb = sets_.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     joined = cand.join(sa, "id_a").join(sb, "id_b")
@@ -274,7 +284,9 @@ def simhash_pairs(
     """
     if max_hamming > 7:
         raise ValueError("pigeonhole bands guarantee completeness only for max_hamming <= 7")
-    sh = simhash_codes(df, id_col, text_col, n)
+    # Both sides of the band self-join read the codes — materialize the
+    # explode + 64-vote aggregation once (one long per doc of state).
+    sh = simhash_codes(df, id_col, text_col, n).localCheckpoint()
     banded = sh.select(
         "_id",
         "_code",
@@ -381,10 +393,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the growing lineage each round.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Self-loops fold each node's OWN label into the same neighbor-min
+    # aggregation — one join + one agg per round instead of a neighbor-min
+    # join plus a second self-join to merge it back.
     edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        edges.union(edges.select("src", F.col("src").alias("dst")))
         .distinct()
         # materialize ONCE: every propagation round re-reads the edge list,
         # and without this the whole upstream pair pipeline re-executes per
@@ -397,26 +413,19 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     for _ in range(max_iter):
-        neighbor_min = (
+        # The self-loop row carries the node's previous label out of the agg
+        # (as _old), so convergence is a shuffle-free scan of the checkpointed
+        # result — not a join against the previous round.
+        new_labels = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
-            .agg(F.min("label").alias("_nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias("label"),
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("dst") == F.col("src"), F.col("label"))).alias("_old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select(F.col("src").alias("node"), "label")
+        if new_labels.filter(F.col("label") != F.col("_old")).isEmpty():
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
