@@ -53,6 +53,7 @@ EXTENSION = [
     "purchase_click_range_join",
     "rolling_value_avg",
     "embedding_ivf_topk",
+    "segment_priority_cube",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

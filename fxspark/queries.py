@@ -942,6 +942,38 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_priority_cube",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           CAST(grouping(c_mktsegment) + 2 * grouping(o_orderpriority) AS BIGINT)
+             AS grp_id
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE(c_mktsegment, o_orderpriority)
+    """,
+)
+def q_segment_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 2^n grouping sets in one pass — completes the grouping-sets
+    family next to ROLLUP/PIVOT): revenue by segment × priority, each margin,
+    and the grand total. The segment column rides in on a broadcast dim join
+    before the single cube aggregation; grp_id pinned explicitly on both
+    sides (engines disagree on grouping_id() bit order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    return joined.cube("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice")).alias("revenue"),
+        (F.grouping("c_mktsegment") + F.grouping("o_orderpriority") * 2)
+        .cast("long")
+        .alias("grp_id"),
+    )
+
+
+@query(
     "purchase_click_range_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
