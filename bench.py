@@ -54,6 +54,14 @@ EXTENSION = [
     "rolling_value_avg",
     "embedding_ivf_topk",
     "segment_priority_cube",
+    "customer_order_distribution",
+    "part_small_qty_revenue",
+    "big_volume_orders",
+    "rich_idle_customers",
+    "nation_market_share",
+    "min_cost_supplier",
+    "customer_spend_quartiles",
+    "first_last_order_delta",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -1268,3 +1268,393 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return cosine_pairs_blocked(emb, 0.45)
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth, round 2 — decorrelated TPC-H Q2/Q8/Q13/Q17/Q18/Q22
+# shapes plus distribution windows (ntile / percent_rank / cume_dist /
+# first_value / last_value). All aggregated doubles go through exact_sum.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_orders AS order_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_orders
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_orders
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: conditional LEFT join + per-customer count + histogram
+    of the counts. Two shuffles total (join on custkey reuses the first agg's
+    partitioning; the histogram agg is over ≤26 distinct keys, map-side
+    combined down to almost nothing). Generalizes the reference's grouped
+    counting (SURVEY.md §2.5) to outer-join semantics where zero-order
+    customers still appear (order_count = 0 bucket)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "part_small_qty_revenue",
+    oracle="""
+    WITH li_b AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#23'
+    ),
+    st AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+             count(*) AS cq
+      FROM li_b GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM li_b l JOIN st ON l.l_partkey = st.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * st.cq < st.sq
+    """,
+)
+def q_part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of lineitems whose quantity is below 20% of
+    the per-part average (the reference's correlated-AVG pattern, decorrelated
+    into groupBy + broadcast join back — Catalyst would do the same rewrite
+    for the subquery form). The 0.2·avg comparison is done in exact decimal
+    arithmetic (qty·5·count < sum) so the boundary predicate is bit-identical
+    in both engines. Scale: the brand filter prunes part first (broadcast),
+    so lineitem is scanned once and shuffles only the pruned ~5% of rows."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(18,4)")
+    st = li_b.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.sum(qty_dec).alias("sq"), F.count(F.lit(1)).alias("cq")
+    )
+    small = li_b.join(F.broadcast(st), F.col("l_partkey") == F.col("sk")).filter(
+        qty_dec * 5 * F.col("cq") < F.col("sq")
+    )
+    return small.agg(
+        (exact_sum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
+    )
+
+
+@query(
+    "big_volume_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(t.sq AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,4))) AS sq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(38,4))) > 300
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_big_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds 300
+    (HAVING over a grouped sum), joined back to orders + customer. The
+    aggregate runs FIRST and the >300 filter cuts it to a sliver, so the
+    subsequent joins move almost no rows — at 100 TB the only full-size
+    shuffle is the one l_orderkey agg (map-side partials shrink it ~4×);
+    AQE turns both join sides broadcast once the sliver is known."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("sq"))
+        .filter(F.col("sq") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "rich_idle_customers",
+    oracle="""
+    WITH st AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(38,6))) AS s, count(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    ),
+    rich AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c, st
+      WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * st.n > st.s
+    )
+    SELECT c_nationkey, count(*) AS n_rich,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM rich
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = rich.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global positive-balance average
+    (scalar subquery → single-row broadcast cross join) with no recent
+    orders (anti join), grouped by nation. The above-average predicate is
+    evaluated as acctbal·n > sum in exact decimal so both engines agree at
+    the boundary. Scale: the global agg is one tiny all-to-one partial agg;
+    the anti join shuffles only the rich sliver against recent order keys."""
+    customer = load_table(spark, sf_dir, "customer")
+    bal_dec = F.col("c_acctbal").cast("decimal(38,6)")
+    st = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_dec).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = customer.crossJoin(F.broadcast(st)).filter(
+        F.col("c_acctbal").cast("decimal(18,6)") * F.col("n") > F.col("s")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-07-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    idle = anti_join(rich, recent, "c_custkey")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rich"),
+        exact_sum(F.col("c_acctbal"), 6).alias("total_bal"),
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS total_vol
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7 suppliers' share of revenue delivered to
+    ASIA customers, per order year — conditional aggregation (sum(CASE)/sum)
+    over a 6-way star join. Dims (customer/supplier/nation/region) broadcast;
+    the only big shuffle is lineitem⋈orders on orderkey. The share division
+    happens once per year-group in double — deterministic given the
+    decimal-exact numerator/denominator sums."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "supplier", "nation", "region")}
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    cust_asia = (
+        t["customer"]
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cust_nk"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", vol_dec).otherwise(
+            F.lit(0).cast("decimal(38,6)")
+        )
+    ).cast("double")
+    den = F.sum(vol_dec).cast("double")
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (num / den).alias("mkt_share"), den.alias("total_vol")
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH u AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit
+      FROM lineitem
+    ),
+    m AS (SELECT l_partkey, min(unit) AS min_unit FROM u GROUP BY l_partkey)
+    SELECT DISTINCT u.l_partkey, u.l_suppkey, m.min_unit
+    FROM u JOIN m ON u.l_partkey = m.l_partkey AND u.unit = m.min_unit
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every part, the supplier(s) offering it at the
+    minimum observed unit price — the correlated-MIN subquery, decorrelated
+    into groupBy-min + join back on the min (all ties kept, then DISTINCT).
+    The unit price is the same IEEE double expression in both engines, and
+    min() is order-independent, so the equality join is bit-safe. Scale:
+    both sides partition on l_partkey — one shuffle, reused by the join
+    (no re-exchange; AQE coalesces the tiny grouped side to broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    mins = li.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit").alias("min_unit")
+    )
+    return (
+        li.join(
+            mins,
+            (F.col("l_partkey") == F.col("mk")) & (F.col("unit") == F.col("min_unit")),
+        )
+        .select("l_partkey", "l_suppkey", "min_unit")
+        .distinct()
+    )
+
+
+@query(
+    "customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,4))) AS sp
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, sp,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM spend WINDOW w AS (ORDER BY sp DESC, o_custkey)
+    )
+    SELECT quartile, count(*) AS n_customers,
+           CAST(min(sp) AS DOUBLE) AS min_spend,
+           CAST(max(sp) AS DOUBLE) AS max_spend,
+           min(pr) AS min_pr, max(pr) AS max_pr, max(cd) AS max_cd
+    FROM ranked GROUP BY quartile
+    """,
+)
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile / percent_rank / cume_dist) over
+    per-customer lifetime spend, folded to one row per quartile. The global
+    ORDER BY window is a single-partition sort — fine for a per-key
+    aggregate output (one row per customer), and the quartile summary
+    collapses it immediately. 100 TB path: replace ntile with
+    approx_percentile cutpoints + a range join (no global sort); declared
+    exact here so the differential stays a hash match. percent_rank and
+    cume_dist are rank/count rationals — identical doubles in both engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("sp")
+    )
+    w = Window.orderBy(F.col("sp").desc(), F.col("o_custkey"))
+    ranked = spend.select(
+        "sp",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("sp").cast("double").alias("min_spend"),
+        F.max("sp").cast("double").alias("max_spend"),
+        F.min("pr").alias("min_pr"),
+        F.max("pr").alias("max_pr"),
+        F.max("cd").alias("max_cd"),
+    )
+
+
+@query(
+    "first_last_order_delta",
+    oracle="""
+    SELECT o_custkey, first_price, last_price,
+           last_price - first_price AS delta
+    FROM (
+      SELECT o_custkey,
+             first_value(o_totalprice) OVER w AS first_price,
+             last_value(o_totalprice) OVER w AS last_price,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ) WHERE rn = 1
+    """,
+)
+def q_first_last_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over an unbounded frame: each customer's
+    first and last order price (by orderdate, orderkey tiebreak) and the
+    drift between them. One shuffle on o_custkey serves both window specs
+    (same partitioning + ordering); the rn=1 filter keeps one row per
+    customer. The subtraction is plain IEEE double on identical operands."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate"), F.col("o_orderkey")]
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_totalprice").over(wf).alias("first_price"),
+            F.last("o_totalprice").over(wf).alias("last_price"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "first_price",
+            "last_price",
+            (F.col("last_price") - F.col("first_price")).alias("delta"),
+        )
+    )
