@@ -1111,9 +1111,9 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_set_ops",
     oracle="""
     WITH early AS (SELECT DISTINCT o_custkey FROM orders
-                   WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'),
+                   WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
          late  AS (SELECT DISTINCT o_custkey FROM orders
-                   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
+                   WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
          urgent AS (SELECT DISTINCT o_custkey FROM orders
                     WHERE o_orderpriority = '1-URGENT')
     SELECT o_custkey FROM (
@@ -1130,10 +1130,10 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, no materialized distinct needed."""
     orders = load_table(spark, sf_dir, "orders")
     early = orders.filter(
-        F.col("o_orderdate") < F.lit("1994-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
     ).select("o_custkey")
     late = orders.filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
     ).select("o_custkey")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return early.intersect(late).exceptAll(urgent.distinct()).distinct()
