@@ -62,6 +62,10 @@ EXTENSION = [
     "min_cost_supplier",
     "customer_spend_quartiles",
     "first_last_order_delta",
+    "returned_item_revenue",
+    "supplier_count_by_part",
+    "disjunctive_promo_revenue",
+    "waiting_suppliers",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -1658,3 +1658,189 @@ def q_first_last_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("last_price") - F.col("first_price")).alias("delta"),
         )
     )
+
+
+@query(
+    "returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, nation, revenue
+    FROM (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    6-month window — global ORDER BY + LIMIT on an aggregate (the reference
+    has no top-k; SURVEY.md §2.5). Spark plans the limit as TakeOrderedAndProject
+    (per-partition top-20, then a 20-row merge on the driver — no global
+    sort). Ties are broken by c_custkey so the selected set is deterministic.
+    The date filter pushes into the orders scan; both dims broadcast."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "nation")}
+    orders_f = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li_r = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li_r.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(exact_sum(rev, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "supplier_count_by_part",
+    oracle="""
+    SELECT p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 5, 9, 13) AND p.p_brand <> 'Brand#4'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_type, p.p_size
+    """,
+)
+def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part type/size, with a
+    NOT IN supplier blacklist (negative balance stands in for the complaints
+    filter). NOT IN over a non-nullable key = left-anti broadcast join (the
+    blacklist is tiny by construction). count(DISTINCT) is the first
+    distinct-aggregate in the surface — Spark expands it to a two-phase
+    aggregate (partial distinct per partition, then final), no extra code."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(1, 5, 9, 13) & (F.col("p_brand") != "Brand#4"))
+        .select("p_partkey", "p_type", "p_size")
+    )
+    blacklist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    clean = anti_join(li, blacklist, "l_suppkey")
+    return (
+        clean.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "disjunctive_promo_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    part-side and lineitem-side conditions. Catalyst factors the part-only
+    disjuncts (brand+size) into a pushed-down scan filter on part, leaving
+    the mixed residual as a post-join filter — the classic disjunctive
+    pushdown test. Brand#34 matches no part at any sf (brands stop at 25):
+    a deliberately-empty disjunct proving OR branches don't leak rows."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(exact_sum(rev, 6).alias("revenue"))
+
+
+@query(
+    "waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness adapted to shipdate > orderdate + 60 days —
+    the schema has no commit/receipt dates): suppliers who were the SOLE
+    late supplier on a multi-supplier finalized order. The oracle keeps the
+    correlated EXISTS / NOT EXISTS form; here both correlations decorrelate
+    into one pass — per (order, supplier) lateness flags, then per-order
+    supplier/late-supplier counts, then a filter. Two aggregations over the
+    same lineitem⋈orders scan instead of three self-joins: at 100 TB the
+    saving is two full lineitem shuffles. count(DISTINCT orderkey) per
+    supplier == count of qualifying (order,supplier) pairs by construction."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    is_late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    ls = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_late).alias("late"))
+    )
+    per_order = ls.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    sole_late = (
+        ls.join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
