@@ -1810,11 +1810,12 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the schema has no commit/receipt dates): suppliers who were the SOLE
     late supplier on a multi-supplier finalized order. The oracle keeps the
     correlated EXISTS / NOT EXISTS form; here both correlations decorrelate
-    into one pass — per (order, supplier) lateness flags, then per-order
-    supplier/late-supplier counts, then a filter. Two aggregations over the
-    same lineitem⋈orders scan instead of three self-joins: at 100 TB the
-    saving is two full lineitem shuffles. count(DISTINCT orderkey) per
-    supplier == count of qualifying (order,supplier) pairs by construction."""
+    into per-(order,supplier) lateness flags plus a per-order WINDOW
+    (count + late-count over l_orderkey) — lineitem is scanned and shuffled
+    exactly once, versus three self-joins in the literal form; the window's
+    re-exchange moves only the already-aggregated (order,supplier) rows.
+    count(DISTINCT orderkey) per supplier == count of qualifying
+    (order,supplier) pairs by construction."""
     orders_f = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -1826,16 +1827,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_late = F.when(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
     ).otherwise(0)
+    from pyspark.sql import Window
+
     ls = (
         li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(is_late).alias("late"))
     )
-    per_order = ls.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     sole_late = (
-        ls.join(per_order, F.col("l_orderkey") == F.col("ok"))
+        ls.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
         .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -1843,4 +1845,23 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole_late.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query("events_approx_stats")  # rows-only: sketch outputs have no SQL twin
+def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (SURVEY.md §2.5 gap): per event_type,
+    HyperLogLog++ distinct users (approx_count_distinct, rsd=2%) and t-digest
+    median value (approx_percentile, accuracy 10000) next to the exact count.
+    Both sketches are mergeable — partial per partition, merge at the
+    reducer — so at 100 TB they replace a full shuffle-distinct / global
+    sort with constant-size state per partition. No DuckDB oracle (different
+    sketch implementations ⇒ different estimates); the unit test pins each
+    estimate against its exact counterpart within the algorithm's error
+    bound (tests/test_ops.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50_value"),
+        F.count(F.lit(1)).alias("n_events"),
     )
