@@ -113,3 +113,66 @@ def windowed_rate_stats(
             "n_obs",
         )
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time SESSION windows: consecutive events of a key closer than
+    ``gap`` merge into one session (``F.session_window``) — the streaming
+    twin of the batch gap-sessionization (``ops.windows.sessionize``; same
+    boundaries except events exactly ``gap`` apart: session_window's
+    half-open [start, last+gap) splits them, sessionize's closed edge
+    merges). With a watermark the state store
+    closes a session once the watermark passes its end + gap, so state is
+    bounded by the number of OPEN sessions, not history. Works unchanged on
+    batch frames (watermark is a no-op there), which is how the agreement
+    test pins it to ``sessionize``."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(38,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_stream_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "p_ts",
+    right_ts: str = "c_ts",
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each purchase matches the same
+    key's clicks in the preceding ``lookback`` interval — the streaming twin
+    of the batch interval range join (``ops.asof.range_join_binned``). The
+    time-bound condition plus both-side watermarks let Spark expire join
+    state (a side keeps rows only until the other side's watermark clears
+    the interval), so state is bounded by rate × (lookback + lateness) —
+    the canonical scalable stream-join topology."""
+    p = purchases.withWatermark(left_ts, watermark)
+    c = clicks.withWatermark(right_ts, watermark)
+    cond = (
+        (p[key_col] == c[key_col])
+        & (c[right_ts] >= p[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (c[right_ts] <= p[left_ts])
+    )
+    return p.join(c, cond, "inner").select(
+        p[key_col].alias(key_col), p[left_ts], c[right_ts]
+    )

@@ -416,3 +416,26 @@ def test_dup_clusters_chain_and_islands(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_approx_stats_within_error_bounds(spark, sf_dir):
+    """HLL++ distinct estimate within 3·rsd of exact; t-digest median within
+    the value range spanned by the neighboring exact percentiles."""
+    from fxspark.queries import QUERIES
+    from fxspark.session import load_table
+
+    approx = {r["event_type"]: r for r in
+              QUERIES["events_approx_stats"](spark, sf_dir).collect()}
+    exact = {r["event_type"]: r for r in
+             load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("users"),
+                 F.expr("percentile(value, 0.45)").alias("p45"),
+                 F.expr("percentile(value, 0.55)").alias("p55"),
+                 F.count(F.lit(1)).alias("n_events"),
+             ).collect()}
+    assert set(approx) == set(exact)
+    for et in exact:
+        a, e = approx[et], exact[et]
+        assert a["n_events"] == e["n_events"]
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"])
+        assert e["p45"] <= a["approx_p50_value"] <= e["p55"]

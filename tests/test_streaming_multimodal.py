@@ -212,3 +212,70 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     out = spark.sql("SELECT ccy_couple, rate FROM dedup_stream_out").collect()
     got = {(r["ccy_couple"], r["rate"]) for r in out}
     assert got == {("EUR/USD", 1.01), ("GBP/USD", 1.25)}  # first arrival won
+
+
+def test_session_window_agrees_with_batch_sessionize(spark, sf_dir):
+    """Streaming session windows == batch gap sessionization on the same
+    events (no event pair sits exactly on the 30-min gap edge in testdata,
+    so the half-open/closed edge difference cannot fire)."""
+    from fxspark.ops.windows import sessionize
+    from fxspark.session import load_table
+    from fxspark.streaming.runner import session_window_stats
+
+    events = load_table(spark, sf_dir, "events")
+    sw = (
+        session_window_stats(events, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    batch = sessionize(events, "user_id", "ts", F.expr("INTERVAL 30 MINUTES"))
+    bs = batch.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    a = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in sw.collect()}
+    b = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in bs.collect()}
+    assert a == b
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join (AvailableNow → memory sink) produces
+    exactly the batch interval-join result."""
+    import json as _json
+
+    from fxspark.streaming.runner import stream_stream_interval_join
+
+    pdir, cdir = tmp_path / "purch", tmp_path / "clicks"
+    pdir.mkdir(); cdir.mkdir()
+    with open(pdir / "p.json", "w") as f:
+        for uid, ts in [(1, "2025-01-16 10:00:00"), (1, "2025-01-16 12:00:00"),
+                        (2, "2025-01-16 10:30:00")]:
+            f.write(_json.dumps({"user_id": uid, "p_ts": ts}) + "\n")
+    with open(cdir / "c.json", "w") as f:
+        for uid, ts in [(1, "2025-01-16 09:30:00"),   # within 1h of 10:00
+                        (1, "2025-01-16 11:30:00"),   # within 1h of 12:00
+                        (1, "2025-01-16 08:00:00"),   # too old for any
+                        (2, "2025-01-16 10:30:00"),   # exactly at purchase
+                        (3, "2025-01-16 10:00:00")]:  # no purchase stream key
+            f.write(_json.dumps({"user_id": uid, "c_ts": ts}) + "\n")
+
+    pschema, cschema = "user_id long, p_ts timestamp", "user_id long, c_ts timestamp"
+    ps = spark.readStream.schema(pschema).json(str(pdir))
+    cs = spark.readStream.schema(cschema).json(str(cdir))
+    joined = stream_stream_interval_join(ps, cs)
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], str(r["p_ts"]), str(r["c_ts"]))
+           for r in spark.sql("SELECT * FROM ssj").collect()}
+
+    pb = spark.read.schema(pschema).json(str(pdir))
+    cb = spark.read.schema(cschema).json(str(cdir))
+    expect = {(r["user_id"], str(r["p_ts"]), str(r["c_ts"]))
+              for r in stream_stream_interval_join(pb, cb).collect()}
+    assert got == expect and len(got) == 3
