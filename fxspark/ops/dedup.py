@@ -407,6 +407,33 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # round (measured 3x the query cost at sf0.1)
         .localCheckpoint()
     )
+    # Size-adaptive: near-dup graphs are tiny relative to the corpus (edges
+    # exist only between near-duplicates), so below a driver-safe bound the
+    # O(E α(E)) union-find beats O(diameter) distributed rounds by the whole
+    # per-round scheduling cost. Above it, fall through to label propagation
+    # — the same adaptivity AQE applies to join strategies.
+    SMALL_GRAPH_EDGES = 2_000_000
+    if edges.count() <= SMALL_GRAPH_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        for a, b in edge_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {v for e in edge_rows for v in e}
+        rows = sorted((n, find(n)) for n in nodes)
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
