@@ -66,6 +66,9 @@ EXTENSION = [
     "supplier_count_by_part",
     "disjunctive_promo_revenue",
     "waiting_suppliers",
+    "events_approx_stats",
+    "regional_sales_sets",
+    "doc_dedup_purge",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

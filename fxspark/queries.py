@@ -1865,3 +1865,102 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "regional_sales_sets",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           grouping(n.n_name) AS g_nation,
+           grouping(c.c_mktsegment) AS g_segment,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             AS total_sales,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY GROUPING SETS ((n.n_name, c.c_mktsegment), (n.n_name),
+                            (c.c_mktsegment))
+    """,
+)
+def q_regional_sales_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond the ROLLUP/CUBE queries): nation ×
+    segment sales at three chosen granularities in ONE pass —
+    ``DataFrame.groupingSets`` expands rows once and aggregates with a
+    single shuffle, versus three separate groupBys + union (three scans,
+    three shuffles). grouping() flags disambiguate NULL-as-total from
+    NULL-as-value, exactly as in the ROLLUP family."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "o_totalprice",
+        )
+    )
+    return joined.groupingSets(
+        [["nation", "segment"], ["nation"], ["segment"]],
+        "nation", "segment",
+    ).agg(
+        F.grouping("nation").alias("g_nation"),
+        F.grouping("segment").alias("g_segment"),
+        exact_sum(F.col("o_totalprice")).alias("total_sales"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "doc_dedup_purge",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t)-1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+    ), labels AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM labels l
+      WHERE l.node = d.doc_id AND l.cluster_id <> l.node
+    )
+    """,
+)
+def q_doc_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup dedup pipeline a training-data corpus needs:
+    shingle → exact-jaccard pairs → connected components → keep each
+    cluster's canonical (min-id) doc → anti-join the rest out of the
+    corpus. Output is the surviving corpus. Scale shape: the purge list
+    (non-canonical members) is tiny relative to the corpus, so the final
+    step is a broadcast anti join — the full corpus is never shuffled."""
+    from fxspark.ops.dedup import dup_clusters, jaccard_pairs_prefix
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
+    clusters = dup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return anti_join(
+        docs.select("doc_id", "lang", "n_chars"), F.broadcast(drop), "doc_id"
+    )

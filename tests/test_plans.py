@@ -1,0 +1,73 @@
+"""Plan-quality assertions: the declared queries must compile to the physical
+plans their docstrings promise — filters reaching the parquet scan, unused
+columns pruned, dims broadcast, facts scanned once. These are the properties
+that make the plans survive a 100×-1000× scale-up; asserting them here keeps
+perf regressions from hiding behind still-correct results.
+"""
+
+from __future__ import annotations
+
+from fxspark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    """The shipdate filter must be pushed into the parquet scan, and the scan
+    must not read columns the query never touches (l_partkey etc.)."""
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:400]
+    for unused in ("l_partkey", "l_suppkey", "l_orderkey"):
+        assert unused not in read_schema, read_schema
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    """customer/supplier/nation/region are designated broadcast; the only
+    non-broadcast join may be lineitem⋈orders (fact-fact)."""
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+
+
+def test_waiting_suppliers_single_lineitem_scan(spark, sf_dir):
+    """The decorrelated Q21 must scan lineitem exactly once (the literal
+    EXISTS/NOT-EXISTS form would scan it three times)."""
+    plan = _plan(spark, sf_dir, "waiting_suppliers")
+    assert plan.count("Scan parquet") == 3, plan[:3000]  # lineitem+orders+supplier
+
+
+def test_latest_event_agg_is_partial_final(spark, sf_dir):
+    """latest-per-key via max_by must be a partial/final hash aggregate with
+    ONE exchange — not a window sort."""
+    plan = _plan(spark, sf_dir, "latest_event_per_user")
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "Window" not in plan
+    assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_big_volume_orders_aggregates_before_join(spark, sf_dir):
+    """The HAVING sliver must be computed BEFORE the joins: the first
+    operator consuming the lineitem scan is an aggregate, not a join."""
+    plan = _plan(spark, sf_dir, "big_volume_orders")
+    li_scan_pos = plan.find("lineitem")
+    assert li_scan_pos != -1
+    # the lineitem branch (text after its scan mention, up to the next scan)
+    # must contain a HashAggregate before any Join appears upstream of it —
+    # cheap textual proxy: the plan has >=2 HashAggregates and the joins are
+    # broadcast (tiny sliver side)
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_orders_scan(spark, sf_dir):
+    """returned_item_revenue: the orderdate range predicate must appear in
+    the orders scan's PushedFilters, the returnflag predicate in lineitem's."""
+    plan = _plan(spark, sf_dir, "returned_item_revenue")
+    assert "o_orderdate" in plan and "PushedFilters" in plan
+    segs = plan.split("PushedFilters")
+    pushed = " ".join(s[:300] for s in segs[1:])
+    assert "o_orderdate" in pushed
+    assert "l_returnflag" in pushed
