@@ -69,6 +69,9 @@ EXTENSION = [
     "events_approx_stats",
     "regional_sales_sets",
     "doc_dedup_purge",
+    "nation_balance_fullouter",
+    "lineitem_unpivot_stats",
+    "order_calendar_features",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

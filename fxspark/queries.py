@@ -1964,3 +1964,125 @@ def q_doc_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti_join(
         docs.select("doc_id", "lang", "n_chars"), F.broadcast(drop), "doc_id"
     )
+
+
+@query(
+    "nation_balance_fullouter",
+    oracle="""
+    WITH cb AS (
+      SELECT c_nationkey AS nk,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS cust_bal,
+             count(*) AS n_rich_cust
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ), sb AS (
+      SELECT s_nationkey AS nk,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS supp_bal,
+             count(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cb.nk, sb.nk) AS nationkey,
+           cb.cust_bal, cb.n_rich_cust, sb.supp_bal, sb.n_supp
+    FROM cb FULL OUTER JOIN sb ON cb.nk = sb.nk
+    """,
+)
+def q_nation_balance_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the surface lacked): per-nation
+    rich-customer balance vs supplier balance, keeping nations present on
+    either side only (nulls on the other). Both inputs are pre-aggregated to
+    ≤|nations| rows before the join, so the full-outer is a trivial sorted
+    merge of two tiny sides — the aggregate-first discipline that keeps
+    outer joins cheap at any scale."""
+    cb = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(
+            exact_sum(F.col("c_acctbal"), 6).alias("cust_bal"),
+            F.count(F.lit(1)).alias("n_rich_cust"),
+        )
+    )
+    sb = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(
+            exact_sum(F.col("s_acctbal"), 6).alias("supp_bal"),
+            F.count(F.lit(1)).alias("n_supp"),
+        )
+    )
+    return cb.join(sb, F.col("cnk") == F.col("snk"), "full_outer").select(
+        F.coalesce(F.col("cnk"), F.col("snk")).alias("nationkey"),
+        "cust_bal", "n_rich_cust", "supp_bal", "n_supp",
+    )
+
+
+@query(
+    "lineitem_unpivot_stats",
+    oracle="""
+    WITH m AS (
+      SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    )
+    SELECT metric, count(*) AS n,
+           CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           min(v) AS vmin, max(v) AS vmax
+    FROM m GROUP BY metric
+    """,
+)
+def q_lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long, the inverse of the pivot query): lineitem's four
+    measures melted to (metric, value) rows, then per-metric stats.
+    ``DataFrame.unpivot`` expands in the scan projection — one pass over the
+    table, no UNION of four scans (the oracle's UNION ALL form is the
+    semantic spec, not the plan: DuckDB reads the table four times there)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "raw_metric", "v",
+    ).select(
+        F.expr("substring(raw_metric, 3)").alias("metric"), "v"
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("v"), 6).alias("total"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+
+
+@query(
+    "order_calendar_features",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month_start,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_weekend,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate), last_day(o_orderdate)
+    """,
+)
+def q_order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/date scalar-function breadth (date_trunc, last_day, weekday)
+    — monthly order stats with a weekend-order count. Weekday mapping is
+    normalized explicitly: Spark ``weekday`` (Mon=0) vs DuckDB ``isodow``
+    (Mon=1) — the classic cross-engine off-by-one, pinned by the
+    differential. All expressions evaluate scan-side (no join, one shuffle
+    on the ~84 month groups after map-side partials)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.last_day(F.col("o_orderdate")).cast("timestamp").alias("month_end"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.weekday(F.col("o_orderdate")) >= 5, 1).otherwise(0)
+            ).alias("n_weekend"),
+            exact_sum(F.col("o_totalprice")).alias("total"),
+        )
+    )
