@@ -116,3 +116,16 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     """
     n = parts or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, suffix: str = ""
+) -> None:
+    """Register every testdata table as a temp view (``region``, ``nation``,
+    …) so arbitrary Spark SQL runs against the same frames the DataFrame
+    queries use — the engine's raw-SQL surface (the reference's users speak
+    SQL first; `spark.sql` + these views is the migration path for any query
+    not on the curated list). Views go through ``load_table``, so the
+    nanos-timestamp normalization applies uniformly."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}{suffix}")
