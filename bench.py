@@ -72,6 +72,7 @@ EXTENSION = [
     "nation_balance_fullouter",
     "lineitem_unpivot_stats",
     "order_calendar_features",
+    "user_value_spread",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

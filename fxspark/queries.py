@@ -2086,3 +2086,37 @@ def q_order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("o_totalprice")).alias("total"),
         )
     )
+
+
+@query(
+    "user_value_spread",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           max(value) - min(value) AS value_range,
+           min(CASE WHEN rn = (n + 1) // 2 THEN value END) AS lower_median,
+           count(*) AS n_events
+    FROM ranked GROUP BY user_id
+    """,
+)
+def q_user_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregates via grouped-agg pandas UDAFs (ops/udaf.py): per-user
+    value range and rank-based lower median, composed in ONE groupBy next to
+    a JVM count — the UDF/UDAF surface the reference lacks entirely
+    (SURVEY.md §2.5). The median is an actual element chosen under a total
+    order (value, event_id), so the Arrow-batched Python result is
+    bit-identical to the oracle's row_number formulation."""
+    from fxspark.ops.udaf import count_agg, lower_median_agg, range_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        range_agg("value").alias("value_range"),
+        lower_median_agg("value", "event_id").alias("lower_median"),
+        count_agg(F.col("event_id")).alias("n_events"),
+    )
