@@ -73,6 +73,9 @@ EXTENSION = [
     "lineitem_unpivot_stats",
     "order_calendar_features",
     "user_value_spread",
+    "media_audio_meta",
+    "discount_revenue_probe",
+    "shipping_priority_topk",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -147,3 +147,63 @@ def decode_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
         "video decode needs ffmpeg/av, not present in this environment; "
         "the mapInPandas plumbing mirrors decode_image_meta"
     )
+
+
+AUDIO_META_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, format string, "
+    "sample_rate int, channels int, bits_per_sample int, duration_ms long"
+)
+
+
+def _sniff_audio(payload: bytes | None) -> tuple[str, int, int, int, int]:
+    """Header-only WAV (RIFF/WAVE fmt chunk) parse — real byte parsing, the
+    deterministic half of audio decode; non-WAV payloads are 'unknown'.
+    Returns (format, sample_rate, channels, bits_per_sample, duration_ms)."""
+    if not payload:
+        return ("empty", -1, -1, -1, -1)
+    if (
+        len(payload) >= 44
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+        and payload[12:16] == b"fmt "
+    ):
+        channels, rate = struct.unpack("<HI", payload[22:28])
+        bits = struct.unpack("<H", payload[34:36])[0]
+        data_bytes = max(len(payload) - 44, 0)
+        bytes_per_ms = rate * channels * max(bits // 8, 1) / 1000.0
+        dur = int(data_bytes / bytes_per_ms) if bytes_per_ms else -1
+        return ("wav", rate, channels, bits, dur)
+    return ("unknown", -1, -1, -1, -1)
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """Audio metadata over the same mapInPandas contract as
+    ``decode_image_meta``: WAV headers parsed for real (sample rate,
+    channels, bit depth, duration); compressed formats (mp3/flac) would slot
+    into ``_sniff_audio`` with a codec — the Spark plumbing is unchanged."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("format", "sample_rate", "channels", "bits_per_sample",
+                     "duration_ms")}
+            for payload in pdf["payload"]:
+                f_, r_, c_, b_, d_ = _sniff_audio(
+                    bytes(payload) if payload is not None else None
+                )
+                cols["format"].append(f_)
+                cols["sample_rate"].append(r_)
+                cols["channels"].append(c_)
+                cols["bits_per_sample"].append(b_)
+                cols["duration_ms"].append(d_)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    **cols,
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_META_SCHEMA)

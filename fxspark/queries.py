@@ -2120,3 +2120,130 @@ def q_user_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower_median_agg("value", "event_id").alias("lower_median"),
         count_agg(F.col("event_id")).alias("n_events"),
     )
+
+
+# 44-byte canonical WAV header (PCM, 16-bit): even docs get 8kHz mono, the
+# payload body is the doc text bytes — duration derives from text length.
+def _wav_header(rate: int, channels: int, bits: int) -> bytes:
+    import struct as _s
+
+    return (
+        b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"fmt "
+        + _s.pack("<IHHIIHH", 16, 1, channels, rate,
+                  rate * channels * bits // 8, channels * bits // 8, bits)
+        + b"data" + b"\x00\x00\x00\x00"
+    )
+
+
+@query(
+    "media_audio_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'audio' AS media_type,
+           CASE WHEN doc_id % 2 = 0
+                THEN octet_length(encode(text)) + 44
+                ELSE octet_length(encode(text)) END AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'unknown' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE -1 END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN 16 ELSE -1 END AS bits_per_sample,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(floor(octet_length(encode(text)) / 16.0) AS BIGINT)
+                ELSE -1 END AS duration_ms
+    FROM documents
+    """,
+)
+def q_media_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of ``media_meta``: synthetic 8 kHz/mono/16-bit WAV headers
+    on even docs (body = text bytes), raw bytes on odd docs. The oracle
+    restates the DECLARED header semantics — duration_ms = data_bytes /
+    (rate·ch·bytes/sample/1000) = len/16 here — so the differential checks
+    the whole Arrow-batched audio plumbing end to end."""
+    from fxspark.multimodal import decode_audio_meta, to_media_frame
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hdr = _wav_header(8000, 1, 16)
+    payload = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit(hdr), F.encode("text", "UTF-8")),
+    ).otherwise(F.encode("text", "UTF-8"))
+    media = to_media_frame(
+        docs.select("doc_id", payload.alias("payload")), "doc_id", "payload", "audio"
+    )
+    return decode_audio_meta(media)
+
+
+@query(
+    "discount_revenue_probe",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_discount_revenue_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive range predicates + aggregate —
+    the canonical predicate-pushdown probe. Every filter reaches the parquet
+    scan (date + discount + quantity all in PushedFilters); at 100 TB with a
+    date-partitioned table the year predicate prunes partitions before any
+    IO. No shuffle at all except the single-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ) ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers (broadcast semi-reduce of
+    orders) ⋈ shipdate-filtered lineitem, revenue per order, global top-10
+    (TakeOrderedAndProject — per-partition heads merged on the driver, never
+    a full sort)."""
+    cust_b = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30 00:00:00").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust_b), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(rev, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

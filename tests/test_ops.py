@@ -476,3 +476,24 @@ def test_orc_round_trip(spark, tmp_path, sf_dir):
     plan = f._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderpriority" in plan
     assert f.count() == orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_compact_small_files(spark, tmp_path, sf_dir):
+    """Compaction folds a 32-file directory into the size-derived file count
+    without changing the data."""
+    from fxspark.session import load_table
+    from fxspark.sink import compact
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_many")
+    events.repartition(32).write.parquet(path)
+    import glob
+    before = len(glob.glob(f"{path}/*.parquet"))
+    n_rows = events.count()
+    total = events.agg(F.sum("value")).collect()[0][0]
+    compact(spark, path)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == n_rows
+    assert abs(back.agg(F.sum("value")).collect()[0][0] - total) < 1e-6
