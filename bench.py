@@ -76,6 +76,7 @@ EXTENSION = [
     "media_audio_meta",
     "discount_revenue_probe",
     "shipping_priority_topk",
+    "user_value_correlation",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -2247,3 +2247,85 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "user_value_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS v
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    joined AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             a.v AS x, b.v AS y
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.user_id < b.user_id
+    ),
+    sums AS (
+      -- x,y are DECIMAL(18,6): every product is an EXACT DECIMAL(37,12)
+      -- (fits 38), every sum exact — zero rounding before the double cast
+      SELECT user_a, user_b, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM joined GROUP BY user_a, user_b HAVING count(*) >= 10
+    )
+    SELECT user_a, user_b, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+    FROM sums
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      AND (n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) >= 0.5
+    """,
+)
+def q_user_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the PAPERS.md corpus theme — EDBT'19
+    streaming series similarity, SIGMOD'20 adaptive similarity): pairs of
+    users whose daily-value series correlate ≥ 0.5 over ≥ 10 common days.
+    Series align by day-bucket equi-join (never a per-pair loop), Pearson
+    terms are decimal-exact sums cast once to double, so the final
+    float expression is bit-identical in both engines. Scale: the join is
+    blocked by day (Σ per-day n² work, hash-partitioned); for web-scale user
+    counts the LSH/IVF tiers in ops/similarity.py replace the exact pair
+    join — same output contract."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("decimal(18,6)").alias("v"))
+    a = daily.select(
+        F.col("user_id").alias("user_a"), F.col("day").alias("da"), F.col("v").alias("x")
+    )
+    b = daily.select(
+        F.col("user_id").alias("user_b"), F.col("day").alias("db"), F.col("v").alias("y")
+    )
+    joined = a.join(
+        b, (F.col("da") == F.col("db")) & (F.col("user_a") < F.col("user_b"))
+    )
+    # x,y are decimal(18,6) → products are exact decimal(37,12); sums exact
+    d10 = lambda c: F.sum(c).cast("double")
+    sums = (
+        joined.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            d10(F.col("x")).alias("sx"),
+            d10(F.col("y")).alias("sy"),
+            d10(F.col("x") * F.col("y")).alias("sxy"),
+            d10(F.col("x") * F.col("x")).alias("sxx"),
+            d10(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = num / (F.sqrt(vx) * F.sqrt(vy))
+    return (
+        sums.filter((vx > 0) & (vy > 0))
+        .select("user_a", "user_b", "n", corr.alias("corr"))
+        .filter(F.col("corr") >= 0.5)
+    )
