@@ -166,6 +166,11 @@ def _sniff_audio(payload: bytes | None) -> tuple[str, int, int, int, int]:
         and payload[:4] == b"RIFF"
         and payload[8:12] == b"WAVE"
         and payload[12:16] == b"fmt "
+        # canonical PCM header only: fmt chunk size 16 ⇒ data at offset 44.
+        # WAVE_FORMAT_EXTENSIBLE (fmt size 40) would mis-count header bytes
+        # as audio data, so it falls through to 'unknown' instead of lying.
+        and struct.unpack("<I", payload[16:20])[0] == 16
+        and payload[36:40] == b"data"
     ):
         channels, rate = struct.unpack("<HI", payload[22:28])
         bits = struct.unpack("<H", payload[34:36])[0]

@@ -392,28 +392,22 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (GraphX/GraphFrames do the same shape). ``localCheckpoint`` truncates
     the growing lineage each round.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    # Self-loops fold each node's OWN label into the same neighbor-min
-    # aggregation — one join + one agg per round instead of a neighbor-min
-    # join plus a second self-join to merge it back.
-    edges = (
-        edges.union(edges.select("src", F.col("src").alias("dst")))
-        .distinct()
-        # materialize ONCE: every propagation round re-reads the edge list,
-        # and without this the whole upstream pair pipeline re-executes per
-        # round (measured 3x the query cost at sf0.1)
-        .localCheckpoint()
-    )
+    # materialize the pair list ONCE: both the size gate below and every
+    # propagation round re-read it, and without this the whole upstream
+    # pair pipeline re-executes per use (measured 3x the query cost at sf0.1)
+    base = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
     # Size-adaptive: near-dup graphs are tiny relative to the corpus (edges
     # exist only between near-duplicates), so below a driver-safe bound the
     # O(E α(E)) union-find beats O(diameter) distributed rounds by the whole
     # per-round scheduling cost. Above it, fall through to label propagation
-    # — the same adaptivity AQE applies to join strategies.
-    SMALL_GRAPH_EDGES = 2_000_000
-    if edges.count() <= SMALL_GRAPH_EDGES:
+    # — the same adaptivity AQE applies to join strategies. The gate counts
+    # RAW pairs (collected as-is; no symmetrized/self-loop expansion rows).
+    SMALL_GRAPH_PAIRS = 2_000_000
+    if base.count() <= SMALL_GRAPH_PAIRS:
+        from pyspark.sql.types import StructField, StructType
+
         parent: dict = {}
 
         def find(x):
@@ -424,16 +418,31 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 parent[x], x = root, parent[x]
             return root
 
-        edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
-        for a, b in edge_rows:
+        pair_rows = [(r["src"], r["dst"]) for r in base.collect()]
+        for a, b in pair_rows:
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        nodes = {v for e in edge_rows for v in e}
+        nodes = {v for e in pair_rows for v in e}
         rows = sorted((n, find(n)) for n in nodes)
-        return pairs.sparkSession.createDataFrame(
-            rows, "doc_id long, cluster_id long"
-        )
+        # keep the id type generic (long doc ids, string hashes, ...)
+        id_type = base.schema["src"].dataType
+        schema = StructType([
+            StructField("doc_id", id_type, False),
+            StructField("cluster_id", id_type, False),
+        ])
+        return pairs.sparkSession.createDataFrame(rows, schema)
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Self-loops fold each node's OWN label into the same neighbor-min
+    # aggregation — one join + one agg per round instead of a neighbor-min
+    # join plus a second self-join to merge it back.
+    edges = (
+        edges.union(edges.select("src", F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -1344,14 +1344,16 @@ def q_part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    li_b = li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")).drop(
+    # part_f / st scale with sf (brand sliver of part) — no broadcast hints;
+    # AQE picks broadcast at runtime when the sliver fits
+    li_b = li.join(part_f, F.col("l_partkey") == F.col("p_partkey")).drop(
         "p_partkey"
     )
     qty_dec = F.col("l_quantity").cast("decimal(18,4)")
     st = li_b.groupBy(F.col("l_partkey").alias("sk")).agg(
         F.sum(qty_dec).alias("sq"), F.count(F.lit(1)).alias("cq")
     )
-    small = li_b.join(F.broadcast(st), F.col("l_partkey") == F.col("sk")).filter(
+    small = li_b.join(st, F.col("l_partkey") == F.col("sk")).filter(
         qty_dec * 5 * F.col("cq") < F.col("sq")
     )
     return small.agg(
@@ -1505,8 +1507,9 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         t["lineitem"]
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        # cust_asia / supp_nation scale with sf — AQE decides broadcast
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     num = F.sum(
         F.when(F.col("supp_nation") == "NATION_7", vol_dec).otherwise(
@@ -1698,7 +1701,9 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li_r.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with sf — no broadcast hint; AQE converts the join
+        # at runtime only when the side actually fits the threshold
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
         .agg(exact_sum(rev, 6).alias("revenue"))
@@ -1740,7 +1745,7 @@ def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     clean = anti_join(li, blacklist, "l_suppkey")
     return (
-        clean.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        clean.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -1896,7 +1901,7 @@ def q_regional_sales_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = load_table(spark, sf_dir, "nation")
     joined = (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -1954,16 +1959,16 @@ def q_doc_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's canonical (min-id) doc → anti-join the rest out of the
     corpus. Output is the surviving corpus. Scale shape: the purge list
     (non-canonical members) is tiny relative to the corpus, so the final
-    step is a broadcast anti join — the full corpus is never shuffled."""
+    step is (via AQE, when the list is small) a broadcast anti join and
+    the corpus never shuffles; a dup-heavy corpus degrades gracefully to a
+    shuffled anti join."""
     from fxspark.ops.dedup import dup_clusters, jaccard_pairs_prefix
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
     clusters = dup_clusters(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return anti_join(
-        docs.select("doc_id", "lang", "n_chars"), F.broadcast(drop), "doc_id"
-    )
+    return anti_join(docs.select("doc_id", "lang", "n_chars"), drop, "doc_id")
 
 
 @query(
@@ -2142,7 +2147,9 @@ def _wav_header(rate: int, channels: int, bits: int) -> bytes:
            CASE WHEN doc_id % 2 = 0
                 THEN octet_length(encode(text)) + 44
                 ELSE octet_length(encode(text)) END AS n_bytes,
-           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'unknown' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav'
+                WHEN octet_length(encode(text)) = 0 THEN 'empty'
+                ELSE 'unknown' END AS format,
            CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE -1 END AS sample_rate,
            CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS channels,
            CASE WHEN doc_id % 2 = 0 THEN 16 ELSE -1 END AS bits_per_sample,
@@ -2239,7 +2246,8 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(
-            orders.join(F.broadcast(cust_b), F.col("o_custkey") == F.col("c_custkey")),
+            # cust_b is a 1/5 slice of customer — scales with sf, AQE decides
+            orders.join(cust_b, F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")

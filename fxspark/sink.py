@@ -66,6 +66,9 @@ def write_table(df: DataFrame, path: str) -> None:
     staged = os.path.join(tmp, "data")
     df.write.mode("overwrite").parquet(staged)
     old = path + ".old"
+    # clear residue from a crashed prior swap, else rename onto a non-empty
+    # dir fails (ENOTEMPTY) and no rewrite of this path can ever succeed
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(staged, path)
@@ -135,12 +138,14 @@ def compact(spark, path: str, target_mb: int = 128) -> int:
     upserts and per-trigger micro-batches accumulate small files that
     degrade scan planning at scale). Returns the new file count.
 
-    The rewrite goes to a sibling temp dir then atomically swaps, so a
-    concurrent reader sees either the old or the new layout, never a
-    partial one. At cluster scale the same operator runs per partition
-    (compact only partitions whose small-file count exceeds a threshold)."""
+    Staging and the swap are delegated to ``write_table`` (unique mkdtemp
+    staging dir, stale-state-tolerant cleanup). The two-rename swap is
+    best-effort, not atomic — a reader racing the swap can see a missing
+    path for an instant, and a crash between renames leaves the data at
+    ``path + '.old'``; real table formats (Delta/Iceberg) solve this with
+    metadata commits, which is exactly what this operator becomes there
+    (OPTIMIZE). Idempotent re-runs: write_table clears leftover ``.old``."""
     import os
-    import shutil
 
     df = spark.read.parquet(path)
     total = sum(
@@ -150,10 +155,5 @@ def compact(spark, path: str, target_mb: int = 128) -> int:
         if f.endswith(".parquet")
     )
     n = max(1, -(-total // (target_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + "__compact_tmp"
-    df.repartition(n).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    write_table(df.repartition(n), path)
     return n

@@ -497,3 +497,30 @@ def test_compact_small_files(spark, tmp_path, sf_dir):
     back = spark.read.parquet(path)
     assert back.count() == n_rows
     assert abs(back.agg(F.sum("value")).collect()[0][0] - total) < 1e-6
+
+
+def test_dup_clusters_string_ids(spark):
+    """The size-adaptive fast path must stay type-generic (string ids work,
+    not just longs)."""
+    from fxspark.ops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a="b", id_b="c"), Row(id_a="a", id_b="b"), Row(id_a="x", id_b="y")]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_compact_idempotent_rerun(spark, tmp_path, sf_dir):
+    """A second compact over the same path succeeds (stale .old residue must
+    not wedge the swap)."""
+    from fxspark.session import load_table
+    from fxspark.sink import compact
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_c2")
+    events.repartition(8).write.parquet(path)
+    n_rows = events.count()
+    compact(spark, path)
+    compact(spark, path)
+    assert spark.read.parquet(path).count() == n_rows
