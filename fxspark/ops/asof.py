@@ -77,8 +77,20 @@ def range_join(
     join does the same under the hood).
     """
     keys = [] if keys is None else [keys] if isinstance(keys, str) else list(keys)
-    lbin = (F.unix_micros(F.col(left_on)) / F.lit(tolerance_s * 1_000_000)).cast("long")
-    rbin = (F.unix_micros(F.col(right_on)) / F.lit(tolerance_s * 1_000_000)).cast("long")
+    # Integer floor-division (`div`) for bin assignment: double division +
+    # cast('long') truncates toward zero, which mis-bins negative (pre-1970)
+    # micros and can land a quotient within a ULP of an integer one bin off —
+    # worst case an in-tolerance pair two bins apart escapes the ±1 candidate
+    # join. `div` floors exactly for all 64-bit timestamps.
+    tol_us = tolerance_s * 1_000_000
+    lbin = F.expr(
+        f"if(unix_micros(`{left_on}`) >= 0, unix_micros(`{left_on}`) div {tol_us},"
+        f" -(((-unix_micros(`{left_on}`)) + {tol_us} - 1) div {tol_us}))"
+    )
+    rbin = F.expr(
+        f"if(unix_micros(`{right_on}`) >= 0, unix_micros(`{right_on}`) div {tol_us},"
+        f" -(((-unix_micros(`{right_on}`)) + {tol_us} - 1) div {tol_us}))"
+    )
 
     l = left.select(
         "*", F.explode(F.array(lbin - 1, lbin, lbin + 1)).alias("_bin")

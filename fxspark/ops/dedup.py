@@ -93,6 +93,11 @@ def jaccard_pairs(
             .filter(F.col("_df") <= max_shingle_freq)
             .drop("_df")
         )
+        # Set sizes must be recomputed over the SAME (frequency-capped)
+        # shingle universe as the intersection counts, else jaccard mixes
+        # pre-filter |A|,|B| with post-filter |A∩B| and is biased low.
+        sz2 = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz2"))
+        inv = inv.drop("_sz").join(sz2, "_id").withColumnRenamed("_sz2", "_sz")
     a = inv.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_s"
     )

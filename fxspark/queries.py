@@ -1183,14 +1183,27 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(_doc_media(spark, sf_dir))
 
 
-@query("media_features")  # rows-only: stub feature extractor (array output)
+@query("media_features")  # rows-only: stub feature extractor
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (STUB encoder, real plumbing): Arrow
     batches in, fixed-dim array<float> out — the contract a real image/audio
-    model drops into (multimodal.extract_features)."""
+    model drops into (multimodal.extract_features).
+
+    The query surface projects scalar summaries of the vector (dim, L2 norm,
+    first component) rather than the raw array<float>: the correctness
+    harness canonicalizes result sets by sorting every column, and Python
+    lists aren't orderable/hashable — the vector itself stays available via
+    the library call."""
     from fxspark.multimodal import extract_features
 
-    return extract_features(_doc_media(spark, sf_dir))
+    feats = extract_features(_doc_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.size("feature").alias("feat_dim"),
+        F.round(F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)), 3)
+        .alias("feat_l2"),
+        F.round(F.element_at("feature", 1), 3).alias("feat_0"),
+    )
 
 
 def _lsh_planes(n_planes: int = 6, dim: int = 64, seed: int = 7) -> list[list[float]]:

@@ -87,6 +87,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle differential exact.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Runtime-settable: the driver's correctness gate passes ITS OWN session
+    # (not one built by get_spark), so the builder-time config alone never
+    # reaches that path — without this line every events-table read dies with
+    # PARQUET_TYPE_ILLEGAL INT64 TIMESTAMP(NANOS).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
 
