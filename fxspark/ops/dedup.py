@@ -28,6 +28,22 @@ from pyspark.sql import functions as F
 from fxspark.ops.text import fingerprint, tokens
 
 
+def base_hash(col: Column, hash_fn: str = "xxhash64") -> Column:
+    """64-bit string hash underlying MinHash/SimHash.
+
+    ``xxhash64`` (default): fastest, JVM whole-stage-codegen.
+    ``md5_60``: first 60 bits of md5 — ~2× slower but reproducible in any
+    engine with md5 (DuckDB: ``('0x'||substr(md5(s),1,15))::BIGINT``), which
+    makes the otherwise hash-opaque LSH operators oracle-differentiable.
+    Distribution quality is equivalent; only bits 60-63 are pinned to zero.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct token n-gram shingles of a text column.
 
@@ -186,21 +202,22 @@ def _minhash_perms(k: int, seed: int = 1234) -> list[tuple[int, int]]:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature (k mins) per document, one pass over the exploded
-    shingles: ONE ``xxhash64`` per shingle, then k derived permutations
+    shingles: ONE base hash per shingle, then k derived permutations
     ``min((a_i·x + b_i) mod 2^31−1)`` — k cheap integer ops instead of k full
     string hashes (~2× at k=64; the gap widens with shingle length).
 
     k aggregate columns over one explode — a single shuffle on ``id_col``.
     """
-    return _signature_from_sets(_shingle_sets(df, id_col, text_col, n), k)
+    return _signature_from_sets(_shingle_sets(df, id_col, text_col, n), k, hash_fn)
 
 
-def _signature_from_sets(sets_: DataFrame, k: int) -> DataFrame:
+def _signature_from_sets(sets_: DataFrame, k: int, hash_fn: str = "xxhash64") -> DataFrame:
     inv = sets_.select("_id", F.explode("_sh").alias("_s")).select(
-        "_id", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE_31)).alias("_x")
+        "_id", F.pmod(base_hash(F.col("_s"), hash_fn), F.lit(_MERSENNE_31)).alias("_x")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_x") + F.lit(b), F.lit(_MERSENNE_31))).alias(f"h{i}")
@@ -221,6 +238,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     verify: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, optionally verified with exact
     Jaccard (candidates whose true Jaccard < threshold are dropped).
@@ -228,6 +246,11 @@ def minhash_lsh_pairs(
     With k=64, bands=16 (r=4), the S-curve crosses ~0.5 at j≈0.7 — high
     recall at the 0.8 threshold. Candidate generation touches only documents
     sharing a band bucket: this is the all-pairs-free 100 TB path.
+
+    ``hash_fn="md5_60"`` additionally switches the band key from an
+    xxhash64 compaction to the exact r-value tuple, so band collisions are
+    bit-reproducible by any engine (the oracle path); the default keeps the
+    8-byte compacted key (cheaper shuffle at billions of rows).
     """
     r = k // bands
     # The shingle sets feed the signature AND both exact-verify sides; the
@@ -236,17 +259,20 @@ def minhash_lsh_pairs(
     sets_ = _shingle_sets(df, id_col, text_col, n)
     if verify:
         sets_ = sets_.localCheckpoint()
-    sig = _signature_from_sets(sets_, k).localCheckpoint()
+    sig = _signature_from_sets(sets_, k, hash_fn).localCheckpoint()
+    if hash_fn == "xxhash64":
+        band_key = [
+            F.xxhash64(*[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
+            for b in range(bands)
+        ]
+    else:  # exact tuple key — no engine-specific hash in the collision set
+        band_key = [
+            F.concat_ws(",", *[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
+            for b in range(bands)
+        ]
     banded = sig.select(
         "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bh"),
+        F.posexplode(F.array(*band_key)).alias("_band", "_bh"),
     )
     cand = (
         banded.alias("x")
@@ -277,6 +303,7 @@ def simhash_pairs(
     text_col: str,
     n: int = 1,
     max_hamming: int = 6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
 
@@ -291,7 +318,7 @@ def simhash_pairs(
         raise ValueError("pigeonhole bands guarantee completeness only for max_hamming <= 7")
     # Both sides of the band self-join read the codes — materialize the
     # explode + 64-vote aggregation once (one long per doc of state).
-    sh = simhash_codes(df, id_col, text_col, n).localCheckpoint()
+    sh = simhash_codes(df, id_col, text_col, n, hash_fn).localCheckpoint()
     banded = sh.select(
         "_id",
         "_code",
@@ -320,7 +347,8 @@ def simhash_pairs(
 
 
 def simhash_codes(
-    df: DataFrame, id_col: str, text_col: str, n: int = 1
+    df: DataFrame, id_col: str, text_col: str, n: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document 64-bit SimHash code as ``(_id, _code)`` — the set-returning
     twin of ``simhash64``, and the fast path: explode shingles once, then 64
@@ -335,7 +363,7 @@ def simhash_codes(
     sh = shingles(F.col(text_col), n) if n > 1 else F.array_distinct(tokens(F.col(text_col)))
     hashed = df.select(
         F.col(id_col).alias("_id"), F.explode(sh).alias("_s")
-    ).select("_id", F.xxhash64("_s").alias("_h"))
+    ).select("_id", base_hash(F.col("_s"), hash_fn).alias("_h"))
     votes = [
         F.sum(
             F.when(

@@ -705,15 +705,70 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
-@query("minhash_lsh_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
+# 60-bit cross-engine string hash: Spark conv(substr(md5,1,15),16,10) ==
+# DuckDB ('0x'||substr(md5,1,15))::BIGINT (verified bit-identical incl.
+# unicode/empty). Lets the otherwise hash-opaque LSH operators run under the
+# full value-hash differential instead of a rows-only check.
+_MD5_60 = "('0x'||substr(md5({c}),1,15))::BIGINT"
+
+
+def _minhash_oracle(k: int = 64, bands: int = 16, threshold: float = 0.8) -> str:
+    from fxspark.ops.dedup import _MERSENNE_31 as M, _minhash_perms
+
+    r = k // bands
+    sig = ", ".join(
+        f"min(({a}*x + {b}) % {M}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_perms(k))
+    )
+    band_arms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bn, concat_ws(',', "
+        + ", ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        + ") AS bk FROM sig"
+        for b in range(bands)
+    )
+    jac = ("CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+           " / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                    for i in range(1, len(t)-1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), h AS (
+      SELECT doc_id, {_MD5_60.format(c='sh0')} % {M} AS x
+      FROM (SELECT doc_id, unnest(s) AS sh0 FROM sh)
+    ), sig AS (
+      SELECT doc_id, {sig} FROM h GROUP BY doc_id
+    ), bands AS (
+      {band_arms}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bn = b.bn AND a.bk = b.bk
+                               AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE {jac} >= {threshold}
+    """
+
+
+@query("minhash_lsh_pairs", oracle=_minhash_oracle())
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard-verified — the
-    100 TB-scale path for doc_jaccard_pairs (tests assert both agree)."""
+    100 TB-scale path for doc_jaccard_pairs (tests assert both agree).
+
+    Runs with the cross-engine md5_60 base hash and exact band-tuple keys so
+    the DuckDB oracle replays the SAME signatures, band collisions, and
+    verification — a full value differential over the LSH pipeline, not just
+    a row count. (`hash_fn="xxhash64"` is the marginally cheaper default for
+    production use; same plan shape.)"""
     from fxspark.ops.dedup import minhash_lsh_pairs
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=64, bands=16,
-                             threshold=0.8)
+                             threshold=0.8, hash_fn="md5_60")
 
 
 # ---------------------------------------------------------------------------
@@ -834,17 +889,57 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
 
 
-@query("simhash_near_dup")  # rows-only: simhash folds xxhash64 (no DuckDB twin)
+def _simhash_oracle(max_hamming: int = 6) -> str:
+    # 60-bit simhash under md5_60 (bits 60-63 vote negative on both engines).
+    votes = ", ".join(
+        f"sum(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    code = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60))
+    band_arms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, c, {b} AS bn, (c >> {8 * b}) & 255 AS bv FROM code"
+        for b in range(8)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+1], ' ')
+                                    for i in range(1, len(t))]) AS s
+      FROM toks WHERE len(t) >= 2
+    ), h AS (
+      SELECT doc_id, {_MD5_60.format(c='sh0')} AS x
+      FROM (SELECT doc_id, unnest(s) AS sh0 FROM sh)
+    ), votes AS (
+      SELECT doc_id, {votes} FROM h GROUP BY doc_id
+    ), code AS (
+      SELECT doc_id, CAST({code} AS BIGINT) AS c FROM votes
+    ), bands AS (
+      {band_arms}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.c, b.c)) AS hamming
+    FROM bands a JOIN bands b ON a.bn = b.bn AND a.bv = b.bv
+                             AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.c, b.c)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_dup", oracle=_simhash_oracle())
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (bigram shingles, hamming ≤ 6) via pigeonhole
     byte-bands — the cheapest dedup tier: 8 bytes of state per doc, no
     all-pairs join. At sf0.01 this recovers 23 of the 25 exact
     jaccard≥0.8 pairs (92% recall) from a 125k-pair space; tests assert
-    hamming tracks token-set similarity."""
+    hamming tracks token-set similarity.
+
+    md5_60 base hash ⇒ the DuckDB oracle recomputes the same 60-bit codes,
+    byte bands, and hamming distances — full value differential."""
     from fxspark.ops.dedup import simhash_pairs
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=6)
+    return simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=6,
+                         hash_fn="md5_60")
 
 
 @query(
