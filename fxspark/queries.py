@@ -2450,3 +2450,168 @@ def q_user_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "user_b", "n", corr.alias("corr"))
         .filter(F.col("corr") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth, round 2: TPC-H Q7/Q9/Q11/Q15 shapes
+# ---------------------------------------------------------------------------
+
+@query(
+    "volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by (supplier nation,
+    customer nation, ship year). Two independent dimension chains hang off
+    the same fact row (supplier side vs customer side) — both broadcast;
+    the only shuffle is lineitem⋈orders plus the final 3-key aggregate.
+    All nation pairs are reported (ordered to dedup the symmetric pair)
+    rather than pinning two nations — same plan, no fragile constants."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "supplier", "nation")}
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"),
+                            F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(exact_sum(revenue, 6).alias("revenue"))
+
+
+@query(
+    "product_margin",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.5 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(38,6))) AS DOUBLE) AS margin
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+)
+def q_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation and year for a part family): the
+    testdata has no partsupp, so unit cost is modeled as half retail price —
+    the plan shape (fact ⋈ part-filtered dim ⋈ supplier ⋈ nation, then
+    2-key agg over a +/- expression) is what Q9 exercises. The p_name LIKE
+    filter lands on the broadcast side BEFORE the join, so the fact join
+    only sees matching parts (semi-reduction)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "part", "supplier", "nation")}
+    parts = t["part"].filter(F.col("p_name").like("%widget%"))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    margin = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(exact_sum(margin, 6).alias("margin"))
+
+
+@query(
+    "important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS vdec
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT sum(vdec) AS total FROM pv)
+    SELECT l_partkey, CAST(vdec AS DOUBLE) AS value
+    FROM pv, tot WHERE vdec * 2000 > total
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp in the testdata): parts whose revenue
+    exceeds 0.05% of total — grouped aggregate compared against a global
+    scalar-subquery threshold. The share predicate is evaluated in exact
+    decimals as ``value*2000 > total`` (0.0005 == 1/2000), so no
+    floating-point boundary row can differ between engines. The global total
+    re-aggregates the tiny per-part frame — no second fact scan — and joins
+    back as a broadcast literal (one row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    pv = li.groupBy("l_partkey").agg(F.sum(rev).alias("vdec"))
+    tot = pv.agg(F.sum("vdec").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("vdec") * 2000 > F.col("total"))
+        .select("l_partkey", F.col("vdec").cast("double").alias("value"))
+    )
+
+
+@query(
+    "top_supplier",
+    oracle="""
+    WITH sr AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rdec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(sr.rdec AS DOUBLE) AS total_revenue
+    FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+    WHERE sr.rdec = (SELECT max(rdec) FROM sr)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier for a quarter): grouped revenue, global max
+    via scalar subquery, equality join-back keeping ties. The max and the
+    equality comparison both run on the exact decimal sum — a tie or a
+    last-ulp difference cannot flip the winner between engines. The quarter
+    filter pushes to the parquet scan; supplier joins as a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    sr = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rdec"))
+    mx = sr.agg(F.max("rdec").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .filter(F.col("rdec") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rdec").cast("double").alias("total_revenue"))
+    )
