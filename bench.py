@@ -77,6 +77,15 @@ EXTENSION = [
     "discount_revenue_probe",
     "shipping_priority_topk",
     "user_value_correlation",
+    "volume_shipping",
+    "product_margin",
+    "important_parts",
+    "top_supplier",
+    "pii_redacted_docs",
+    "key_edit_near_dup",
+    "embedding_quantized_topk",
+    "embedding_rp_search",
+    "salted_priority_revenue",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

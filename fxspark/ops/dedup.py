@@ -498,3 +498,55 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if new_labels.filter(F.col("label") != F.col("_old")).isEmpty():
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _deletes(s: Column) -> Column:
+    """All single-character-deletion variants of a string column."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(F.substring(s, F.lit(1), i - 1), F.substr(s, i + 1)),
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` (exact), via the
+    SymSpell deletion-neighborhood join: two strings within edit distance d
+    must share a variant reachable by ≤ d deletions from each (Garbe's
+    symmetric-delete lemma), so the candidate set is an equi-join on the
+    delete-neighborhood — linear in rows × neighborhood size, never
+    all-pairs. Candidates are verified with exact ``levenshtein``.
+
+    The join key is the xxhash64 of the variant, not the variant string:
+    equality of variants implies equality of hashes (recall is lossless) and
+    any hash collision is killed by the exact verify — while the shuffle
+    moves 8-byte keys instead of near-full-length strings. ``max_dist`` ≤ 2:
+    the depth-2 neighborhood is O(len²) per string; beyond that use
+    ``jaccard_pairs``/LSH (edit distance stops being the right tool).
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("edit_distance_pairs supports max_dist in {1, 2}")
+    base = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+    v1 = F.array_union(F.array(F.col("_s")), _deletes(F.col("_s")))
+    if max_dist == 2:
+        variants = F.array_distinct(
+            F.flatten(F.transform(v1, lambda v: F.array_union(F.array(v), _deletes(v))))
+        )
+    else:
+        variants = v1
+    inv = base.select("_id", "_s", F.explode(variants).alias("_v")).select(
+        "_id", "_s", F.xxhash64("_v").alias("_vh")
+    )
+    a = inv.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_vh")
+    b = inv.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_vh")
+    return (
+        a.join(b, "_vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("_sa", "_sb").alias("dist"))
+        .distinct()
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -125,3 +125,39 @@ def rolling_fingerprint(
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+# Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically — no lookaround, no backrefs — so redaction is
+# oracle-differentiable. Order matters: EMAIL first (its local part can
+# contain digit runs a later pattern would bite into).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("PHONE", r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / SSNs / phone numbers / IPv4 addresses with
+    ``<KIND>`` tokens — the standard pre-training scrub pass. Pure
+    ``regexp_replace`` chain: JVM-side, codegen'd, map-only (zero shuffle
+    at any scale)."""
+    out = col
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind}>")
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (for corpus audit dashboards). Counted on
+    the progressively-redacted text exactly as ``redact_pii`` would see it,
+    so overlapping patterns are attributed to the earlier kind."""
+    out = {}
+    cur = col
+    for kind, pat in PII_PATTERNS:
+        out[kind] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, f"<{kind}>")
+    return out

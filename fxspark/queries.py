@@ -2615,3 +2615,240 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("rdec").cast("double").alias("total_revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 extensions: PII scrub, fuzzy-key dedup, compressed-vector search,
+# skew-salted join
+# ---------------------------------------------------------------------------
+
+_PII_SUFFIX = (
+    " contact u{id}@mail.example.com or 12-345-678-{id4} "
+    "ssn 123-45-6789 host 10.0.{oct}.7"
+)
+
+
+@query(
+    "pii_redacted_docs",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 12-345-678-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ssn 123-45-6789 host 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+               '\\b\\d{2,3}-\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn
+    FROM aug
+    """,
+)
+def q_pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (ops/text.redact_pii): email / SSN / phone / IPv4 →
+    typed tokens, plus per-kind hit counts — the standard pre-training
+    redaction stage. The testdata corpus carries no organic PII, so each doc
+    is deterministically augmented with synthetic contact strings (same
+    construction in the oracle); redaction itself is a map-only
+    regexp_replace chain — zero shuffle at any scale."""
+    from fxspark.ops.text import pii_counts, redact_pii
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 12-345-678-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 host 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    aug = docs.select("doc_id", t.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        redact_pii(F.col("t")).alias("redacted"),
+        counts["EMAIL"].alias("n_email"),
+        counts["SSN"].alias("n_ssn"),
+    )
+
+
+@query(
+    "key_edit_near_dup",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS id, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS k
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000,
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 11) || 'x'
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.k, b.k) AS dist
+    FROM dirty a JOIN dirty b ON a.id < b.id
+    WHERE levenshtein(a.k, b.k) <= 1
+    """,
+)
+def q_key_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-key dedup via the SymSpell deletion-neighborhood join
+    (ops/dedup.edit_distance_pairs): every pair of keys within Levenshtein
+    distance 1, with NO all-pairs comparison — candidates come from an
+    equi-join on hashed single-deletion variants, then exact verify. The
+    corpus is the customer keyspace (12-hex-char content hashes) plus a 10%
+    sample re-injected with one-character typos — the record-linkage shape
+    (dirty IDs → canonical IDs). The DuckDB oracle brute-forces all pairs;
+    same result, quadratic plan — the differential proves the linear-cost
+    candidate generation is lossless."""
+    from fxspark.ops.dedup import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12)
+    clean = cust.select(F.col("c_custkey").alias("id"), k.alias("k"))
+    typo = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            (F.col("c_custkey") + 10000000).alias("id"),
+            F.concat(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 11),
+                F.lit("x"),
+            ).alias("k"),
+        )
+    )
+    dirty = spread(clean.unionByName(typo))
+    return edit_distance_pairs(dirty, "id", "k", max_dist=1)
+
+
+def _rp_planes8() -> list[list[float]]:
+    return _lsh_planes(n_planes=8, dim=64, seed=21)  # same dyadic-grid generator
+
+
+def _quantized_topk_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_apply({_dbl('embedding')},
+                        x -> greatest(-127, least(127, round(x * 127)))/ 127.0) AS dq
+      FROM embeddings
+    ), probe AS (SELECT dq AS qv FROM q WHERE vec_id = 0)
+    SELECT vec_id, round({_COS_SQL.format(a='dq', b='qv')}, 6) AS cos
+    FROM q, probe WHERE vec_id <> 0
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """
+
+
+@query("embedding_quantized_topk", oracle=_quantized_topk_oracle())
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of vec 0 over int8-QUANTIZED vectors
+    (ops/similarity.quantize_vec): the 4×-smaller representation a
+    billion-vector corpus actually scans. Quantize → dequantize → exact
+    cosine, deterministic ties broken by vec_id. The oracle replays the
+    same round/clamp arithmetic, so the differential covers the
+    quantization error path, not just the happy case."""
+    from fxspark.ops.similarity import cosine, dequantize_vec, quantize_vec
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    dq = emb.select(
+        "vec_id", dequantize_vec(quantize_vec(F.col("embedding"))).alias("dq")
+    )
+    probe = dq.filter(F.col("vec_id") == 0).select(F.col("dq").alias("qv"))
+    return (
+        dq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", F.round(cosine(F.col("dq"), F.col("qv")), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _rp_search_oracle() -> str:
+    planes = _rp_planes8()
+    proj = ("[" + ", ".join(
+        f"list_sum(list_apply(list_zip(emb, {p!r}), t -> t[1]*t[2]))" for p in planes
+    ) + "]")
+    return f"""
+    WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
+         p AS (SELECT vec_id, emb, {proj} AS pv FROM e),
+         probe AS (SELECT emb AS qe, pv AS qp FROM p WHERE vec_id = 0),
+         short AS (
+           SELECT vec_id, emb,
+                  {_COS_SQL.format(a='pv', b='qp')} AS pcos
+           FROM p, probe WHERE vec_id <> 0
+           ORDER BY pcos DESC, vec_id LIMIT 30
+         )
+    SELECT s.vec_id, round({_COS_SQL.format(a='s.emb', b='probe.qe')}, 6) AS cos
+    FROM short s, probe
+    ORDER BY cos DESC, s.vec_id LIMIT 10
+    """
+
+
+@query("embedding_rp_search", oracle=_rp_search_oracle())
+def q_embedding_rp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: project 64-dim vectors to 8 dims with fixed
+    random hyperplanes (ops/similarity.rp_project, Johnson-Lindenstrauss),
+    shortlist the top-30 by projected cosine, then exact re-score the
+    shortlist and return the top-10. The scan ranks 8 doubles per vector
+    instead of 64 floats; only 30 full vectors are touched — the
+    standard two-stage retrieval shape. Dyadic-grid planes make the
+    projection bit-identical in both engines."""
+    from fxspark.ops.similarity import cosine, rp_project
+
+    planes = _rp_planes8()
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    p = emb.select("vec_id", "embedding", rp_project(F.col("embedding"), planes).alias("pv"))
+    probe = p.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("pv").alias("qp")
+    )
+    short = (
+        p.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "embedding", "qe", cosine(F.col("pv"), F.col("qp")).alias("pcos"))
+        .orderBy(F.col("pcos").desc(), "vec_id")
+        .limit(30)
+    )
+    return (
+        short.select("vec_id", F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "salted_priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through a SALTED fact-fact join
+    (ops/joins.salted_join): the lineitem side carries a uniform salt, the
+    orders side is replicated salt×, and the join key becomes
+    (orderkey, salt) — the manual skew-survival path for when one orderkey
+    is hot and AQE's runtime split isn't available (custom shuffles,
+    streaming joins). Result is row-identical to the plain join, which is
+    exactly what the oracle differential proves."""
+    from fxspark.ops.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", salt=8)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

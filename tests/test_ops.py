@@ -524,3 +524,86 @@ def test_compact_idempotent_rerun(spark, tmp_path, sf_dir):
     compact(spark, path)
     compact(spark, path)
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_edit_distance_pairs_lossless_vs_brute(spark):
+    """SymSpell deletion-neighborhood candidates must recover exactly the
+    brute-force Levenshtein-<=1 pair set (sub/ins/del all covered)."""
+    from fxspark.ops.dedup import edit_distance_pairs
+    import itertools
+
+    words = ["kitten", "mitten", "kittenz", "kitte", "sitting", "abc", "abd",
+             "xyz", "kitten"]
+    rows = [Row(id=i, k=w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows)
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in edit_distance_pairs(df, "id", "k", max_dist=1).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    want = {(i, j, lev(words[i], words[j]))
+            for i, j in itertools.combinations(range(len(words)), 2)
+            if lev(words[i], words[j]) <= 1}
+    assert got == want
+
+
+def test_edit_distance_pairs_depth2(spark):
+    """max_dist=2 uses the delete-2 neighborhood and still verifies exactly."""
+    from fxspark.ops.dedup import edit_distance_pairs
+
+    rows = [Row(id=1, k="abcdef"), Row(id=2, k="abdef"),   # 1 deletion
+            Row(id=3, k="abXdYf"), Row(id=4, k="zzzzzz")]  # 2 subs / far
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in edit_distance_pairs(
+               spark.createDataFrame(rows), "id", "k", max_dist=2).collect()}
+    assert (1, 2, 1) in got and (1, 3, 2) in got
+    assert not any(4 in (a, b) for a, b, _ in got)
+
+
+def test_redact_pii_kinds(spark):
+    from fxspark.ops.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame([Row(t=
+        "mail a.b+c@x-y.co.uk, ssn 123-45-6789, tel 44-123-456-7890, ip 192.168.0.1 end")])
+    out = df.select(redact_pii(F.col("t")).alias("r"),
+                    *[v.alias(k) for k, v in pii_counts(F.col("t")).items()]
+                    ).collect()[0]
+    assert out["r"] == "mail <EMAIL>, ssn <SSN>, tel <PHONE>, ip <IP> end"
+    assert (out["EMAIL"], out["SSN"], out["PHONE"], out["IP"]) == (1, 1, 1, 1)
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Dequantized components must be within 1/(2*127) of the original."""
+    from fxspark.ops.similarity import dequantize_vec, quantize_vec
+
+    df = spark.createDataFrame([Row(v=[0.0, 1.0, -1.0, 0.123456, -0.98765])])
+    got = df.select(
+        F.zip_with(
+            dequantize_vec(quantize_vec(F.col("v"))),
+            F.col("v"),
+            lambda a, b: F.abs(a - b.cast("double")),
+        ).alias("err")
+    ).collect()[0]["err"]
+    assert max(got) <= 0.5 / 127 + 1e-12
+
+
+def test_rp_project_preserves_neighbors(spark):
+    """JL projection: identical vectors project identically; projection is
+    linear (proj(2v) == 2*proj(v))."""
+    from fxspark.ops.similarity import rp_project
+    from fxspark.queries import _lsh_planes
+
+    planes = _lsh_planes(n_planes=8, dim=4, seed=3)
+    df = spark.createDataFrame([Row(v=[0.5, -0.25, 0.125, 1.0])])
+    p1 = df.select(rp_project(F.col("v"), planes).alias("p")).collect()[0]["p"]
+    p2 = df.select(
+        rp_project(F.transform(F.col("v"), lambda x: x * 2), planes).alias("p")
+    ).collect()[0]["p"]
+    assert all(abs(b - 2 * a) < 1e-12 for a, b in zip(p1, p2))
