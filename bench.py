@@ -86,6 +86,17 @@ EXTENSION = [
     "embedding_quantized_topk",
     "embedding_rp_search",
     "salted_priority_revenue",
+    "doc_quality_gate",
+    "benchmark_contamination",
+    "doc_balanced_sample",
+    "tfidf_top_terms",
+    "source_curation_stats",
+    "embedding_cluster_assign",
+    "session_window_stats",
+    "customer_decile_bands",
+    "grouping_sets_revenue",
+    "late_lines_by_status",
+    "part_promo_suppliers",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

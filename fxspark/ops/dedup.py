@@ -184,6 +184,42 @@ def jaccard_pairs_prefix(
     )
 
 
+def ngram_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark-contamination check: for every training document, how many
+    distinct token ``n``-grams it shares with ANY benchmark document, and how
+    many benchmark documents it touches — the standard pre-training decontam
+    sweep (report/drop docs overlapping an eval set).
+
+    Plan: both sides explode to distinct (id, gram); the benchmark side is a
+    few thousand eval documents even when the corpus is 100 TB, so its gram
+    index is broadcast — the corpus side never shuffles, making the sweep a
+    map-side join + one aggregation keyed by doc id (near-unique, no skew).
+    """
+    tr = train.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    )
+    be = bench.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    )
+    return (
+        tr.join(F.broadcast(be), "_g")
+        .groupBy("_id")
+        .agg(
+            F.countDistinct("_g").alias("n_shared_grams"),
+            F.countDistinct("_bid").alias("n_bench_docs"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 _MERSENNE_31 = (1 << 31) - 1
 
 

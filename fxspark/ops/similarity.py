@@ -93,6 +93,32 @@ def knn_join(
     )
 
 
+def centroid_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties → smallest
+    centroid id) — the k-means / IVF-training assignment step as one
+    broadcast crossJoin + per-vector window rank. The centroid set is always
+    tiny (k ≪ corpus), so the corpus never shuffles for scoring; the only
+    shuffle is the rank's hash partition on the (near-unique) vector id."""
+    c = centroids.select(F.col(cid_col), F.col(vec_col).alias("_cv"))
+    scored = df.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(cid_col),
+        cosine(F.col(vec_col), F.col("_cv")).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col(cid_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, cid_col, "cos")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -100,6 +100,60 @@ def lang_id(col: Column, markers: dict[str, list[str]] | None = None) -> Column:
     return F.when(best_score > 0, best_lang).otherwise(F.lit("unknown"))
 
 
+def ngrams(col: Column, n: int = 3) -> Column:
+    """Token n-grams WITH multiplicity (order preserved) — the repetition /
+    contamination primitive. Distinct-ified by ``dedup.shingles`` for set
+    semantics; kept raw here because repetition signals need the counts.
+    Empty array for docs shorter than ``n`` tokens."""
+    t = tokens(col)
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+
+
+def mean_word_len(col: Column) -> Column:
+    """Average token length in characters — Gopher-style quality signal
+    (very low ⇒ symbol soup, very high ⇒ concatenation junk). Map-side fold,
+    no shuffle."""
+    t = tokens(col)
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.try_divide(total.cast("double"), F.size(t))
+
+
+def dup_token_frac(col: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    ``1 − |distinct| / |tokens|``. High values flag boilerplate/looped text."""
+    t = tokens(col)
+    return F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(t)).cast("double"), F.size(t)
+    )
+
+
+def top_ngram_stats(
+    df, id_col: str, text_col: str, n: int = 3
+):
+    """Per-document repetition profile over token ``n``-grams (with
+    multiplicity): total n-gram count and the count of the single most
+    frequent n-gram. ``top_count / total`` is the Gopher "fraction of
+    characters in the most common n-gram" analogue.
+
+    Plan: explode → two-level aggregate, both with map-side partial combine;
+    the shuffle key (id, gram) is near-unique so no skew at any scale.
+    """
+    g = df.select(
+        F.col(id_col).alias("_id"), F.explode(ngrams(F.col(text_col), n)).alias("_g")
+    )
+    per_gram = g.groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    return per_gram.groupBy("_id").agg(
+        F.sum("_c").alias("total_ngrams"), F.max("_c").alias("top_ngram_count")
+    ).withColumnRenamed("_id", id_col)
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -2852,3 +2852,505 @@ def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: training-data curation ops (quality gate, contamination,
+# balanced sampling, tf-idf, per-source audit), k-means assignment, built-in
+# session windows, grouping sets, ranking-function family, TPC-H Q12/Q20
+# shapes.
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = f"""round(least(length(text)/500.0, 1.0)
+                 + coalesce(len(list_filter(string_split(lower(trim(text)), ' '),
+                                t -> list_contains({_STOP_SQL}, t)))
+                            / CAST(nullif(len(string_split(lower(trim(text)), ' ')), 0)
+                                   AS DOUBLE), 0.0)
+                 - coalesce(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                            / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 4)"""
+
+
+@query(
+    "doc_quality_gate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS word_count,
+             round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                   / len(t), 4) AS mean_word_len,
+             round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+               AS dup_token_frac
+      FROM toks
+    ), tg AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS g
+      FROM toks WHERE len(t) >= 3
+    ), rep AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_trigram_frac
+      FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.word_count, b.mean_word_len, b.dup_token_frac,
+           coalesce(r.top_trigram_frac, 0.0) AS top_trigram_frac,
+           (b.word_count >= 30 AND b.mean_word_len BETWEEN 3 AND 10
+            AND b.dup_token_frac < 0.6
+            AND coalesce(r.top_trigram_frac, 0.0) < 0.05) AS passes
+    FROM base b LEFT JOIN rep r USING (doc_id)
+    """,
+)
+def q_doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: per-document repetition/shape signals
+    (word count, mean word length, repeated-token fraction, most-common-
+    trigram share) and a declared pass/fail over fixed thresholds — the
+    filter stage of a pre-training pipeline. Everything except the trigram
+    profile is a map-side expression; the profile is one explode + two
+    partial-combine aggregations keyed by (doc, gram) — near-unique keys,
+    no skew at any corpus size."""
+    from fxspark.ops.text import (
+        dup_token_frac, mean_word_len, tokens, top_ngram_stats,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("word_count"),
+        F.round(mean_word_len(F.col("text")), 4).alias("mean_word_len"),
+        F.round(dup_token_frac(F.col("text")), 6).alias("dup_token_frac"),
+    )
+    rep = top_ngram_stats(docs, "doc_id", "text", n=3).select(
+        "doc_id",
+        F.round(
+            F.col("top_ngram_count").cast("double") / F.col("total_ngrams"), 6
+        ).alias("top_trigram_frac"),
+    )
+    j = base.join(rep, "doc_id", "left").withColumn(
+        "top_trigram_frac", F.coalesce(F.col("top_trigram_frac"), F.lit(0.0))
+    )
+    passes = (
+        (F.col("word_count") >= 30)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("dup_token_frac") < 0.6)
+        & (F.col("top_trigram_frac") < 0.05)
+    )
+    return j.select(
+        "doc_id", "word_count", "mean_word_len", "dup_token_frac",
+        "top_trigram_frac", passes.alias("passes"),
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+3], ' ')
+                            for i in range(1, len(t)-2)]) AS s
+      FROM toks WHERE len(t) >= 4
+    ), bench AS (
+      SELECT doc_id AS bid, unnest(s) AS g FROM sh WHERE doc_id % 11 = 0
+    ), train AS (
+      SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 11 <> 0
+    )
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT b.bid) AS BIGINT) AS n_bench_docs
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep (ops/dedup.ngram_overlap): training
+    docs sharing any token 4-gram with the held-out benchmark slice
+    (doc_id % 11 == 0 plays the eval set), with shared-gram / benchmark-doc
+    counts. The benchmark gram index is broadcast — the corpus side never
+    shuffles, so the sweep is one map-side join + one near-unique-key
+    aggregation regardless of corpus size."""
+    from fxspark.ops.dedup import ngram_overlap
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    return ngram_overlap(train, bench, "doc_id", "text", n=4)
+
+
+@query(
+    "doc_balanced_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    ), target AS (
+      SELECT min(c) AS m FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+    )
+    SELECT doc_id, lang, rk FROM ranked, target WHERE rk <= m
+    """,
+)
+def q_doc_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus sample: every language contributes exactly
+    min-language-count documents, chosen by content hash (md5 — deterministic
+    across runs, partitionings, and engines; doc_id tie-break). This is the
+    up/down-sampling step for balancing a multilingual pre-training mix.
+    The per-language window ranks shuffle only on lang (bounded cardinality);
+    the global min is a one-row broadcast."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("text").cast("binary")), "doc_id"
+    )
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    target = (
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("m"))
+    )
+    return ranked.crossJoin(F.broadcast(target)).filter(
+        F.col("rk") <= F.col("m")
+    ).select("doc_id", "lang", "rk")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, g AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY doc_id, g
+    ), idf AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / idf.df), 6) AS tfidf
+      FROM tf JOIN idf USING (term), n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword/topic signal
+    (and the vectorizer base for sparse retrieval). Term frequencies and
+    document frequencies are two partial-combine aggregations; the doc-count
+    scalar is broadcast; ranking shuffles on doc_id only. The idf join keys
+    on term — Zipf-skewed, but the per-term df frame is one row per distinct
+    term, so AQE's broadcast promotion keeps the hot terms off a shuffle."""
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+@query(
+    "source_curation_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           count(*) - CAST(count(DISTINCT md5(lower(trim(text))))
+                           AS BIGINT) AS n_exact_dups,
+           round(CAST(sum(CAST({_QUALITY_SQL} AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_quality
+    FROM documents GROUP BY source
+    """,
+)
+def q_source_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit: volume, language spread, exact-duplicate
+    count (fingerprint collisions within the source), and mean quality score
+    — the dashboard a curation team watches per crawl/domain. One hash-agg
+    on source (bounded cardinality); the duplicate count rides the same
+    shuffle as a distinct-aggregate."""
+    from fxspark.ops.text import fingerprint, quality_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct(fingerprint(F.col("text"))))
+        .alias("n_exact_dups"),
+        F.round(
+            F.sum(quality_score(F.col("text")).cast("decimal(18,4)"))
+            .cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_quality"),
+    )
+
+
+@query(
+    "embedding_cluster_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
+         c AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < 8),
+         scored AS (
+           SELECT e.vec_id, c.cid, {_COS_SQL.format(a='e.emb', b='c.cv')} AS cos
+           FROM e, c
+         ),
+         best AS (
+           SELECT vec_id, cid, cos FROM (
+             SELECT vec_id, cid, cos,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid) AS rk
+             FROM scored
+           ) WHERE rk = 1
+         )
+    SELECT cid, count(*) AS n_vecs,
+           round(CAST(sum(CAST(round(cos, 9) AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 6) AS avg_cos
+    FROM best GROUP BY cid
+    """,
+)
+def q_embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means / IVF-training assignment step (ops/similarity.centroid_assign):
+    every vector goes to its max-cosine centroid (vec_id < 8 plays the
+    centroid set), then per-cluster population and mean cosine. Centroids are
+    broadcast — the corpus never shuffles to score; the mean is summed in
+    exact decimal so the result is partitioning-independent."""
+    from fxspark.ops.similarity import centroid_assign
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assigned = centroid_assign(emb, cents, cid_col="cid")
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("cos"), 9).cast("decimal(20,10)"))
+            .cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_cos"),
+    )
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``session_window`` (30-min gap):
+    per (user, session) event count and exact value sum. Complements
+    session_stats (which derives sessions with the explicit lag/cumsum
+    gaps-and-islands plan): same semantics, one hash-agg with a dynamic
+    merging window — the operator Structured Streaming reuses for stateful
+    session aggregation. The oracle replays gaps-and-islands in SQL; an
+    event exactly at the 30-min boundary CONTINUES the session (verified
+    against the built-in operator's merge rule — gap comparison is
+    inclusive)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value"), 6).alias("total_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events", "total_value",
+    )
+
+
+@query(
+    "customer_decile_bands",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend, decile, pr, cd FROM (
+      SELECT o_custkey, spend,
+             ntile(10) OVER w AS decile,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd
+      FROM spend WINDOW w AS (ORDER BY spend DESC, o_custkey)
+    ) WHERE decile IN (1, 10)
+    """,
+)
+def q_customer_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking-function family: customers bucketed into spend deciles
+    (ntile) with percent_rank and cume_dist, keeping the top and bottom
+    bands. The unpartitioned window is a deliberate single-sort plan — at
+    100 TB the same semantics would come from approx_percentile cutpoints
+    joined back (documented in SCALE.md), but the declared operator here is
+    the exact SQL ranking family."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        exact_sum(F.col("o_totalprice"), 4).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    ranked = spend.select(
+        "o_custkey", "spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return ranked.filter(F.col("decile").isin(1, 10))
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube, already
+    covered by sales_rollup / segment_priority_cube) through the DataFrame
+    ``groupingSets`` API, with the grouping-id bitmask distinguishing
+    aggregation levels. One expand + hash-agg pass — Spark expands the sets
+    map-side so the shuffle still partial-combines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            exact_sum(F.col("l_extendedprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "late_lines_by_status",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipped lines split into high/low order
+    priority via conditional aggregation after a fact-fact join. Orders
+    projects two columns before the shuffle; the late filter applies at the
+    join so only qualifying lines aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "part_promo_suppliers",
+    oracle="""
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sq
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS tq
+      FROM lineitem GROUP BY l_partkey
+    ), dominant AS (
+      SELECT DISTINCT q.l_suppkey
+      FROM qty q
+      JOIN tot t USING (l_partkey)
+      JOIN part p ON p.p_partkey = q.l_partkey
+      WHERE q.sq > 0.15 * t.tq AND p.p_brand = 'Brand#1'
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN dominant d ON s.s_suppkey = d.l_suppkey
+    """,
+)
+def q_part_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate supply (>15% of shipped
+    quantity) of any Brand#1 part — nested aggregate vs aggregate compare,
+    then a semi join into the dimension. Both aggregates share the
+    l_partkey shuffle key; the part filter broadcasts; supplier join is a
+    broadcast semi join (supplier ≪ lineitem at every scale factor)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        exact_sum(F.col("l_quantity"), 4).alias("sq")
+    )
+    tot = li.groupBy("l_partkey").agg(
+        exact_sum(F.col("l_quantity"), 4).alias("tq")
+    )
+    dominant = (
+        qty.join(tot, "l_partkey")
+        .join(F.broadcast(part), qty["l_partkey"] == part["p_partkey"])
+        .filter(F.col("sq") > 0.15 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        dominant, supp["s_suppkey"] == dominant["l_suppkey"], "semi"
+    ).select("s_suppkey", "s_name")

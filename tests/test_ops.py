@@ -607,3 +607,92 @@ def test_rp_project_preserves_neighbors(spark):
         rp_project(F.transform(F.col("v"), lambda x: x * 2), planes).alias("p")
     ).collect()[0]["p"]
     assert all(abs(b - 2 * a) < 1e-12 for a, b in zip(p1, p2))
+
+
+def test_ngram_overlap_broadcast_contamination(spark):
+    """Contamination = shared distinct n-grams with the benchmark side;
+    docs without overlap are absent; counts match a hand computation."""
+    from pyspark.sql import Row
+
+    from fxspark.ops.dedup import ngram_overlap
+
+    train = spark.createDataFrame([
+        Row(id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(id=2, text="completely different words entirely here now"),
+        Row(id=3, text="quick brown fox jumps high quick brown fox jumps"),
+    ])
+    bench = spark.createDataFrame([
+        Row(id=100, text="a quick brown fox jumps today"),
+    ])
+    out = {
+        r["id"]: (r["n_shared_grams"], r["n_bench_docs"])
+        for r in ngram_overlap(train, bench, "id", "text", n=4).collect()
+    }
+    # bench 4-grams: {a quick brown fox, quick brown fox jumps, brown fox jumps today}
+    assert out[1] == (1, 1)       # shares "quick brown fox jumps"
+    assert out[3] == (1, 1)       # same single shared gram (distinct)
+    assert 2 not in out           # no overlap -> absent
+
+
+def test_quality_signals_hand_values(spark):
+    from pyspark.sql import Row
+
+    from fxspark.ops.text import dup_token_frac, mean_word_len, top_ngram_stats
+
+    df = spark.createDataFrame([Row(id=1, text="aa bb aa bb aa bb")])
+    row = df.select(
+        mean_word_len(F.col("text")).alias("mwl"),
+        dup_token_frac(F.col("text")).alias("dtf"),
+    ).first()
+    assert row["mwl"] == 2.0
+    assert abs(row["dtf"] - (1 - 2 / 6)) < 1e-12
+    rep = top_ngram_stats(df, "id", "text", n=3).first()
+    # trigrams: [aa bb aa, bb aa bb, aa bb aa, bb aa bb] -> total 4, top 2
+    assert (rep["total_ngrams"], rep["top_ngram_count"]) == (4, 2)
+
+
+def test_centroid_assign_ties_and_argmax(spark):
+    from pyspark.sql import Row
+
+    from fxspark.ops.similarity import centroid_assign
+
+    vecs = spark.createDataFrame([
+        Row(vec_id=10, embedding=[1.0, 0.0]),
+        Row(vec_id=11, embedding=[0.0, 1.0]),
+        Row(vec_id=12, embedding=[1.0, 1.0]),   # equidistant -> smallest cid
+    ])
+    cents = spark.createDataFrame([
+        Row(cid=0, embedding=[1.0, 0.0]),
+        Row(cid=1, embedding=[0.0, 1.0]),
+    ])
+    got = {r["vec_id"]: r["cid"] for r in centroid_assign(vecs, cents).collect()}
+    assert got == {10: 0, 11: 1, 12: 0}
+
+
+def test_session_window_matches_sessionize_boundaries(spark):
+    """Built-in session_window and the explicit gaps-and-islands plan agree
+    on session membership, including an event exactly at the gap boundary
+    (merges into the running session — the inclusive boundary rule the
+    oracle SQL must mirror with a strict '>' break condition)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(user_id=1, ts=base),
+        Row(user_id=1, ts=base + dt.timedelta(minutes=29, seconds=59)),
+        Row(user_id=1, ts=base + dt.timedelta(minutes=59, seconds=59)),
+        # exactly 30:00 after the previous event -> SAME session (inclusive)
+        Row(user_id=1, ts=base + dt.timedelta(minutes=89, seconds=59)),
+        Row(user_id=2, ts=base),
+    ]
+    df = spark.createDataFrame(rows)
+    agg = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("session_window.start").alias("s"), "n")
+        .orderBy("user_id", "s")
+        .collect()
+    )
+    assert [(r["user_id"], r["n"]) for r in agg] == [(1, 4), (2, 1)]
