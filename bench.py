@@ -97,6 +97,7 @@ EXTENSION = [
     "grouping_sets_revenue",
     "late_lines_by_status",
     "part_promo_suppliers",
+    "doc_token_chunks",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

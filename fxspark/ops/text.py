@@ -154,6 +154,41 @@ def top_ngram_stats(
     ).withColumnRenamed("_id", id_col)
 
 
+def chunk_tokens(
+    df,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 16,
+    min_tokens: int = 8,
+):
+    """Split documents into overlapping token windows (``size`` tokens every
+    ``stride``) — the context-length packing step that turns a document
+    corpus into training examples. Chunks shorter than ``min_tokens`` (the
+    tail) are dropped.
+
+    Pure built-in expressions (sequence → posexplode → slice): the explode
+    is map-side, so the operator is shuffle-free and scales with input
+    splits; chunk_idx is the 0-based window ordinal."""
+    t = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.size(t), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.posexplode(starts).alias("chunk_idx", "_s"),
+    )
+    chunk = F.slice(F.col("_t"), F.col("_s"), size)
+    return (
+        exploded.select(
+            id_col,
+            "chunk_idx",
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -3328,20 +3328,31 @@ def q_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_part_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers who dominate supply (>15% of shipped
     quantity) of any Brand#1 part — nested aggregate vs aggregate compare,
-    then a semi join into the dimension. Both aggregates share the
-    l_partkey shuffle key; the part filter broadcasts; supplier join is a
-    broadcast semi join (supplier ≪ lineitem at every scale factor)."""
+    then a semi join into the dimension. The per-part total RE-AGGREGATES
+    the per-(part, supplier) decimal sums (associative, so bit-identical to
+    a direct sum) — lineitem is scanned and shuffled ONCE, and the second
+    aggregation reduces rows that are already one-per-(part, supplier).
+    The part filter broadcasts; supplier join is a broadcast semi join
+    (supplier ≪ lineitem at every scale factor)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     ).select("p_partkey")
-    qty = li.groupBy("l_partkey", "l_suppkey").agg(
-        exact_sum(F.col("l_quantity"), 4).alias("sq")
+    # Materialize the shared aggregate once: Catalyst does not canonicalize
+    # the two consumers to a ReusedExchange (verified on the executed AQE
+    # plan), so without this lineitem is scanned and aggregated twice. The
+    # checkpointed frame is one row per (part, supplier) — tiny relative to
+    # the fact table at any scale.
+    qty_dec = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("_sqd")
+    ).localCheckpoint()
+    qty = qty_dec.select(
+        "l_partkey", "l_suppkey", F.col("_sqd").cast("double").alias("sq")
     )
-    tot = li.groupBy("l_partkey").agg(
-        exact_sum(F.col("l_quantity"), 4).alias("tq")
+    tot = qty_dec.groupBy("l_partkey").agg(
+        F.sum("_sqd").cast("double").alias("tq")
     )
     dominant = (
         qty.join(tot, "l_partkey")
@@ -3354,3 +3365,42 @@ def q_part_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         dominant, supp["s_suppkey"] == dominant["l_suppkey"], "semi"
     ).select("s_suppkey", "s_name")
+
+
+@query(
+    "doc_token_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t, unnest([x for x in range(1, len(t)+1, 16)]) AS s
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, (s-1)//16 AS chunk_idx,
+             array_to_string(t[s:s+31], ' ') AS c,
+             len(t[s:s+31]) AS n_tokens
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(c[i]) AS BIGINT) for i in range(1, len(c)+1)]),
+             (acc, ch) -> (acc * 131 + ch) % 1000000007) AS chunk_fp
+    FROM chunks WHERE n_tokens >= 8
+    """,
+)
+def q_doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (ops/text.chunk_tokens): overlapping 32-token
+    windows every 16 tokens per document, short tails dropped, each chunk
+    identified by its rolling-hash fingerprint. Map-side only — sequence →
+    posexplode → slice never shuffles, so chunking 100 TB is embarrassingly
+    parallel; the fingerprint keeps the differential exact without hashing
+    engine-specific strings."""
+    from fxspark.ops.text import chunk_tokens, rolling_fingerprint
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chunks = chunk_tokens(docs, "doc_id", "text", size=32, stride=16, min_tokens=8)
+    return chunks.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        rolling_fingerprint(F.col("chunk_text")).alias("chunk_fp"),
+    )

@@ -696,3 +696,18 @@ def test_session_window_matches_sessionize_boundaries(spark):
         .collect()
     )
     assert [(r["user_id"], r["n"]) for r in agg] == [(1, 4), (2, 1)]
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    from pyspark.sql import Row
+
+    from fxspark.ops.text import chunk_tokens
+
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([Row(id=1, text=text)])
+    out = chunk_tokens(df, "id", "text", size=32, stride=16, min_tokens=8).collect()
+    got = {(r["chunk_idx"], r["n_tokens"]) for r in out}
+    # starts 1,17,33 -> sizes 32, 24, 8; all >= 8 so all kept
+    assert got == {(0, 32), (1, 24), (2, 8)}
+    first = next(r for r in out if r["chunk_idx"] == 0)
+    assert first["chunk_text"].startswith("w0 w1 ") and first["chunk_text"].endswith("w31")

@@ -71,3 +71,34 @@ def test_filter_pushdown_reaches_orders_scan(spark, sf_dir):
     pushed = " ".join(s[:300] for s in segs[1:])
     assert "o_orderdate" in pushed
     assert "l_returnflag" in pushed
+
+
+def test_contamination_broadcasts_bench_side(spark, sf_dir):
+    """The benchmark gram index must broadcast — the corpus side of the
+    decontamination join must not shuffle."""
+    plan = _plan(spark, sf_dir, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_grouping_sets_single_expand_single_scan(spark, sf_dir):
+    """GROUPING SETS must compile to ONE scan + ONE Expand feeding a single
+    partial/final aggregate — not a union of per-set scans."""
+    plan = _plan(spark, sf_dir, "grouping_sets_revenue")
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert plan.count("Expand") == 1, plan[:3000]
+
+
+def test_part_promo_reuses_lineitem_aggregate(spark, sf_dir):
+    """Q20's per-part total must derive from the checkpointed per-(part,
+    supplier) aggregate: the final plan reads lineitem zero times (it sits
+    behind the checkpoint) and only part + supplier as parquet."""
+    plan = _plan(spark, sf_dir, "part_promo_suppliers")
+    assert plan.count("Scan parquet") == 2, plan[:3000]
+
+
+def test_token_chunks_shuffle_free(spark, sf_dir):
+    """Chunking is a map-only pipeline: no Exchange anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "doc_token_chunks")
+    # the spread() repartition is the only allowed exchange (parallelism
+    # spreading of a single-row-group fixture read), nothing else
+    assert plan.count("Exchange") <= 1, plan[:3000]
