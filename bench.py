@@ -98,6 +98,9 @@ EXTENSION = [
     "late_lines_by_status",
     "part_promo_suppliers",
     "doc_token_chunks",
+    "props_variant_stats",
+    "lateral_top_orders",
+    "order_month_spine",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -3404,3 +3404,116 @@ def q_doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_idx", "n_tokens",
         rolling_fingerprint(F.col("chunk_text")).alias("chunk_fp"),
     )
+
+
+@query(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           count(json_extract_string(props, '$.k')) AS k_cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT column (Spark 4): ``parse_json`` once into the
+    binary variant encoding, then typed ``try_variant_get`` extractions feed
+    a grouped aggregate. Versus ``from_json`` + a declared struct
+    (json_props_extract), variant defers the schema to read time — the
+    shredded binary scans faster than re-parsing JSON text per access, the
+    right trade for schema-drifting event properties at scale. Integer sums
+    stay in bigint (exact)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("_k").alias("k_min"),
+            F.max("_k").alias("k_max"),
+            F.sum("_k").alias("k_sum"),
+            F.count("_k").alias("k_cnt"),
+        )
+    )
+
+
+@query(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    WHERE c.c_custkey < 300
+    """,
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the DataFrame ``lateralJoin`` API
+    (Spark 4): each customer's top-2 orders by price. Catalyst decorrelates
+    the per-row limit into a ranked join (no per-customer re-execution) —
+    the same plan the window form would give, declared in the SQL-standard
+    lateral shape. The driver differential runs DuckDB's LATERAL for the
+    oracle."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 300
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    top2 = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return cust.lateralJoin(top2)
+
+
+@query(
+    "order_month_spine",
+    oracle="""
+    WITH RECURSIVE spine(m) AS (
+      SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS m
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM spine
+      WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+    ), monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT s.m AS month_start,
+           coalesce(mo.n_orders, 0) AS n_orders,
+           coalesce(mo.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+    """,
+)
+def q_order_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine via RECURSIVE CTE on the raw Spark SQL surface
+    (Spark 4 WITH RECURSIVE): materialize every month between the first and
+    last order date — including empty ones, which a plain GROUP BY can never
+    emit — then left-join monthly order stats. The recursion is bounded and
+    acyclic (one row per step); both engines run the identical statement,
+    so the differential covers the recursive execution itself."""
+    from fxspark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+    WITH RECURSIVE spine(m) AS (
+      SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS m
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM spine
+      WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+    ), monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT s.m AS month_start,
+           coalesce(mo.n_orders, 0) AS n_orders,
+           coalesce(mo.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+    """)
