@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from fxspark import fx
 from fxspark.ingest import normalize
+from fxspark.ops.checks import check_report, observe_checks
 from fxspark.sink import console_report, read_table, upsert, write_table
 from fxspark.sources import csv_pairs, http_rates, json_dir_rates
 
@@ -46,6 +47,11 @@ def tick(
         raise ValueError("need rates_dir, or url_template + pairs_csv")
 
     rates, quarantined = normalize(raw)
+    # Constraint metrics ride the store write (one pass, no validation
+    # re-scan): natural-key uniqueness, rate non-null + sane range.
+    rates, obs = observe_checks(
+        rates, key=list(KEYS), not_null=["rate"], ranges={"rate": (0.0, 1e6)}
+    )
     existing = read_table(spark, store_path)
     merged = upsert(existing, rates, KEYS, ORDER)
     write_table(merged, store_path)
@@ -63,6 +69,8 @@ def tick(
         )
         if n_bad:
             print(f"[quarantine] {n_bad} payload(s) set aside")
+        for constraint, count in check_report(obs.get):
+            print(f"[check] {constraint}: {count}")
         print(f"Script executed in {time.time() - t0:.2f} seconds")  # Fx_1min.py:262
     return result
 

@@ -711,3 +711,29 @@ def test_chunk_tokens_windows_and_tail(spark):
     assert got == {(0, 32), (1, 24), (2, 8)}
     first = next(r for r in out if r["chunk_idx"] == 0)
     assert first["chunk_text"].startswith("w0 w1 ") and first["chunk_text"].endswith("w31")
+
+
+def test_observe_checks_single_pass_metrics(spark):
+    """Constraint metrics ride the materializing action: nulls, range
+    violations, duplicate keys — no second scan."""
+    from pyspark.sql import Row
+
+    from fxspark.ops.checks import check_report, observe_checks
+
+    df = spark.createDataFrame([
+        Row(k=1, d="a", rate=1.0),
+        Row(k=1, d="a", rate=-5.0),   # dup key + below range
+        Row(k=2, d="b", rate=None),   # null rate
+        Row(k=3, d="c", rate=2.0),
+    ])
+    checked, obs = observe_checks(
+        df, key=["k", "d"], not_null=["rate"], ranges={"rate": (0.0, 100.0)}
+    )
+    checked.write.format("noop").mode("overwrite").save()
+    got = dict(check_report(obs.get))
+    assert got == {
+        "rows": 4,
+        "null__rate": 1,
+        "range__rate": 2,   # the -5 and the NULL both fail the range
+        "dupkey_extra_approx": 1,
+    }
