@@ -101,6 +101,9 @@ EXTENSION = [
     "props_variant_stats",
     "lateral_top_orders",
     "order_month_spine",
+    "user_value_locf",
+    "user_event_type_profile",
+    "doc_unigram_surprisal",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -3541,3 +3541,110 @@ def q_order_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
     WHERE s.m BETWEEN TIMESTAMP '{lit["m0"]}' AND TIMESTAMP '{lit["m1"]}'
     """)
+
+
+@query(
+    "user_value_locf",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM events
+    """,
+)
+def q_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / LOCF (last observation carried forward): every event
+    carries the user's most recent purchase value — the standard time-series
+    gap-fill, here via ``last(..., ignorenulls=True)`` over a running frame.
+    One shuffle on user_id; the running frame is a streaming-friendly
+    single-pass window (no second sort). Values are carried, not computed,
+    so the differential is bit-exact by construction."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return events.select(
+        "event_id", "user_id", "ts",
+        F.last(pv, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@query(
+    "user_event_type_profile",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_profile,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate with pinned determinism: the per-user distinct
+    event-type set as a SORTED joined string (collect_set order is
+    partitioning-dependent — array_sort makes the result plan-independent,
+    the discipline every collect_* use needs to survive the differential
+    and any cluster re-run). One partial-combine shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+        .alias("type_profile"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "doc_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS c FROM toks GROUP BY w
+    ), total AS (SELECT count(*) AS n FROM toks),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(-ln(CAST(f.c AS DOUBLE) / total.n), 9)
+                  AS DECIMAL(20,10)) AS s
+      FROM toks t JOIN freq f USING (w), total
+    )
+    SELECT doc_id,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_surprisal,
+           count(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: mean unigram surprisal
+    (−ln p(token) under the corpus unigram distribution) per document — low
+    means formulaic/repetitive text, high means rare-token soup; the cheap
+    statistical cousin of model-based perplexity filters. The token
+    frequency table is one partial-combine agg and joins back broadcast-
+    promoted (distinct-token cardinality ≪ corpus); per-token surprisals
+    are rounded then summed in exact decimal so the mean is
+    partitioning-independent."""
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    s = F.round(-F.log(F.col("c").cast("double") / F.col("n")), 9).cast(
+        "decimal(20,10)"
+    )
+    return (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", s.alias("_s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_s").cast("double") / F.count(F.lit(1)), 6)
+            .alias("mean_surprisal"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -737,3 +737,71 @@ def test_observe_checks_single_pass_metrics(spark):
         "range__rate": 2,   # the -5 and the NULL both fail the range
         "dupkey_extra_approx": 1,
     }
+
+
+def test_ngram_udtf_matches_builtin_expression(spark):
+    """The Python UDTF surface agrees with its codegen'd twin
+    (ops.text.ngrams) — lateralJoin expansion vs expression explode."""
+    from pyspark.sql import Row
+
+    from fxspark.ops.text import ngrams
+    from fxspark.ops.udtf import NgramUDTF, register
+
+    df = spark.createDataFrame([
+        Row(id=1, text="a b c d"),
+        Row(id=2, text="x y"),       # shorter than n -> no rows
+    ])
+    via_udtf = {
+        (r["id"], r["pos"], r["gram"])
+        for r in df.lateralJoin(
+            NgramUDTF(F.col("text").outer(), F.lit(3))
+        ).select("id", "pos", "gram").collect()
+    }
+    via_expr = {
+        (r["id"], r["pos"], r["gram"])
+        for r in df.select(
+            "id", F.posexplode(ngrams(F.col("text"), 3)).alias("pos", "gram")
+        ).collect()
+    }
+    assert via_udtf == via_expr == {(1, 0, "a b c"), (1, 1, "b c d")}
+
+    register(spark)
+    df.createOrReplaceTempView("t_udtf")
+    sql_rows = spark.sql(
+        "SELECT t.id, g.pos, g.gram FROM t_udtf t, "
+        "LATERAL ngrams_udtf(t.text, 3) g"
+    ).collect()
+    assert {(r["id"], r["pos"], r["gram"]) for r in sql_rows} == via_expr
+
+
+def test_jaccard_freq_cap_consistent_universe(spark):
+    """With max_shingle_freq set, BOTH the intersection and the set sizes
+    must use the capped shingle universe (ADVICE r1): a pair whose only
+    shared shingles are ubiquitous drops out, and surviving pairs score
+    their jaccard over the filtered sets, not the raw ones."""
+    from pyspark.sql import Row
+
+    from fxspark.ops.dedup import jaccard_pairs
+
+    # 'x y z' trigram appears in ALL four docs (ubiquitous); docs 1/2 also
+    # share a rare tail, docs 3/4 share ONLY the ubiquitous part.
+    rows = [
+        Row(id=1, text="x y z q r s t"),
+        Row(id=2, text="x y z q r s u"),
+        Row(id=3, text="x y z a b"),
+        Row(id=4, text="x y z c d"),
+    ]
+    df = spark.createDataFrame(rows)
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, "id", "text", n=3, threshold=0.3, max_shingle_freq=2
+        ).collect()
+    }
+    # docs 3,4 vanish: their only common shingle 'x y z' has df=4 > cap
+    assert all(p == (1, 2) for p in capped)
+    # capped universes (df<=2): doc1 {y z q, z q r, q r s, r s t},
+    # doc2 {y z q, z q r, q r s, r s u}; shared = 3
+    # jaccard over the CAPPED sets = 3 / (4+4-3) = 0.6 (raw sets would
+    # give 4/6 — the old biased formula mixed the two)
+    assert abs(capped[(1, 2)] - 0.6) < 1e-9
