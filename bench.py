@@ -104,12 +104,14 @@ EXTENSION = [
     "user_value_locf",
     "user_event_type_profile",
     "doc_unigram_surprisal",
+    "media_resized_meta",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))
 EXT_REPS = int(os.environ.get("FXSPARK_BENCH_EXT_REPS", "1"))
 
 FX_ROWS = int(os.environ.get("FXSPARK_BENCH_FX_ROWS", "1000000"))
+EVENT_ROWS = int(os.environ.get("FXSPARK_BENCH_EVENT_ROWS", "10000000"))
 
 
 def synth_exchange_rates(spark, n_rows: int):
@@ -200,6 +202,33 @@ def main() -> None:
         runs.append(time.perf_counter() - t0)
     ext_timings[f"fx_rate_change_{FX_ROWS // 1000}k"] = round(statistics.median(runs), 4)
     print(f"# ext fx_rate_change_{FX_ROWS // 1000}k: {runs[-1]:.3f}s", file=sys.stderr)
+
+    # Row-throughput probe: latest-per-key over EVENT_ROWS synthetic events
+    # (column-generated, no I/O) — the reference's core primitive at 100x
+    # the sf0.1 events table; linear hash-agg, scales with cores.
+    from pyspark.sql import functions as SF
+
+    from fxspark.ops.latest import latest_per_key_agg
+
+    ev = spark.range(EVENT_ROWS).select(
+        (SF.col("id") % 100_000).alias("user_id"),
+        SF.timestamp_millis(
+            SF.lit(1704067200000) + SF.pmod(SF.col("id") * 7919, SF.lit(2_592_000)) * 1000
+        ).alias("ts"),
+        SF.col("id").alias("event_id"),
+        (SF.pmod(SF.col("id") * 104729, SF.lit(1000)) / 10.0).alias("value"),
+    )
+    def ev_run():
+        latest_per_key_agg(
+            ev, "user_id", ["ts", "event_id"], payload=["event_id", "ts", "value"]
+        ).write.format("noop").mode("overwrite").save()
+    ev_run()
+    runs = []
+    for _ in range(EXT_REPS):
+        t0 = time.perf_counter(); ev_run()
+        runs.append(time.perf_counter() - t0)
+    ext_timings[f"events_latest_{EVENT_ROWS // 1000}k"] = round(statistics.median(runs), 4)
+    print(f"# ext events_latest_{EVENT_ROWS // 1000}k: {runs[-1]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

@@ -3648,3 +3648,28 @@ def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@query(
+    "media_resized_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text)) + 24
+                ELSE octet_length(encode(text)) END AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'unknown' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN 96 ELSE -1 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 72 ELSE -1 END AS height
+    FROM documents
+    """,
+)
+def q_media_resized_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal transform chain: resize (header byte surgery — the STUB
+    half of a codec resize, multimodal.resize_image) → metadata re-decode.
+    Two mapInPandas stages pipelined in one pass (no shuffle between them —
+    both are map-side); PNG payloads re-read as 96×72, non-PNG pass through
+    untouched. The oracle restates the declared byte-level contract."""
+    from fxspark.multimodal import decode_image_meta, resize_image
+
+    return decode_image_meta(
+        resize_image(_doc_media(spark, sf_dir), width=96, height=72)
+    )
