@@ -105,6 +105,8 @@ EXTENSION = [
     "user_event_type_profile",
     "doc_unigram_surprisal",
     "media_resized_meta",
+    "customer_bag_set_ops",
+    "nullsafe_event_match",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

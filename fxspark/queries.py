@@ -3673,3 +3673,84 @@ def q_media_resized_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(
         resize_image(_doc_media(spark, sf_dir), width=96, height=72)
     )
+
+
+@query(
+    "customer_bag_set_ops",
+    oracle="""
+    WITH cur AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+         prev AS (SELECT o_custkey FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT o_custkey, 'only_recent_excess' AS bucket, count(*) AS n
+    FROM (SELECT * FROM cur EXCEPT ALL SELECT * FROM prev) GROUP BY o_custkey
+    UNION ALL
+    SELECT o_custkey, 'common_min' AS bucket, count(*) AS n
+    FROM (SELECT * FROM cur INTERSECT ALL SELECT * FROM prev) GROUP BY o_custkey
+    """,
+)
+def q_customer_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL) — the
+    multiplicity-preserving twins of customer_set_ops: per customer, how
+    many excess recent orders beyond their pre-1997 count, and the
+    overlapping multiplicity. Spark plans both as counted hash joins (no
+    row-by-row dedup); one shuffle each on the grouping key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    cur = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    prev = orders.filter(F.col("o_orderdate") < cutoff).select("o_custkey")
+    excess = (
+        cur.exceptAll(prev).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("o_custkey", F.lit("only_recent_excess").alias("bucket"), "n")
+    )
+    common = (
+        cur.intersectAll(prev).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("o_custkey", F.lit("common_min").alias("bucket"), "n")
+    )
+    return excess.unionByName(common)
+
+
+@query(
+    "nullsafe_event_match",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, user_id,
+             CASE WHEN value < 10 THEN NULL
+                  ELSE CAST(floor(value / 100) AS BIGINT) END AS band
+      FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT CASE WHEN value < 10 THEN NULL
+                  ELSE CAST(floor(value / 100) AS BIGINT) END AS band,
+             count(*) AS n_clicks
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1
+    )
+    SELECT a.event_id, a.user_id, a.band, b.n_clicks
+    FROM a JOIN b ON a.band IS NOT DISTINCT FROM b.band
+    """,
+)
+def q_nullsafe_event_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): purchase
+    events matched to the click-count of their value band, where the
+    below-threshold band is NULL and NULL must MATCH NULL (a plain equi-join
+    silently drops those rows — the classic nullable-dimension-key bug).
+    The aggregated band frame is tiny and broadcasts."""
+    events = load_table(spark, sf_dir, "events")
+    band = F.when(F.col("value") < 10, F.lit(None).cast("long")).otherwise(
+        F.floor(F.col("value") / 100).cast("long")
+    )
+    a = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", band.alias("band")
+    )
+    b = (
+        events.filter(F.col("event_type") == "click")
+        .select(band.alias("b_band"))
+        .groupBy("b_band")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    return (
+        a.join(F.broadcast(b), a["band"].eqNullSafe(b["b_band"]))
+        .select("event_id", "user_id", "band", "n_clicks")
+    )
