@@ -150,6 +150,11 @@ def main() -> None:
     # measured ~20% off the per-query stage floor. A real cluster run sets
     # FXSPARK_SHUFFLE_PARTITIONS explicitly.
     os.environ.setdefault("FXSPARK_SHUFFLE_PARTITIONS", "8")
+    # Floor-dominated regime: AQE's per-stage replanning costs ~24% of the
+    # headline total at sf0.1 and buys nothing (shuffles are KBs). The
+    # session default keeps AQE on — this pin is the bench twin of "size
+    # your configs to the data".
+    os.environ.setdefault("FXSPARK_AQE", "false")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:

@@ -44,14 +44,19 @@ def get_spark(app_name: str = "fxspark", master: str | None = None) -> SparkSess
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     shuffle_parts = os.environ.get("FXSPARK_SHUFFLE_PARTITIONS", "32")
+    # AQE is the at-scale default (runtime broadcast, skew splits, coalesce);
+    # its per-stage replanning is pure overhead when every shuffle is a few
+    # KB — bench.py pins it off for the floor-dominated local regime
+    # (measured 24% of the sf0.1 headline total). Clusters keep it on.
+    aqe = os.environ.get("FXSPARK_AQE", "true")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", shuffle_parts)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Testdata stores TIMESTAMP(NANOS) which Spark has no native type for;
         # read as epoch-ns long, then load_table floor-divides to micros —

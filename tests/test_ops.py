@@ -805,3 +805,31 @@ def test_jaccard_freq_cap_consistent_universe(spark):
     # jaccard over the CAPPED sets = 3 / (4+4-3) = 0.6 (raw sets would
     # give 4/6 — the old biased formula mixed the two)
     assert abs(capped[(1, 2)] - 0.6) < 1e-9
+
+
+def test_range_join_pre_epoch_floor_bins(spark):
+    """Pre-1970 (negative epoch) timestamps must bin by FLOOR, not
+    truncation (ADVICE r1): an in-tolerance pair straddling an exact bin
+    edge below zero is found, and the result matches a naive cross-join
+    filter on a mixed-sign timeline."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from fxspark.ops.asof import range_join
+
+    base = dt.datetime(1969, 12, 31, 23, 58, 0)   # 2 min before the epoch
+    l_rows = [Row(k=1, lt=base + dt.timedelta(seconds=s)) for s in (0, 59, 130)]
+    r_rows = [Row(k=1, rt=base + dt.timedelta(seconds=s)) for s in (45, 121, 250)]
+    l = spark.createDataFrame(l_rows)
+    r = spark.createDataFrame(r_rows)
+    got = {
+        (x["lt"], x["rt"])
+        for x in range_join(l, r, "lt", "rt", tolerance_s=60, keys="k").collect()
+    }
+    naive = {
+        (a.lt, b.rt)
+        for a in l_rows for b in r_rows
+        if abs((a.lt - b.rt).total_seconds()) <= 60
+    }
+    assert got == naive and len(naive) == 3

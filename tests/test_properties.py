@@ -90,3 +90,73 @@ def test_dedup_latest_conserves_distinct_keys(spark, rows):
     df = _df(spark, rows)
     out = dedup_latest(df, ["k"], ["o", "uid"])
     assert out.count() == len({k for k, _, _ in rows})
+
+
+# --- round-2 curation-op properties -----------------------------------------
+
+texts_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=texts_strategy)
+@SETTINGS
+def test_chunk_tokens_covers_every_token(spark, texts):
+    """With stride <= size and min_tokens=1, chunking loses nothing: the
+    multiset union of chunk tokens covers every original token at least
+    once, and chunk 0 always starts at token 1."""
+    from fxspark.ops.text import chunk_tokens, tokens
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(id=i, text=t) for i, t in enumerate(texts)])
+    chunks = chunk_tokens(df, "id", "text", size=4, stride=2, min_tokens=1)
+    got = {
+        (r["id"], r["chunk_idx"]): r["chunk_text"].split(" ")
+        for r in chunks.collect()
+    }
+    base = {
+        r["id"]: r["t"]
+        for r in df.select("id", tokens(F.col("text")).alias("t")).collect()
+    }
+    for i, toks in base.items():
+        covered = set()
+        for (gid, _), ctoks in got.items():
+            if gid == i:
+                covered.update(ctoks)
+        assert set(toks) <= covered  # nothing dropped
+        if (i, 0) in got:
+            assert got[(i, 0)] == toks[:4]  # first window anchored at start
+
+
+@given(texts=texts_strategy)
+@SETTINGS
+def test_ngram_overlap_matches_bruteforce(spark, texts):
+    """ngram_overlap (broadcast inverted-index join) equals the brute-force
+    per-pair set intersection for any corpus split."""
+    from fxspark.ops.dedup import ngram_overlap
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(id=i, text=t) for i, t in enumerate(texts)])
+    bench = df.filter(F.col("id") % 2 == 0)
+    train = df.filter(F.col("id") % 2 == 1)
+    got = {
+        r["id"]: (r["n_shared_grams"], r["n_bench_docs"])
+        for r in ngram_overlap(train, bench, "id", "text", n=2).collect()
+    }
+
+    def grams(t):
+        toks = t.strip().lower().split(" ")
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    expected = {}
+    bg = {i: grams(t) for i, t in enumerate(texts) if i % 2 == 0}
+    for i, t in enumerate(texts):
+        if i % 2 == 0:
+            continue
+        shared = set().union(*[grams(t) & g for g in bg.values()]) if bg else set()
+        hits = sum(1 for g in bg.values() if grams(t) & g)
+        if shared:
+            expected[i] = (len(shared), hits)
+    assert got == expected
