@@ -279,3 +279,65 @@ def test_stream_stream_interval_join(spark, tmp_path):
     expect = {(r["user_id"], str(r["p_ts"]), str(r["c_ts"]))
               for r in stream_stream_interval_join(pb, cb).collect()}
     assert got == expect and len(got) == 3
+
+
+def test_stateful_state_survives_query_restart(spark, tmp_path):
+    """Fault-tolerance contract: applyInPandasWithState state lives in the
+    CHECKPOINT, not the query object — a brand-new query started from the
+    same checkpoint continues per-key counters/EWMA instead of restarting
+    from zero (executor/driver loss ⇒ only the failed micro-batch replays)."""
+    from fxspark.streaming.stateful import stateful_pair_stats
+
+    drops = tmp_path / "rdrops"
+    drops.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ccy_couple string, event_time long, rate double"
+
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(drops))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # and is the shape the production upsert stream uses anyway.
+        return (
+            stateful_pair_stats(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with open(drops / "a.json", "w") as f:
+        for r in ({"ccy_couple": "EUR/USD", "event_time": 1, "rate": 1.0},
+                  {"ccy_couple": "EUR/USD", "event_time": 2, "rate": 2.0}):
+            f.write(json.dumps(r) + "\n")
+    q1 = start()
+    q1.awaitTermination(120)
+
+    # second drop lands AFTER the first query fully stopped
+    with open(drops / "b.json", "w") as f:
+        for r in ({"ccy_couple": "EUR/USD", "event_time": 3, "rate": 3.0},
+                  {"ccy_couple": "EUR/USD", "event_time": 4, "rate": 4.0}):
+            f.write(json.dumps(r) + "\n")
+    q2 = start()
+    q2.awaitTermination(120)
+
+    out = (
+        spark.read.parquet(out_dir)
+        .filter("ccy_couple = 'EUR/USD'")
+        .orderBy("n_total", ascending=False)
+        .collect()[0]
+    )
+    # state carried over the restart: 4 events total, EWMA 3.125 (not 3.5,
+    # which a from-zero restart over only events 3,4 would give)
+    assert out["n_total"] == 4
+    assert out["ewma"] == pytest.approx(3.125)
