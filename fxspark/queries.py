@@ -1246,7 +1246,11 @@ _PNG_HEADER = (
 def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fxspark.multimodal import to_media_frame
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # 8 partitions, not defaultParallelism: each mapInPandas partition costs
+    # a Python worker + Arrow stream; at fixture scale 32 workers for 5k
+    # tiny payloads is pure overhead (measured 0.65 s vs 0.37 s warm). On
+    # real multi-split media inputs parallelism follows the scan, not this.
+    docs = spread(load_table(spark, sf_dir, "documents"), parts=8)
     payload = F.when(
         F.col("doc_id") % 2 == 0,
         F.concat(F.lit(_PNG_HEADER), F.encode("text", "UTF-8")),
