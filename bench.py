@@ -107,6 +107,7 @@ EXTENSION = [
     "media_resized_meta",
     "customer_bag_set_ops",
     "nullsafe_event_match",
+    "curated_training_set",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -1356,7 +1356,9 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute force when every cell is probed."""
     from fxspark.ops.similarity import ivf_topk
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # pandas-UDF assignment: partitions follow the data (worker+Arrow cost
+    # per partition — see _doc_media), not the core count
+    emb = spread(load_table(spark, sf_dir, "embeddings"), parts=8)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivf_topk(emb, q, n_cells=16, n_probe=4, k=10)
 
@@ -3757,4 +3759,85 @@ def q_nullsafe_event_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(F.broadcast(b), a["band"].eqNullSafe(b["b_band"]))
         .select("event_id", "user_id", "band", "n_clicks")
+    )
+
+
+@query(
+    "curated_training_set",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, text, t, len(t) AS wc,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+               / len(t) AS mwl,
+             1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dtf,
+             md5(lower(trim(text))) AS fp
+      FROM toks WHERE doc_id % 11 <> 0
+    ), tg AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS g
+      FROM toks WHERE len(t) >= 3
+    ), rep AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS ttf
+      FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), gated AS (
+      SELECT b.* FROM base b LEFT JOIN rep r USING (doc_id)
+      WHERE b.wc >= 30 AND b.mwl BETWEEN 3 AND 10 AND b.dtf < 0.6
+        AND coalesce(r.ttf, 0.0) < 0.05
+    ), kept AS (
+      SELECT * FROM (
+        SELECT g.*, min(doc_id) OVER (PARTITION BY fp) AS min_id FROM gated g
+      ) WHERE doc_id = min_id
+    ), bsh AS (
+      SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(t[i:i+3], ' ') for i in range(1, len(t)-2)])) AS g
+      FROM toks WHERE doc_id % 11 = 0 AND len(t) >= 4
+    ), contaminated AS (
+      SELECT DISTINCT k.doc_id
+      FROM (SELECT doc_id, unnest(list_distinct(
+              [array_to_string(t[i:i+3], ' ') for i in range(1, len(t)-2)])) AS g
+            FROM kept WHERE len(t) >= 4) k
+      JOIN bsh USING (g)
+    ), clean AS (
+      SELECT doc_id, t FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), starts AS (
+      SELECT doc_id, t, unnest([x for x in range(1, len(t)+1, 16)]) AS s
+      FROM clean
+    ), chunks AS (
+      SELECT doc_id, (s-1)//16 AS chunk_idx,
+             array_to_string(t[s:s+31], ' ') AS c,
+             len(t[s:s+31]) AS n_tokens
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(c[i]) AS BIGINT) for i in range(1, len(c)+1)]),
+             (acc, ch) -> (acc * 131 + ch) % 1000000007) AS chunk_fp
+    FROM chunks WHERE n_tokens >= 8
+    """,
+)
+def q_curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data pipeline in one composed plan
+    (ops/pipeline.curate_corpus): quality gate → exact-dedup canonical keep
+    (window-min on fingerprint — no corpus-sized broadcast) → eval-set
+    decontamination (benchmark = doc_id % 11 == 0, broadcast gram index) →
+    32/16 token chunking, emitting fingerprinted training chunks. Every
+    stage is an independently-tested operator; the DuckDB oracle replays
+    the full five-stage ladder, so the differential certifies the composed
+    semantics, not just the parts."""
+    from fxspark.ops.pipeline import curate_corpus
+    from fxspark.ops.text import rolling_fingerprint
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    chunks = curate_corpus(train, bench)
+    return chunks.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        rolling_fingerprint(F.col("chunk_text")).alias("chunk_fp"),
     )

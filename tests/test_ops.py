@@ -833,3 +833,33 @@ def test_range_join_pre_epoch_floor_bins(spark):
         if abs((a.lt - b.rt).total_seconds()) <= 60
     }
     assert got == naive and len(naive) == 3
+
+
+def test_curate_corpus_stage_semantics(spark):
+    """Pipeline composition on a hand-built corpus: the gate drops junk, the
+    dedup keeps the smallest id per normalized text AMONG gated docs, the
+    decontamination drops benchmark-overlapping docs, and survivors chunk."""
+    from pyspark.sql import Row
+
+    from fxspark.ops.pipeline import curate_corpus
+
+    good = " ".join(f"tok{i}" for i in range(40))          # passes gate
+    dup = good.upper()                                      # same fingerprint
+    short = "too short"                                     # fails word count
+    contam = " ".join(f"evil{i}" for i in range(40))        # overlaps bench
+    docs = spark.createDataFrame([
+        Row(doc_id=5, text=good),
+        Row(doc_id=9, text=dup),
+        Row(doc_id=2, text=short),
+        Row(doc_id=7, text=contam),
+    ])
+    bench = spark.createDataFrame([
+        Row(doc_id=100, text="evil0 evil1 evil2 evil3 filler")
+    ])
+    out = curate_corpus(docs, bench).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {5}            # dup(9) deduped, short(2) gated, contam(7) dropped
+    # 40 tokens, windows at 1,17,33 -> sizes 32,24,8
+    assert sorted((r["chunk_idx"], r["n_tokens"]) for r in out) == [
+        (0, 32), (1, 24), (2, 8)
+    ]
