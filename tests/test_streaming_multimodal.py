@@ -341,3 +341,40 @@ def test_stateful_state_survives_query_restart(spark, tmp_path):
     # which a from-zero restart over only events 3,4 would give)
     assert out["n_total"] == 4
     assert out["ewma"] == pytest.approx(3.125)
+
+
+def test_curate_stream_incremental_dedup(spark, tmp_path):
+    """Streaming curation: gate + decontamination run per batch; exact dedup
+    spans batches via the store's fingerprint state — a later-arriving
+    duplicate of an already-accepted document is dropped even though the
+    batches never co-reside."""
+    from pyspark.sql import Row
+
+    from fxspark.streaming.curation import curate_stream
+
+    drops = tmp_path / "docs"
+    drops.mkdir()
+    store = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "cur_ckpt")
+
+    good_a = " ".join(f"alpha{i}" for i in range(40))
+    good_b = " ".join(f"beta{i}" for i in range(40))
+    contam = " ".join(f"evil{i}" for i in range(40))
+    bench = spark.createDataFrame(
+        [Row(doc_id=999, text="evil0 evil1 evil2 evil3 filler")]
+    )
+
+    with open(drops / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": good_a}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": contam}) + "\n")
+    q = curate_stream(spark, str(drops), bench, store, ckpt)
+    q.awaitTermination(120)
+
+    with open(drops / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 7, "text": good_a.upper()}) + "\n")  # dup of 1
+        f.write(json.dumps({"doc_id": 8, "text": good_b}) + "\n")
+    q = curate_stream(spark, str(drops), bench, store, ckpt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(store).select("doc_id").distinct().collect()
+    assert {r["doc_id"] for r in out} == {1, 8}
