@@ -166,30 +166,30 @@ def main() -> None:
     spark = get_spark("fxspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in QUERIES]
-    timings: dict[str, float] = {}
-    for name in names:
+    def timed(name, reps, sink):
+        """One warm-up + reps timed runs; a failing query records -1 and the
+        sweep continues (one regression must not blank the whole record)."""
         fn = QUERIES[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-        runs = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
+        try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+            runs = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            sink[name] = round(statistics.median(runs), 4)
+            print(f"# {name}: {sink[name]:.3f}s", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            sink[name] = -1.0
+            print(f"# {name}: ERROR {str(ex)[:200]}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in [n for n in HEADLINE if n in QUERIES]:
+        timed(name, REPS, timings)
 
     ext_timings: dict[str, float] = {}
     for name in [n for n in EXTENSION if n in QUERIES]:
-        fn = QUERIES[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-        runs = []
-        for _ in range(EXT_REPS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        ext_timings[name] = round(statistics.median(runs), 4)
-        print(f"# ext {name}: {ext_timings[name]:.3f}s", file=sys.stderr)
+        timed(name, EXT_REPS, ext_timings)
 
     # FX flagship at >=1e6 synthetic rows (BASELINE.md's FX-specific bench):
     # the reference's whole analytics query, 10x the largest fixture.
