@@ -3841,3 +3841,87 @@ def q_curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_idx", "n_tokens",
         rolling_fingerprint(F.col("chunk_text")).alias("chunk_fp"),
     )
+
+
+@query(
+    "hourly_ohlc_bars",
+    oracle="""
+    SELECT user_id, date_trunc('hour', ts) AS bar_hour,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           count(*) AS n_ticks
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def q_hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the canonical rates rollup the reference's FX
+    analysts consume (its minutely table IS tick data,
+    ``/root/reference/Fx_1min.py:29-40``): per (user, hour) first/max/min/
+    last value by event time. min_by/max_by aggregates, no window sort —
+    ONE partial/final hash-agg shuffle; open/close are carried values
+    (bit-exact), high/low are exact comparisons.
+
+    Tie discipline: events.ts is microsecond-unique per user in the
+    fixtures, so arg_min/min_by agree across engines without a tiebreaker.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar_hour")
+    return events.groupBy("user_id", bar).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@query(
+    "user_value_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), weighted AS (
+      SELECT user_id,
+             CAST(round(value * date_diff('second', ts, nxt), 4)
+                  AS DECIMAL(38,6)) AS wv,
+             date_diff('second', ts, nxt) AS w
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           round(CAST(sum(wv) AS DOUBLE) / sum(w), 6) AS twap,
+           CAST(sum(w) AS BIGINT) AS total_seconds
+    FROM weighted GROUP BY user_id HAVING sum(w) > 0
+    """,
+)
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) — each observation weighted by how
+    long it was the live value (lead-ts delta), the standard FX/market
+    fair-average the reference's last-value analytics can't express. One
+    window shuffle on user_id, then an exact-decimal weighted sum (per-row
+    products rounded then decimal-summed ⇒ partitioning-independent)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "ts", "value", F.lead("ts").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    secs = (F.unix_timestamp("nxt") - F.unix_timestamp("ts"))
+    weighted = seq.select(
+        "user_id",
+        F.round(F.col("value") * secs, 4).cast("decimal(38,6)").alias("wv"),
+        secs.alias("w"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.round(F.sum("wv").cast("double") / F.sum("w"), 6).alias("twap"),
+            F.sum("w").alias("total_seconds"),
+        )
+        .filter(F.col("total_seconds") > 0)
+    )
