@@ -89,6 +89,101 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, META_SCHEMA)
 
 
+def _be_int(col: F.Column, pos: int, nbytes: int) -> F.Column:
+    """Big-endian unsigned int from a binary slice (1-based byte offset) as a
+    pure JVM expression: slice → hex → base-16 conv."""
+    return F.conv(F.hex(F.substring(col, pos, nbytes)), 16, 10).cast("int")
+
+
+def _le_int(col: F.Column, pos: int, nbytes: int) -> F.Column:
+    """Little-endian unsigned int: hex the slice, swap the byte pairs."""
+    h = F.hex(F.substring(col, pos, nbytes))
+    swapped = F.concat(*[
+        F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))
+    ])
+    return F.conv(swapped, 16, 10).cast("int")
+
+
+def decode_image_meta_expr(media: DataFrame) -> DataFrame:
+    """``decode_image_meta`` as pure JVM expressions — NO Python stage.
+
+    Header sniffing is fixed-offset byte math (magic compare + big/little
+    endian field reads), which whole-stage codegen evaluates for free inside
+    the scan stage; the mapInPandas twin exists as the drop-in template for
+    real codecs (Pillow/ffmpeg), which genuinely need Python. Semantics are
+    pinned identical to ``_sniff`` by a parity test."""
+    p = F.col("payload")
+    is_empty = p.isNull() | (F.length(p) == 0)
+    is_png = (F.substring(p, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n")) & (
+        F.length(p) >= 24
+    )
+    is_gif = (
+        (F.substring(p, 1, 6) == F.lit(b"GIF87a"))
+        | (F.substring(p, 1, 6) == F.lit(b"GIF89a"))
+    ) & (F.length(p) >= 10)
+    is_jpeg = F.substring(p, 1, 2) == F.lit(b"\xff\xd8")
+    fmt = (
+        F.when(is_empty, "empty")
+        .when(is_png, "png")
+        .when(is_gif, "gif")
+        .when(is_jpeg, "jpeg")
+        .otherwise("unknown")
+    )
+    width = (
+        F.when(is_empty, -1)
+        .when(is_png, _be_int(p, 17, 4))
+        .when(is_gif, _le_int(p, 7, 2))
+        .otherwise(-1)
+    )
+    height = (
+        F.when(is_empty, -1)
+        .when(is_png, _be_int(p, 21, 4))
+        .when(is_gif, _le_int(p, 9, 2))
+        .otherwise(-1)
+    )
+    return media.select(
+        "media_id", "media_type", "n_bytes",
+        fmt.alias("format"), width.alias("width"), height.alias("height"),
+    )
+
+
+def decode_audio_meta_expr(media: DataFrame) -> DataFrame:
+    """``decode_audio_meta`` (canonical PCM WAV header) as JVM expressions —
+    the audio twin of ``decode_image_meta_expr``; parity-tested against
+    ``_sniff_audio``."""
+    p = F.col("payload")
+    is_empty = p.isNull() | (F.length(p) == 0)
+    is_wav = (
+        (F.length(p) >= 44)
+        & (F.substring(p, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(p, 9, 4) == F.lit(b"WAVE"))
+        & (F.substring(p, 13, 4) == F.lit(b"fmt "))
+        & (_le_int(p, 17, 4) == 16)
+        & (F.substring(p, 37, 4) == F.lit(b"data"))
+    )
+    channels = _le_int(p, 23, 2)
+    rate = _le_int(p, 25, 4)
+    bits = _le_int(p, 35, 2)
+    data_bytes = F.greatest(F.length(p) - 44, F.lit(0)).cast("double")
+    bytes_per_ms = (
+        rate.cast("double") * channels
+        * F.greatest(F.floor(bits / 8), F.lit(1)) / 1000.0
+    )
+    dur = F.when(bytes_per_ms > 0, F.floor(data_bytes / bytes_per_ms)).otherwise(
+        -1
+    ).cast("long")
+    pick = lambda c: F.when(is_empty | ~is_wav, F.lit(-1)).otherwise(c)  # noqa: E731
+    return media.select(
+        "media_id", "media_type", "n_bytes",
+        F.when(is_empty, "empty").when(is_wav, "wav").otherwise("unknown")
+        .alias("format"),
+        pick(rate).alias("sample_rate"),
+        pick(channels).alias("channels"),
+        pick(bits).alias("bits_per_sample"),
+        pick(dur).cast("long").alias("duration_ms"),
+    )
+
+
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Deterministic fake feature extractor (STUB for a real model/codec):
     embedding[i] = byte-histogram moment i of the payload. Replace the body

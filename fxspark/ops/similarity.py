@@ -228,6 +228,25 @@ def cosine_pairs_blocked(
     )
 
 
+def train_ivf_codebook(sample, n_cells: int = 16, seed: int = 7) -> list[list[float]]:
+    """Seeded Lloyd k-means on a driver-side float64 sample. Shared by
+    ``ivf_assign`` and the DuckDB oracle builder (queries._ivf_oracle), so the
+    oracle replays the EXACT codebook the Spark plan uses — this is what makes
+    an approximate, data-adaptive index hash-checkable."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(8):  # Lloyd on the sample
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cent]
+
+
 def ivf_assign(
     df: DataFrame,
     n_cells: int = 16,
@@ -256,16 +275,8 @@ def ivf_assign(
         [r[0] for r in df.select(vec_col).orderBy(id_col).limit(sample_size).collect()],
         dtype=np.float64,
     )
-    rng = np.random.RandomState(seed)
-    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
-    for _ in range(8):  # Lloyd on the sample
-        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(cent)):
-            members = sample[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-    centroids = [list(map(float, c)) for c in cent]
+    centroids = train_ivf_codebook(sample, n_cells, seed)
+    cent = np.array(centroids, dtype=np.float64)
 
     def _nearest(vecs):
         X = np.stack(vecs.to_numpy()).astype(np.float64)

@@ -103,6 +103,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _nanos_timestamp_cols(path):
         # integer `div` (not `/`): epoch-ns exceeds double's 2^53 exactness
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (the round-4
+    # regenerated testdata stores these instead of NANOS) arrive as
+    # TIMESTAMP_NTZ, which Spark's chrono functions (unix_micros & co)
+    # reject. Normalize to the engine-wide convention: LTZ timestamps whose
+    # instant equals the stored wall-clock read as UTC — exactly how DuckDB's
+    # reader treats naive parquet timestamps, so the oracle differential
+    # stays value-identical. The runtime tz pin makes the NTZ→LTZ cast
+    # deterministic in the driver's un-configured session too.
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

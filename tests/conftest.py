@@ -6,6 +6,13 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 os.environ.setdefault("FXSPARK_SHUFFLE_PARTITIONS", "8")
+# Data-adaptive oracles (embedding_ivf_topk bakes its k-means codebook into
+# literal centroids at import) must train on the SAME fixture the tests read.
+# Must run before fxspark.queries is first imported.
+os.environ.setdefault(
+    "FXSPARK_ORACLE_SF_DIR",
+    os.environ.get("FXSPARK_TEST_SF_DIR", "/root/testdata/sf0.001"),
+)
 
 
 @pytest.fixture(scope="session")

@@ -378,3 +378,53 @@ def test_curate_stream_incremental_dedup(spark, tmp_path):
 
     out = spark.read.parquet(store).select("doc_id").distinct().collect()
     assert {r["doc_id"] for r in out} == {1, 8}
+
+
+def test_expr_decoders_parity_with_pandas(spark):
+    """decode_image_meta_expr / decode_audio_meta_expr (pure JVM byte math)
+    must agree row-for-row with the mapInPandas twins on every branch:
+    PNG, GIF (little-endian dims), JPEG, WAV (canonical PCM), extensible WAV
+    (rejected), truncated headers, unknown, empty."""
+    import struct
+
+    from fxspark.multimodal import (
+        decode_audio_meta,
+        decode_audio_meta_expr,
+        decode_image_meta,
+        decode_image_meta_expr,
+        to_media_frame,
+    )
+
+    def wav(rate=44100, ch=2, bits=16, n_data=4000, fmt_size=16):
+        return (
+            b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", fmt_size, 1, ch, rate,
+                          rate * ch * bits // 8, ch * bits // 8, bits)
+            + (b"\x00" * max(fmt_size - 16, 0))
+            + b"data" + b"\x00\x00\x00\x00" + b"\x01" * n_data
+        )
+
+    payloads = [
+        PNG_1x2,
+        b"GIF89a" + b"\x03\x01\x04\x02" + b"x" * 8,
+        b"GIF87a" + b"\xff\xff\x01\x00",
+        b"\xff\xd8\xff\xe0rest",
+        b"\x89PNG\r\n\x1a\n short",          # PNG magic but truncated header
+        wav(),
+        wav(rate=8000, ch=1, bits=8, n_data=123),
+        wav(fmt_size=40),                     # WAVE_FORMAT_EXTENSIBLE → unknown
+        b"RIFF1234WAVEnope",                  # RIFF but not canonical fmt
+        b"not media at all",
+        b"",
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, blob=bytearray(p)) for i, p in enumerate(payloads)]
+    )
+    for kind, pandas_fn, expr_fn in [
+        ("image", decode_image_meta, decode_image_meta_expr),
+        ("audio", decode_audio_meta, decode_audio_meta_expr),
+    ]:
+        media = to_media_frame(df, "id", "blob", kind)
+        a = {r["media_id"]: r.asDict() for r in pandas_fn(media).collect()}
+        b = {r["media_id"]: r.asDict() for r in expr_fn(media).collect()}
+        assert a == b, f"{kind}: {a} != {b}"
