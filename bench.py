@@ -250,9 +250,13 @@ def main() -> None:
     # would hide the skew; at 100 TB the dim side often doesn't fit) and AQE
     # is already off, so this isolates the manual salting win. Results are
     # asserted identical.
-    skew_rows = int(os.environ.get("FXSPARK_BENCH_SKEW_ROWS", "4000000"))
+    skew_rows = int(os.environ.get("FXSPARK_BENCH_SKEW_ROWS", "8000000"))
     prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the demo needs real parallelism to show the straggler: with 8
+    # partitions the non-hot work is itself serialized and hides the skew
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         from fxspark.ops.joins import salted_join
 
@@ -299,6 +303,7 @@ def main() -> None:
         assert plain_res == salted_res, "salted join result diverged"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     total = round(sum(timings.values()), 4)
     full = {

@@ -140,6 +140,7 @@ def jaccard_pairs_prefix(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-≥-threshold pairs via prefix filtering (AllPairs/PPJoin):
     result-identical to ``jaccard_pairs``, far fewer candidates.
@@ -151,6 +152,12 @@ def jaccard_pairs_prefix(
     buckets — the standard set-similarity-join shape at 100 TB, where
     indexing every shingle (the plain inverted index) melts on stop-shingles.
     Candidates are then verified exactly with ``array_intersect``.
+
+    ``max_shingle_freq`` applies the stop-shingle cap FIRST (shingles in more
+    than that many docs leave the universe; sizes and verify arrays are
+    rebuilt over the capped universe — same semantics as ``jaccard_pairs``
+    with the cap), then prefix-filters within it: at a loose threshold the
+    cap bounds bucket width and the prefix bounds candidates per doc.
     """
     # The shingle explode is the CPU-heavy step and this plan references it
     # four times (df-frequency, prefix index, both verify sides) — materialize
@@ -158,9 +165,20 @@ def jaccard_pairs_prefix(
     sets_ = _shingle_sets(df, id_col, text_col, n).localCheckpoint()
     inv = sets_.select("_id", "_sz", F.explode("_sh").alias("_s"))
     freq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    inv = inv.join(freq, "_s")
+    if max_shingle_freq is not None:
+        inv = inv.filter(F.col("_df") <= max_shingle_freq)
+        capped = inv.groupBy("_id").agg(
+            F.collect_list("_s").alias("_sh"),
+            F.count(F.lit(1)).alias("_sz"),
+        ).localCheckpoint()
+        sets_ = capped
+        inv = inv.drop("_sz").join(
+            capped.select("_id", "_sz"), "_id"
+        )
     w = Window.partitionBy("_id").orderBy("_df", "_s")
     prefix = (
-        inv.join(freq, "_s")
+        inv
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.col("_sz") - F.ceil(F.col("_sz") * threshold) + 1)
         .select("_id", "_s")

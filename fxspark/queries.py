@@ -675,11 +675,15 @@ def q_doc_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale, ``ops/dedup.jaccard_pairs`` ``max_shingle_freq``). This
     is the oracle-differential twin of the round-1 ADVICE fix at
     ``dedup.py:112`` (sizes recomputed over the capped universe); the unit
-    property test pins small cases, this pins the fixture corpus."""
-    from fxspark.ops.dedup import jaccard_pairs
+    property test pins small cases, this pins the fixture corpus.
+    Implementation: prefix-filtered within the capped universe (cap bounds
+    bucket width, prefix bounds candidates — measured 8.0 s → 3.7 s at
+    sf0.1 vs the plain capped inverted index; the loose 0.5 threshold keeps
+    the prefix at half of each set, which is the residual cost)."""
+    from fxspark.ops.dedup import jaccard_pairs_prefix
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return jaccard_pairs(
+    return jaccard_pairs_prefix(
         docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=20
     )
 
@@ -4069,6 +4073,169 @@ def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").alias("total_seconds"),
         )
         .filter(F.col("total_seconds") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 curation breadth: repetition metrics (Gopher-style), deterministic
+# stratified splits, per-label embedding centroids.
+# ---------------------------------------------------------------------------
+
+_ROLLHASH_SQL = """list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(lower(trim(text))[i]) AS BIGINT)
+                for i in range(1, len(lower(trim(text))) + 1)]),
+             (acc, c) -> (acc * 131 + c) % 1000000007)"""
+
+
+@query(
+    "doc_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), bi AS (
+      SELECT doc_id, t,
+             [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS b
+      FROM toks
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           round(CAST(len(list_distinct(t)) AS DOUBLE)
+                 / nullif(len(t), 0), 6) AS ttr,
+           CASE WHEN len(b) > 0
+                THEN round(1.0 - CAST(len(list_distinct(b)) AS DOUBLE)
+                                 / len(b), 6)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM bi
+    """,
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher repetition-filter
+    family): type-token ratio and duplicated-bigram fraction per document.
+    Pure map-side JVM array expressions — no shuffle, no Python; at 100 TB
+    this is a scan-rate filter, which is the point of running repetition
+    gates BEFORE any shuffling curation stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), " ")
+    d = docs.withColumn("_t", t).withColumn(
+        "_b",
+        F.expr(
+            "transform(sequence(1, size(_t) - 1),"
+            " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size("_t").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("_t")).cast("double")
+            / F.nullif(F.size("_t"), F.lit(0)).cast("double"), 6
+        ).alias("ttr"),
+        F.when(
+            F.size("_b") > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct("_b")).cast("double")
+                / F.size("_b").cast("double"), 6
+            ),
+        ).otherwise(0.0).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "doc_split_assign",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, n_chars, {_ROLLHASH_SQL} % 100 AS bucket FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (80/10/10 by content
+    rolling-hash bucket): per (source, split) document and char counts.
+    Content-hash assignment — not ``df.randomSplit`` — so the split is
+    reproducible across runs, partitionings, and re-ingestions, and a doc
+    never migrates between splits when the corpus grows: the discipline a
+    training-data pipeline needs for honest held-out sets."""
+    from fxspark.ops.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = rolling_fingerprint(F.col("text")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("source", "n_chars", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "label_centroid_stats",
+    oracle="""
+    WITH ex AS (
+      -- fixture embeddings are 64-dim at every SF (TESTDATA.md); a lateral
+      -- generate_series over len(embedding) is unsupported in DuckDB
+      SELECT label, g.i AS pos,
+             CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,10)) AS val
+      FROM embeddings, generate_series(1, 64) g(i)
+    ), cent AS (
+      SELECT label, pos,
+             CAST(sum(val) AS DOUBLE) / count(*) AS c
+      FROM ex GROUP BY label, pos
+    ), n AS (
+      SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    )
+    SELECT cent.label, max(n.n_vecs) AS n_vecs,
+           round(sqrt(CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
+                           AS DOUBLE)), 6) AS centroid_l2,
+           round(max(CASE WHEN pos = 1 THEN c END), 6) AS centroid_c0
+    FROM cent JOIN n ON n.label = cent.label
+    GROUP BY cent.label
+    """,
+)
+def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid summary (count, centroid L2 norm, first
+    component): the reduce side of k-means / class-prototype analysis, as a
+    posexplode → two-level exact-decimal aggregation. At scale this is the
+    canonical 'mean vector per key' shuffle: (label, pos) partial sums are
+    map-side combined, so the exchange carries ≤ labels × dim rows
+    regardless of corpus size. Decimal-exact sums keep the hash stable
+    under any partitioning (same discipline as exact_sum)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label", (F.col("pos0") + 1).alias("pos"),
+        F.col("val").cast("double").cast("decimal(30,10)").alias("val"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        cent.join(n, "label")
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("c") * F.col("c"), 12).cast("decimal(38,12)")
+                    ).cast("double")
+                ), 6
+            ).alias("centroid_l2"),
+            F.round(
+                F.max(F.when(F.col("pos") == 1, F.col("c"))), 6
+            ).alias("centroid_c0"),
+        )
     )
 
 
