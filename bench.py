@@ -114,6 +114,14 @@ EXTENSION = [
     "stream_interval_join_replay",
     "stream_session_replay",
     "doc_jaccard_pairs_capped",
+    "doc_repetition_stats",
+    "doc_split_assign",
+    "label_centroid_stats",
+    "doc_chunk_dup_spans",
+    "token_heavy_hitters",
+    "embedding_semantic_dedup",
+    "doc_bigram_logprob",
+    "doc_quality_logistic",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

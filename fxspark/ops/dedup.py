@@ -604,3 +604,49 @@ def edit_distance_pairs(
         .distinct()
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def chunk_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span detection over fixed-width token
+    chunks — the scalable approximation of exact-substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better": the
+    suffix-array ExactSubstr dedup, whose distributed stand-in is hashing
+    fixed-width token windows).
+
+    Documents are cut into NON-overlapping ``width``-token chunks (the
+    trailing partial chunk included), and every chunk occurring in at least
+    ``min_docs`` distinct documents is emitted with its occurrence stats.
+    One row per duplicated span: ``(chunk_text, n_docs, n_occurrences,
+    first_doc)``.
+
+    Scale shape: the explode is map-side (no shuffle); the single exchange
+    is the groupBy on the chunk hash, which partial-aggregates map-side so
+    the shuffle carries one row per distinct chunk per task — at 100 TB
+    this is the canonical count-distinct-per-span plan. No Python, no
+    driver state."""
+    t = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(t) / F.lit(width)).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * width + 1
+    )
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, width)))
+        ).alias("chunk_text"),
+    )
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -405,3 +405,61 @@ def rp_project(vec: Column, planes: list[list[float]]) -> Column:
             for p in planes
         ]
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
+    clustering embeddings, then comparing pairs ONLY within a cluster.
+
+    Every vector is assigned to its max-cosine centroid (broadcast
+    ``centroid_assign`` — the corpus never shuffles for scoring), then a
+    self-join keyed on the cluster id finds pairs with cosine ≥
+    ``threshold``; a vector is dropped when a LOWER-id near-duplicate
+    exists in its cluster (deterministic keep-lowest rule, the
+    SQL-expressible variant of SemDeDup's keep-one-exemplar). Emits one row
+    per dropped vector: ``(vec_id, cid, kept_by, cos)`` with ``kept_by`` =
+    the most-similar lower-id neighbor (ties → smallest id).
+
+    Scale shape: the pairwise join is quadratic ONLY within a cluster —
+    cluster count grows with the corpus (SemDeDup uses ~100k clusters at
+    web scale), holding per-bucket width roughly constant; the exchange is
+    the cluster-id hash partition. This is the embedding-space sibling of
+    banded MinHash-LSH."""
+    assigned = centroid_assign(df, centroids, vec_col, id_col).select(
+        id_col, "cid"
+    ).join(df.select(id_col, vec_col), id_col)
+    a = assigned.select(
+        F.col("cid"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            "cid",
+            F.col("_idb").alias(id_col),
+            F.col("_ida").alias("_keeper"),
+            cosine(F.col("_va"), F.col("_vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("_keeper")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cid", F.col("_keeper").alias("kept_by"), "cos")
+    )

@@ -1,0 +1,89 @@
+"""Streaming-sketch operators: bounded-memory passes over unbounded key
+domains.
+
+The reference delegates all aggregation to MySQL (full hash tables); at
+100 TB a full hash agg over an open key domain (tokens, URLs, user ids) can
+exceed executor memory. The classic fix is a two-pass scheme:
+
+1. **Candidate pass** — a per-partition Misra-Gries summary (bounded
+   ``capacity`` counters, the decrement trick) run as an Arrow-batched
+   ``mapInPandas``. MG guarantees every item with partition-local frequency
+   > n_p/capacity survives, so the union of partition survivors is a
+   SUPERSET of every item with global frequency > N/capacity (pigeonhole).
+2. **Exact pass** — re-scan, keep only candidate keys (broadcast semi
+   join), exact partial-combine count, global top-k.
+
+When the true k-th frequency exceeds N/capacity the result is EXACT — the
+standard production topology (the sketch bounds memory; the second scan
+restores exactness), which is why the query layer can oracle-check it
+against a plain ``GROUP BY / ORDER BY / LIMIT``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(
+    df: DataFrame, key_col: str, capacity: int = 512
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter candidates.
+
+    Returns ``(key, lower_bound)`` — the surviving counters of each
+    partition's MG summary (lower_bound is the residual counter value, a
+    valid lower bound on partition-local frequency). Memory is O(capacity)
+    per task regardless of distinct-key cardinality; input rows stream
+    through Arrow batches without materializing the partition.
+    """
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf["key"].value_counts().items():
+                if key in counters:
+                    counters[key] += int(cnt)
+                elif len(counters) < capacity:
+                    counters[key] = int(cnt)
+                else:
+                    # decrement-all by the min of (incoming, current floor):
+                    # batch-sized generalization of the classic -1 step
+                    dec = min(int(cnt), min(counters.values()))
+                    counters = {
+                        k: v - dec for k, v in counters.items() if v > dec
+                    }
+                    rem = int(cnt) - dec
+                    if rem > 0 and len(counters) < capacity:
+                        counters[key] = rem
+        yield pd.DataFrame(
+            {"key": list(counters), "lower_bound": list(counters.values())}
+        )
+
+    return df.select(F.col(key_col).alias("key")).mapInPandas(
+        mg, "key string, lower_bound long"
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_col: str, k: int = 20, capacity: int = 512
+) -> DataFrame:
+    """Exact top-k keys by frequency via the two-pass sketch topology.
+
+    Pass 1 (``misra_gries_candidates``) bounds memory; pass 2 counts only
+    candidate keys exactly (broadcast left-semi join — the corpus never
+    shuffles on the open key domain, only on the bounded candidate set) and
+    takes the global top-k with a deterministic ``(count desc, key asc)``
+    tiebreak. Exact whenever the k-th frequency > N/capacity; callers size
+    ``capacity`` to make that hold (a 512-counter summary covers any key
+    with > 0.2% mass)."""
+    cands = misra_gries_candidates(df, key_col, capacity).select("key").distinct()
+    counted = (
+        df.select(F.col(key_col).alias("key"))
+        .join(F.broadcast(cands), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counted.orderBy(F.col("cnt").desc(), F.col("key")).limit(k)

@@ -4342,6 +4342,280 @@ def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 curation depth: duplicated-span detection, bounded-memory heavy
+# hitters, SemDeDup, bigram LM scoring, logistic quality classifier.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_chunk_dup_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[(i-1)*8+1 : i*8], ' ')
+                     for i in range(1, CAST(ceil(len(toks)/8.0) AS BIGINT) + 1)])
+               AS chunk_text
+      FROM t
+    )
+    SELECT chunk_text,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(doc_id) AS first_doc
+    FROM c GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_doc_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-token spans (the distributed stand-in
+    for suffix-array exact-substring dedup — Lee et al. 2022): map-side
+    chunk explode, one partial-combined exchange on the chunk key. The
+    span-level complement of whole-doc dedup: catches boilerplate repeated
+    inside otherwise-distinct documents."""
+    from fxspark.ops.dedup import chunk_dup_spans
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return chunk_dup_spans(docs, "doc_id", "text", width=8)
+
+
+@query(
+    "token_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS key
+      FROM documents
+    )
+    SELECT key, count(*) AS cnt
+    FROM toks GROUP BY key ORDER BY cnt DESC, key LIMIT 20
+    """,
+)
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens via the two-pass Misra-Gries topology
+    (ops/sketch): pass 1 is a bounded-memory (512-counter) per-partition
+    sketch in an Arrow-batched mapInPandas, pass 2 an exact count of the
+    surviving candidates only — the memory-safe heavy-hitters plan for an
+    open key domain at 100 TB, exact whenever the k-th frequency clears the
+    N/capacity pigeonhole bound (oracle-checked against the plain exact
+    GROUP BY, which is the point of the two-pass scheme)."""
+    from fxspark.ops.sketch import heavy_hitters_exact
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    return heavy_hitters_exact(toks, "w", k=20, capacity=512)
+
+
+def _semantic_dedup_oracle() -> str | None:
+    """Literal-centroid DuckDB replay of SemDeDup (same codebook-training
+    routine and sample as the Spark plan — the `_ivf_oracle` discipline):
+    cosine-argmax assignment, within-cell lower-id near-dup rule."""
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from fxspark.ops.similarity import train_ivf_codebook
+
+        sf_dir = os.environ.get("FXSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).sort_by("vec_id")
+        sample = np.array(t.column("embedding").to_pylist()[:4096], dtype=np.float64)
+        cents = train_ivf_codebook(sample, n_cells=16, seed=7)
+    except Exception:  # noqa: BLE001 — no fixture ⇒ honest rows-only check
+        return None
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH cent(cell, cv) AS (VALUES {vals}),
+    e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
+    assigned AS (
+      SELECT vec_id, emb,
+             (SELECT cell FROM cent
+              ORDER BY {_COS_SQL.format(a='emb', b='cv')} DESC, cell ASC
+              LIMIT 1) AS cid
+      FROM e),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.cid AS cid, a.vec_id AS kept_by,
+             {_COS_SQL.format(a='a.emb', b='b.emb')} AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a='a.emb', b='b.emb')} >= 0.45)
+    SELECT vec_id, cid, kept_by, cos FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, kept_by) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """
+
+
+@query("embedding_semantic_dedup", oracle=_semantic_dedup_oracle())
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal that is
+    quadratic only WITHIN a k-means cell, never across the corpus
+    (ops/similarity.semantic_dedup). One row per dropped vector with its
+    keeper and cosine. The codebook is the shared seeded trainer, so the
+    approximate data-adaptive index is still hash-checkable."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fxspark.ops.similarity import semantic_dedup, train_ivf_codebook
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    sample = np.array(t.column("embedding").to_pylist()[:4096], dtype=np.float64)
+    cents = train_ivf_codebook(sample, n_cells=16, seed=7)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, embedding array<double>"
+    )
+    return semantic_dedup(emb, cent_df, threshold=0.45)
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), bb AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      FROM t
+    ), f2 AS (
+      SELECT bg, count(*) AS c12 FROM bb GROUP BY bg
+    ), f1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bb GROUP BY 1
+    ), scored AS (
+      SELECT doc_id,
+             CAST(round(-ln(CAST(c12 AS DOUBLE) / c1), 9)
+                  AS DECIMAL(20,10)) AS s
+      FROM bb JOIN f2 USING (bg)
+      JOIN f1 ON f1.w1 = split_part(bb.bg, ' ', 1)
+    )
+    SELECT doc_id,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_logprob,
+           count(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score per document: mean −ln P(w₂|w₁)
+    with P = corpus bigram count / first-token continuation count — one
+    step up the n-gram ladder from ``doc_unigram_surprisal`` and the
+    classic cheap stand-in for model-perplexity quality filtering. Two
+    partial-combined count aggs (bounded by vocab²), joined back
+    broadcast-promoted; per-bigram scores rounded then summed in exact
+    decimal so the mean is partitioning-independent."""
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tokens(F.col("text"))
+    bg = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        )
+    )
+    bb = docs.select("doc_id", bg.alias("bg")).withColumn(
+        "w1", F.substring_index("bg", " ", 1)
+    )
+    f2 = bb.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    f1 = bb.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    s = F.round(-F.log(F.col("c12").cast("double") / F.col("c1")), 9).cast(
+        "decimal(20,10)"
+    )
+    return (
+        bb.join(f2, "bg")
+        .join(f1, "w1")
+        .select("doc_id", s.alias("_s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_s").cast("double") / F.count(F.lit(1)), 6)
+            .alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+@query(
+    "doc_quality_logistic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, toks,
+             [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS b
+      FROM t
+    ), feats AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             coalesce(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))
+                      / CAST(nullif(len(toks), 0) AS DOUBLE), 0.0) AS stop_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+               / nullif(len(toks), 0) AS ttr,
+             CASE WHEN len(b) > 0
+                  THEN 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b)
+                  ELSE 0.0 END AS dup_bi
+      FROM bi
+    ), z AS (
+      SELECT doc_id, n_tokens,
+             round(-1.5 + 0.02 * n_tokens + 3.0 * stop_ratio
+                   + 2.0 * ttr - 4.0 * dup_bi, 9) AS z
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, z,
+           round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+           CAST(1.0 / (1.0 + exp(-z)) >= 0.5 AS BOOLEAN) AS keep
+    FROM z
+    """,
+)
+def q_doc_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality classifier with declared weights over interpretable
+    features (token count, stopword ratio, type-token ratio, duplicated-
+    bigram fraction) — the deterministic stand-in for a fastText-style
+    quality model: same plan shape (map-only featurize → dot product →
+    sigmoid → threshold), swap the literal weights for learned ones. Pure
+    JVM expressions, no shuffle; the z-score is rounded before the sigmoid
+    so the cross-engine hash is stable."""
+    from fxspark.ops.text import stopword_ratio, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    d = docs.withColumn("_t", t).withColumn(
+        "_b",
+        F.expr(
+            "transform(sequence(1, size(_t) - 1),"
+            " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+        ),
+    )
+    n_tokens = F.size("_t")
+    stop_ratio = F.coalesce(stopword_ratio(F.col("text")), F.lit(0.0))
+    ttr = F.size(F.array_distinct("_t")).cast("double") / F.nullif(
+        F.size("_t"), F.lit(0)
+    ).cast("double")
+    dup_bi = F.when(
+        F.size("_b") > 0,
+        1.0 - F.size(F.array_distinct("_b")).cast("double")
+        / F.size("_b").cast("double"),
+    ).otherwise(0.0)
+    z = F.round(
+        -1.5 + 0.02 * n_tokens + 3.0 * stop_ratio + 2.0 * ttr - 4.0 * dup_bi, 9
+    )
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        z.alias("z"),
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate rotation.
 #
 # The correctness driver oracle-checks the FIRST 50 ``queries()`` entries in
