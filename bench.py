@@ -122,6 +122,9 @@ EXTENSION = [
     "embedding_semantic_dedup",
     "doc_bigram_logprob",
     "doc_quality_logistic",
+    "doc_pack_bins",
+    "source_mixing_plan",
+    "events_zorder_stats",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

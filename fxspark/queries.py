@@ -4615,6 +4615,176 @@ def q_doc_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_pack_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(lower(trim(text)), ' ')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), b AS (
+      SELECT source, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
+             doc_id, n_tok
+      FROM c
+    )
+    SELECT source, bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM b GROUP BY source, bin
+    """,
+)
+def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to 2048-token context bins by
+    running offset, packed independently PER SOURCE — the step that turns a
+    curated corpus into fixed-length training examples. Per-source packing
+    is the scale shape: the running-sum window partitions on source (each
+    source is an independent stream), so no global sort exists and adding
+    sources adds partitions, not depth. Deterministic doc_id order makes
+    the packing reproducible across runs and partitionings."""
+    from pyspark.sql import Window
+
+    from fxspark.ops.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = t.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048.0))
+        .cast("long")
+        .alias("bin"),
+        "doc_id",
+        "n_tok",
+    )
+    return b.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "source_mixing_plan",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+               AS source_tokens
+      FROM documents GROUP BY source
+    ), m AS (
+      SELECT count(*) AS n_sources,
+             min(source_tokens) * count(*) AS budget
+      FROM s
+    )
+    SELECT source, source_tokens,
+           round(CAST(budget AS DOUBLE) / (n_sources * source_tokens), 6)
+             AS sample_rate,
+           CAST(floor(CAST(budget AS DOUBLE) / n_sources) AS BIGINT)
+             AS sampled_tokens
+    FROM s, m
+    """,
+)
+def q_source_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight planning (the DoReMi/Pile-style 'how much of each
+    source' step): under a uniform target mixture, the largest achievable
+    no-upsampling budget is min over sources of tokens_s/weight_s; each
+    source then downsamples at rate budget·w_s/tokens_s. One tiny per-source
+    aggregate (rows = #sources) and window math over it — the corpus scan
+    is the only big stage, and it is a pure partial-combined count."""
+    from pyspark.sql import Window
+
+    from fxspark.ops.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("source_tokens")
+    )
+    wall = Window.partitionBy()
+    g = s.withColumn("n_sources", F.count(F.lit(1)).over(wall)).withColumn(
+        "budget",
+        F.min(F.col("source_tokens") * F.col("n_sources")).over(wall),
+    )
+    return g.select(
+        "source",
+        "source_tokens",
+        F.round(
+            F.col("budget").cast("double")
+            / (F.col("n_sources") * F.col("source_tokens")),
+            6,
+        ).alias("sample_rate"),
+        F.floor(F.col("budget").cast("double") / F.col("n_sources"))
+        .cast("long")
+        .alias("sampled_tokens"),
+    )
+
+
+def _zorder_stats_oracle() -> str:
+    from fxspark.ops.layout import zvalue_sql
+
+    zv = zvalue_sql(
+        "((user_id % 65536) + 65536) % 65536",
+        "((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536",
+    )
+    return f"""
+    WITH z AS (
+      SELECT user_id,
+             CAST(floor(value * 100) AS BIGINT) AS vb,
+             {zv} AS zval
+      FROM events
+    )
+    SELECT CAST(floor(zval / 67108864.0) AS BIGINT) AS zbin,
+           count(*) AS n_events,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(vb) AS min_vb, max(vb) AS max_vb
+    FROM z GROUP BY 1
+    """
+
+
+@query("events_zorder_stats", oracle=_zorder_stats_oracle())
+def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering quality report: Morton-interleave (user_id,
+    value-bucket), bin by the top z bits, and show that every bin bounds
+    BOTH dimensions (the min/max ranges a parquet footer would carry after
+    OPTIMIZE ZORDER — ops/layout.zorder_layout is the write path). The
+    z-value is declared floor-div/mod arithmetic, so the DuckDB oracle
+    reproduces the layout decision bit-for-bit; the whole query is one
+    map-side expression plus a bounded groupBy."""
+    from fxspark.ops.layout import zvalue
+
+    events = load_table(spark, sf_dir, "events")
+    a = F.pmod(F.col("user_id"), F.lit(65536))
+    vb = F.floor(F.col("value") * 100).cast("long")
+    b = F.pmod(vb, F.lit(65536))
+    z = events.select(
+        "user_id",
+        vb.alias("vb"),
+        zvalue(a, b).alias("zval"),
+    )
+    return z.groupBy(
+        F.floor(F.col("zval") / F.lit(67108864.0)).cast("long").alias("zbin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("vb").alias("min_vb"),
+        F.max("vb").alias("max_vb"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation.
 #
