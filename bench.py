@@ -125,6 +125,7 @@ EXTENSION = [
     "doc_pack_bins",
     "source_mixing_plan",
     "events_zorder_stats",
+    "events_kmv_distinct",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -4785,6 +4785,66 @@ def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 AS h
+      FROM events
+    ), kmin AS (
+      SELECT h FROM h ORDER BY h LIMIT 256
+    ), s AS (
+      SELECT count(*) AS n_seen, max(h) AS kth FROM kmin
+    ), t AS (
+      SELECT count(DISTINCT event_id) AS true_distinct FROM events
+    )
+    SELECT CAST(256 AS BIGINT) AS k,
+           round(kth, 9) AS kth_min,
+           CAST(round(CASE WHEN n_seen < 256 THEN n_seen
+                           ELSE (256 - 1) / kth END, 0) AS BIGINT)
+             AS est_distinct,
+           true_distinct
+    FROM s, t
+    """,
+)
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=256: keep the k
+    smallest md5-derived hash fractions; estimate distinct = (k−1)/kth_min.
+    The mergeable cardinality sketch of the HLL family — but built on an
+    engine-portable hash, so unlike ``approx_count_distinct`` the ESTIMATE
+    ITSELF is reproduced bit-for-bit by the DuckDB oracle (the point:
+    approximate operators can still be differentially verified when their
+    randomness is declared). Scale shape: the top-k is
+    TakeOrderedAndProject — per-partition k-smallest then a k-sized merge,
+    never a global sort; memory O(k) per task."""
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(2**60))
+    ).alias("h")
+    kmin = events.select(h).distinct().orderBy("h").limit(256)
+    s = kmin.agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth")
+    )
+    t = events.agg(F.countDistinct("event_id").alias("true_distinct"))
+    return s.crossJoin(t).select(
+        F.lit(256).cast("long").alias("k"),
+        F.round(F.col("kth"), 9).alias("kth_min"),
+        F.round(
+            F.when(F.col("n_seen") < 256, F.col("n_seen").cast("double"))
+            .otherwise(F.lit(255.0) / F.col("kth")),
+            0,
+        )
+        .cast("long")
+        .alias("est_distinct"),
+        "true_distinct",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation.
 #
