@@ -110,6 +110,41 @@ def test_video_decode_is_explicitly_stubbed(spark):
         decode_video_frames(None)
 
 
+def test_video_frame_plumbing_with_fake_decoder(spark):
+    """The mapInPandas frame-sampling plumbing is real — schema, one-to-many
+    expansion, empty payloads, determinism — only the codec is faked."""
+    from fxspark.multimodal import (
+        decode_video_frames,
+        fake_frame_decoder,
+        to_media_frame,
+    )
+
+    # 10 "frames" of 256 bytes each, plus an empty and a sub-frame payload
+    df = spark.createDataFrame(
+        [
+            Row(id=1, blob=bytearray(bytes(range(256)) * 10)),
+            Row(id=2, blob=bytearray(b"")),
+            Row(id=3, blob=bytearray(b"short")),
+        ]
+    )
+    media = to_media_frame(df, "id", "blob", "video")
+    out = decode_video_frames(media, every_n=3, decoder=fake_frame_decoder)
+    rows = out.collect()
+    # id=1: frames 0,3,6,9 sampled; id=2/3: no full frame → no rows
+    got = sorted((r["media_id"], r["frame_idx"], r["ts_ms"]) for r in rows)
+    assert got == [(1, 0, 0), (1, 3, 99), (1, 6, 198), (1, 9, 297)]
+    assert all(r["width"] == 16 and r["height"] == 16 for r in rows)
+    assert all(len(bytes(r["frame_bytes"])) == 16 for r in rows)
+    # deterministic decode: re-run bit-identical
+    again = sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["frame_bytes"]))
+        for r in decode_video_frames(media, every_n=3, decoder=fake_frame_decoder).collect()
+    )
+    assert again == sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["frame_bytes"])) for r in rows
+    )
+
+
 def test_stateful_pair_stats_across_batches(spark, tmp_path):
     """applyInPandasWithState: per-key state (count, EWMA, last) must carry
     ACROSS micro-batches — two files forced into two batches via
