@@ -4432,17 +4432,19 @@ def _semantic_dedup_oracle() -> str | None:
     WITH cent(cell, cv) AS (VALUES {vals}),
     e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
     assigned AS (
-      SELECT vec_id, emb,
+      SELECT vec_id,
+             list_transform(emb,
+               x -> x / sqrt(list_sum(list_apply(emb, y -> y*y)))) AS vn,
              (SELECT cell FROM cent
               ORDER BY {_COS_SQL.format(a='emb', b='cv')} DESC, cell ASC
               LIMIT 1) AS cid
       FROM e),
     pairs AS (
       SELECT b.vec_id AS vec_id, a.cid AS cid, a.vec_id AS kept_by,
-             {_COS_SQL.format(a='a.emb', b='b.emb')} AS cos
+             list_sum(list_apply(list_zip(a.vn, b.vn), p -> p[1]*p[2])) AS cos
       FROM assigned a JOIN assigned b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE {_COS_SQL.format(a='a.emb', b='b.emb')} >= 0.45)
+      WHERE list_sum(list_apply(list_zip(a.vn, b.vn), p -> p[1]*p[2])) >= 0.45)
     SELECT vec_id, cid, kept_by, cos FROM (
       SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY cos DESC, kept_by) AS rn
