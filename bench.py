@@ -317,6 +317,62 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
+    # Curation-throughput probe: column-generated corpus (no I/O) at ~400x
+    # the sf0.1 documents row count — exact dedup (md5 groupBy, the
+    # linear-scan tier every corpus pass starts with) and the bounded-memory
+    # Misra-Gries candidate pass (the Python-stage price, measured honestly
+    # against ~25M tokens).
+    doc_rows = int(os.environ.get("FXSPARK_BENCH_DOC_ROWS", "200000"))
+    vocab = SF.array(*[SF.lit(f"w{i:02d}") for i in range(32)])
+    seed = SF.when(SF.col("id") % 10 == 0, SF.col("id") - 1).otherwise(
+        SF.col("id")
+    )
+    n_words = (SF.pmod(seed * 13, SF.lit(150)) + 50).cast("int")
+    # word index mixes via xxhash64(seed, i) — plain modular arithmetic on
+    # (seed*C + i) collapses mod vocab-size and silently deduplicates the
+    # whole corpus to a few thousand distinct texts
+    text = SF.concat_ws(
+        " ",
+        SF.transform(
+            SF.sequence(SF.lit(1), n_words),
+            lambda i: SF.element_at(
+                vocab, (SF.pmod(SF.xxhash64(seed, i), SF.lit(32)) + 1).cast("int")
+            ),
+        ),
+    )
+    # materialize ONCE: the probes measure dedup/sketch throughput, not
+    # synthetic text generation
+    docs_big = spark.range(doc_rows).select(
+        SF.col("id").alias("doc_id"), text.alias("text")
+    ).localCheckpoint()
+
+    from fxspark.ops.dedup import exact_dedup
+
+    def dedup_run():
+        exact_dedup(docs_big, "text", "doc_id").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    from fxspark.ops.sketch import misra_gries_candidates
+    from fxspark.ops.text import tokens as _toks
+
+    tok_frame = docs_big.select(SF.explode(_toks(SF.col("text"))).alias("w"))
+
+    def mg_run():
+        misra_gries_candidates(tok_frame, "w", capacity=512).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    for label, fn in ((f"docs_exact_dedup_{doc_rows // 1000}k", dedup_run),
+                      (f"tokens_mg_pass_{doc_rows // 1000}k", mg_run)):
+        fn()
+        runs = []
+        for _ in range(EXT_REPS):
+            t0 = time.perf_counter(); fn()
+            runs.append(time.perf_counter() - t0)
+        ext_timings[label] = round(statistics.median(runs), 4)
+        print(f"# ext {label}: {runs[-1]:.3f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     full = {
         "metric": "headline_total_wall",
