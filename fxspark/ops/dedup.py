@@ -629,11 +629,19 @@ def chunk_dup_spans(
     is the groupBy on the chunk hash, which partial-aggregates map-side so
     the shuffle carries one row per distinct chunk per task — at 100 TB
     this is the canonical count-distinct-per-span plan. No Python, no
-    driver state."""
-    t = tokens(F.col(text_col))
+    driver state.
+
+    Empty tokens are dropped before chunking (split of an empty/multi-space
+    text yields '' entries — without the filter every pair of empty docs
+    would report a shared '' span; found by the property suite)."""
+    t = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
     n_chunks = F.ceil(F.size(t) / F.lit(width)).cast("int")
-    starts = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * width + 1
+    # empty docs: sequence(0, -1) would generate a DESCENDING sequence (the
+    # same trap shingles() guards) — yield no chunks instead
+    starts = F.when(
+        n_chunks < 1, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * width + 1)
     )
     chunks = df.select(
         F.col(id_col).alias("_id"),

@@ -4351,7 +4351,9 @@ def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunk_dup_spans",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '),
+                         t -> t != '') AS toks
       FROM documents
     ), c AS (
       SELECT doc_id,

@@ -160,3 +160,72 @@ def test_ngram_overlap_matches_bruteforce(spark, texts):
         if shared:
             expected[i] = (len(shared), hits)
     assert got == expected
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=texts_strategy)
+@SETTINGS
+def test_chunk_dup_spans_matches_bruteforce(spark, texts):
+    """chunk_dup_spans == the python brute force on ANY corpus: same chunk
+    cut (non-overlapping width-3 windows incl. the partial tail), same
+    distinct-doc threshold, same counts."""
+    from collections import defaultdict
+
+    from fxspark.ops.dedup import chunk_dup_spans
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["chunk_text"]: (r["n_docs"], r["n_occurrences"], r["first_doc"])
+        for r in chunk_dup_spans(df, "doc_id", "text", width=3).collect()
+    }
+
+    occ: dict[str, list[int]] = defaultdict(list)
+    for i, t in enumerate(texts):
+        toks = [w for w in t.strip().lower().split(" ") if w != ""]
+        for s in range(0, len(toks), 3):
+            occ[" ".join(toks[s : s + 3])].append(i)
+    want = {
+        c: (len(set(ds)), len(ds), min(ds))
+        for c, ds in occ.items()
+        if len(set(ds)) >= 2
+    }
+    assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=1,
+        max_size=40,
+    ),
+    capacity=st.sampled_from([2, 3, 8]),
+)
+@SETTINGS
+def test_misra_gries_never_drops_a_pigeonhole_heavy_key(spark, keys, capacity):
+    """For ANY key sequence and capacity: every key with global frequency
+    > N/capacity survives the per-partition pass (the superset guarantee
+    the exact second pass depends on), and lower bounds never exceed true
+    counts."""
+    from collections import Counter
+
+    from fxspark.ops.sketch import misra_gries_candidates
+
+    df = spark.createDataFrame([Row(key=k) for k in keys]).repartition(2)
+    out = {r["key"]: r["lower_bound"] for r in
+           misra_gries_candidates(df, "key", capacity=capacity).collect()}
+    counts = Counter(keys)
+    for k, c in counts.items():
+        if c > len(keys) / capacity:
+            assert k in out, (k, c, len(keys), capacity, out)
+    for k, lb in out.items():
+        assert 0 < lb <= counts[k], (k, lb, counts[k])
