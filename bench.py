@@ -126,6 +126,7 @@ EXTENSION = [
     "source_mixing_plan",
     "events_zorder_stats",
     "events_kmv_distinct",
+    "user_value_ewma",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

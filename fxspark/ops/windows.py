@@ -65,3 +65,41 @@ def sessionize(
         )
         - 1,
     ).drop("_new_sess")
+
+
+def keyed_ewma(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+):
+    """Per-key exponentially-weighted moving average as a DECLARED
+    sequential fold: collect the key's values in event order, seed with the
+    first, fold ``ewma = α·x + (1−α)·ewma`` — the batch twin of
+    ``streaming.stateful.stateful_pair_stats``'s state recurrence
+    (parity-pinned by test), and the pattern for any order-dependent
+    per-key recurrence Spark's frame-based windows can't express.
+
+    Scale shape: one shuffle on the key; per-key state materializes as an
+    in-row array, so this holds while a single key's history fits a row
+    (~millions of events) — beyond that, the streaming operator IS the
+    scale path (state store, incremental). Sequential fold order makes the
+    result exactly reproducible by any engine folding the same order
+    (DuckDB ``list_reduce``)."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(value_col)))
+    )
+    vals = F.transform(ordered, lambda s: s[value_col].cast("double"))
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        fold.alias("_ewma"),
+        F.element_at(vals, -1).alias("last_value"),
+    ).select(
+        key_col, "n_total", F.col("_ewma").alias("ewma"), "last_value"
+    )

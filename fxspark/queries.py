@@ -4849,6 +4849,40 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_value_ewma",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_total,
+           round(list_reduce(vals, (acc, x) -> 0.5*x + 0.5*acc), 6) AS ewma,
+           vals[-1] AS last_value
+    FROM v
+    """,
+)
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.5) in event order as a declared sequential fold
+    (ops/windows.keyed_ewma) — the BATCH twin of the streaming
+    ``applyInPandasWithState`` state recurrence, so the custom stateful
+    operator's semantics are pinned under the oracle differential (its
+    cross-batch behavior stays pytest-pinned; a parity test holds the two
+    to the same recurrence). DuckDB replays the identical fold via
+    ``list_reduce``, seeding with the first ordered value."""
+    from fxspark.ops.windows import keyed_ewma
+
+    events = load_table(spark, sf_dir, "events")
+    out = keyed_ewma(
+        events, "user_id", ["ts", "event_id"], "value", alpha=0.5
+    )
+    return out.select(
+        "user_id", "n_total", F.round("ewma", 6).alias("ewma"), "last_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation.
 #

@@ -191,6 +191,25 @@ def test_stateful_pair_stats_across_batches(spark, tmp_path):
     assert out["ewma"] == pytest.approx(3.125)
     assert out["last_rate"] == 4.0
 
+    # parity: the batch declared-fold twin (ops/windows.keyed_ewma) computes
+    # the SAME recurrence on the union of both batches — the streaming
+    # operator's semantics are thereby pinned by the oracle-checked batch op
+    from fxspark.ops.windows import keyed_ewma
+
+    batch = spark.createDataFrame(
+        [Row(**r) for r in rows1 + rows2]
+    )
+    twin = {
+        r["ccy_couple"]: r
+        for r in keyed_ewma(
+            batch, "ccy_couple", ["event_time"], "rate", alpha=0.5
+        ).collect()
+    }
+    assert twin["EUR/USD"]["n_total"] == out["n_total"]
+    assert twin["EUR/USD"]["ewma"] == pytest.approx(out["ewma"])
+    assert twin["EUR/USD"]["last_value"] == out["last_rate"]
+    assert twin["GBP/USD"]["ewma"] == pytest.approx(1.25)
+
 
 def test_resize_image_rewrites_png_dims(spark):
     """resize_image must rewrite PNG header dims (decode sees the new size)
