@@ -56,15 +56,23 @@ def insert_absent(
     return existing.unionByName(fresh)
 
 
-def write_table(df: DataFrame, path: str) -> None:
-    """Persist a (re)merged table to parquet atomically: write to a temp dir,
-    then swap. (At lakehouse scale this whole read-merge-rewrite becomes a
-    Delta ``MERGE INTO`` — S4's ``CREATE TABLE IF NOT EXISTS`` analog is the
-    table's first write.)"""
+def write_table(df: DataFrame, path: str, format: str = "parquet") -> None:
+    """Persist a (re)merged table atomically: write to a temp dir, then
+    swap. (At lakehouse scale this whole read-merge-rewrite becomes a Delta
+    ``MERGE INTO`` — S4's ``CREATE TABLE IF NOT EXISTS`` analog is the
+    table's first write.)
+
+    ``format``: any DataFrameWriter format — parquet (default; columnar,
+    statistics, pushdown), orc (same class, ORC stack), json/csv (textual
+    interchange; no pushdown, schema must be re-declared on read — the
+    round-trip tests pin exactly what survives each format)."""
     parent = os.path.dirname(os.path.abspath(path))
     tmp = tempfile.mkdtemp(dir=parent, prefix="._staging_")
     staged = os.path.join(tmp, "data")
-    df.write.mode("overwrite").parquet(staged)
+    w = df.write.mode("overwrite")
+    if format == "csv":
+        w = w.option("header", True)
+    w.format(format).save(staged)
     old = path + ".old"
     # clear residue from a crashed prior swap, else rename onto a non-empty
     # dir fails (ENOTEMPTY) and no rewrite of this path can ever succeed

@@ -863,3 +863,38 @@ def test_curate_corpus_stage_semantics(spark):
     assert sorted((r["chunk_idx"], r["n_tokens"]) for r in out) == [
         (0, 32), (1, 24), (2, 8)
     ]
+
+
+def test_write_table_format_round_trips(spark, tmp_path):
+    """S4/S7 source-format breadth: the atomic-swap writer round-trips
+    through parquet, ORC, JSON and CSV; the columnar formats preserve types
+    by themselves, the textual ones only under a re-declared read schema —
+    which is exactly the contract the docstring sells."""
+    from fxspark.sink import write_table
+
+    df = spark.createDataFrame(
+        [Row(k="a", n=1, x=1.5), Row(k="b", n=2, x=-0.25)]
+    )
+    want = {(r["k"], r["n"], r["x"]) for r in df.collect()}
+
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / f"t_{fmt}")
+        write_table(df, p, format=fmt)
+        back = spark.read.format(fmt).load(p)
+        assert back.schema == df.schema
+        assert {(r["k"], r["n"], r["x"]) for r in back.collect()} == want
+
+    schema = "k string, n long, x double"
+    p = str(tmp_path / "t_json")
+    write_table(df, p, format="json")
+    back = spark.read.schema(schema).json(p)
+    assert {(r["k"], r["n"], r["x"]) for r in back.collect()} == want
+
+    p = str(tmp_path / "t_csv")
+    write_table(df, p, format="csv")
+    back = spark.read.schema(schema).option("header", True).csv(p)
+    assert {(r["k"], r["n"], r["x"]) for r in back.collect()} == want
+
+    # atomic swap still holds for non-default formats: second write replaces
+    write_table(df.limit(1), p, format="csv")
+    assert spark.read.schema(schema).option("header", True).csv(p).count() == 1
