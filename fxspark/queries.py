@@ -4883,6 +4883,67 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_shared_spans",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split(lower(trim(text)), ' '),
+                         t -> t != '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT DISTINCT source,
+             unnest([array_to_string(toks[(i-1)*8+1 : i*8], ' ')
+                     for i in range(1, CAST(ceil(len(toks)/8.0) AS BIGINT) + 1)])
+               AS chunk_text
+      FROM t
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_spans
+    FROM c a JOIN c b
+      ON a.chunk_text = b.chunk_text AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_source_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate matrix: for every source pair, how many
+    distinct 8-token spans they share — the provenance view of span-level
+    dedup (which feeds/license pools reuse each other's boilerplate, and
+    where decontamination pressure should go). Plan: map-side chunk
+    explode → per-(source, chunk) distinct → self-join keyed on the chunk
+    (bucket width = sources per chunk, bounded by the source count, never
+    corpus rows) → pair count. All exchanges carry distinct chunks, not
+    documents."""
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+    n_chunks = F.ceil(F.size(t) / F.lit(8)).cast("int")
+    starts = F.when(
+        n_chunks < 1, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * 8 + 1)
+    )
+    chunks = docs.select(
+        "source",
+        F.explode(
+            F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, 8)))
+        ).alias("chunk_text"),
+    ).distinct()
+    a = chunks.select(
+        F.col("source").alias("source_a"), "chunk_text"
+    )
+    b = chunks.select(
+        F.col("source").alias("source_b"), "chunk_text"
+    )
+    return (
+        a.join(b, "chunk_text")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
