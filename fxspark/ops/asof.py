@@ -116,54 +116,73 @@ def asof_join(
     right_payload: Sequence[str] | None = None,
     tolerance: Column | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ``right.on <= left.on`` per key.
+    """As-of join (``pandas.merge_asof`` semantics, distributed).
 
-    Implemented as tagged union + ``last(..., ignorenulls)`` over a
-    (key, time)-ordered running window — a single sort-shuffle, linear in
+    ``direction='backward'`` (default): latest right row with
+    ``right.on <= left.on`` per key. ``direction='forward'``: earliest
+    right row with ``right.on >= left.on`` (equal times match in both).
+
+    Implemented as tagged union + ``last``/``first(..., ignorenulls)`` over
+    a (key, time)-ordered running window — a single sort-shuffle, linear in
     input size, regardless of how many left rows map to each right row.
 
-    ``tolerance``: optional max staleness interval; matches older than
-    ``left.on - tolerance`` are nulled out.
+    ``tolerance``: optional max staleness interval; matches further than
+    ``tolerance`` from ``left.on`` (older for backward, newer for forward)
+    are nulled out.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    backward = direction == "backward"
     keys = [keys] if isinstance(keys, str) else list(keys)
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in keys and c != on]
     left_cols = left.columns
 
+    # side ordering makes equal-time right rows visible to the left row's
+    # frame: right before left for the backward running frame, after it for
+    # the forward one
+    r_side, l_side = (1, 2) if backward else (2, 1)
     r = right.select(
         *keys,
         F.col(on).alias("_t"),
         F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("_rpay"),
-        F.lit(1).alias("_side"),  # right sorts before left at equal time
+        F.lit(r_side).alias("_side"),
     )
     l = left.select(
         "*",
         F.col(on).alias("_t"),
         F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
-        F.lit(2).alias("_side"),
+        F.lit(l_side).alias("_side"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn("_asof", F.last("_rpay", ignorenulls=True).over(w))
+    base = Window.partitionBy(*keys).orderBy("_t", "_side")
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
+    matched = unioned.withColumn("_asof", pick("_rpay"))
     if tolerance is not None:
-        rt_w = w  # carry the matched right time alongside for staleness check
         unioned = unioned.withColumn(
-            "_rt", F.when(F.col("_side") == 1, F.col("_t"))
+            "_rt", F.when(F.col("_side") == r_side, F.col("_t"))
         )
-        matched = unioned.withColumn(
-            "_asof", F.last("_rpay", ignorenulls=True).over(rt_w)
-        ).withColumn("_asof_t", F.last("_rt", ignorenulls=True).over(rt_w))
+        matched = unioned.withColumn("_asof", pick("_rpay")).withColumn(
+            "_asof_t", pick("_rt")
+        )
+        in_band = (
+            F.col("_asof_t") >= F.col("_t") - tolerance
+            if backward
+            else F.col("_asof_t") <= F.col("_t") + tolerance
+        )
         matched = matched.withColumn(
-            "_asof",
-            F.when(F.col("_asof_t") >= F.col("_t") - tolerance, F.col("_asof")),
+            "_asof", F.when(in_band, F.col("_asof"))
         )
-    out = matched.filter(F.col("_side") == 2).select(
+    out = matched.filter(F.col("_side") == l_side).select(
         *left_cols,
         *[
             F.col(f"_asof.{c}").alias(c if c not in left_cols else f"{c}{suffix}")

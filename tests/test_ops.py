@@ -898,3 +898,70 @@ def test_write_table_format_round_trips(spark, tmp_path):
     # atomic swap still holds for non-default formats: second write replaces
     write_table(df.limit(1), p, format="csv")
     assert spark.read.schema(schema).option("header", True).csv(p).count() == 1
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of (pandas merge_asof direction='forward'): earliest
+    right at-or-after each left time; equal times match; tolerance bounds
+    how far ahead a match may be."""
+    import pandas as pd
+
+    from fxspark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", t=1, lv="l1"), Row(k="a", t=5, lv="l5"),
+         Row(k="a", t=9, lv="l9"), Row(k="b", t=2, lv="lb")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=3, rv="r3"), Row(k="a", t=5, rv="r5"),
+         Row(k="a", t=8, rv="r8"), Row(k="c", t=1, rv="rc")]
+    )
+    got = {
+        (r["k"], r["t"]): r["rv"]
+        for r in asof_join(left, right, "k", "t", direction="forward").collect()
+    }
+    # pandas reference on the same frames
+    want_df = pd.merge_asof(
+        pd.DataFrame({"k": ["a", "b", "a", "a"], "t": [1, 2, 5, 9],
+                      "lv": ["l1", "lb", "l5", "l9"]}).sort_values("t"),
+        pd.DataFrame({"k": ["c", "a", "a", "a"], "t": [1, 3, 5, 8],
+                      "rv": ["rc", "r3", "r5", "r8"]}).sort_values("t"),
+        on="t", by="k", direction="forward",
+    )
+    want = {
+        (r.k, r.t): (None if pd.isna(r.rv) else r.rv)
+        for r in want_df.itertuples()
+    }
+    assert got == want
+    assert got[("a", 5)] == "r5"      # equal time matches
+    assert got[("a", 9)] is None      # nothing at-or-after
+    assert got[("b", 2)] is None      # key with no right rows
+
+    # tolerance: a=1 may only look 1 ahead -> r3 (2 ahead) is out of band
+    tol = {
+        (r["k"], r["t"]): r["rv"]
+        for r in asof_join(
+            left, right, "k", "t", direction="forward",
+            tolerance=F.lit(1),
+        ).collect()
+    }
+    assert tol[("a", 1)] is None and tol[("a", 5)] == "r5"
+
+
+def test_asof_join_backward_unchanged_reference(spark):
+    """The default direction still matches pandas backward semantics."""
+    import pandas as pd
+
+    from fxspark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", t=4, lv="l4"), Row(k="a", t=2, lv="l2")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=1, rv="r1"), Row(k="a", t=4, rv="r4")]
+    )
+    got = {
+        (r["k"], r["t"]): r["rv"]
+        for r in asof_join(left, right, "k", "t").collect()
+    }
+    assert got == {("a", 2): "r1", ("a", 4): "r4"}
