@@ -127,6 +127,7 @@ EXTENSION = [
     "events_zorder_stats",
     "events_kmv_distinct",
     "user_value_ewma",
+    "source_shared_spans",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -102,3 +102,40 @@ def test_token_chunks_shuffle_free(spark, sf_dir):
     # the spread() repartition is the only allowed exchange (parallelism
     # spreading of a single-row-group fixture read), nothing else
     assert plan.count("Exchange") <= 1, plan[:3000]
+
+
+def test_pack_bins_single_exchange(spark, sf_dir):
+    """Per-source packing: the window's hash(source) exchange also satisfies
+    the (source, bin) aggregation — exactly ONE exchange in the plan."""
+    plan = _plan(spark, sf_dir, "doc_pack_bins")
+    assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_mixing_plan_corpus_scan_partial_agg(spark, sf_dir):
+    """Mixture planning: the corpus scan partial-aggregates map-side
+    (HashAggregate below the exchange), and no join touches corpus rows."""
+    plan = _plan(spark, sf_dir, "source_mixing_plan")
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_zorder_stats_map_side_expression(spark, sf_dir):
+    """The Morton value is plan-side arithmetic: no UDF, no Python eval,
+    one aggregation exchange."""
+    plan = _plan(spark, sf_dir, "events_zorder_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan[:3000]
+
+
+def test_kmv_uses_takeordered_not_global_sort(spark, sf_dir):
+    """The k-smallest-hashes step must be TakeOrderedAndProject (per-task
+    top-k + k-sized merge), never a full Sort of the hash domain."""
+    plan = _plan(spark, sf_dir, "events_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """SemDeDup pairs only within a cell: the self-join is keyed (hash join
+    on cid), never a cartesian product."""
+    plan = _plan(spark, sf_dir, "embedding_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan[:3000]
