@@ -36,3 +36,19 @@ def test_all_queries_run(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_gate_rotation_fronts_never_green_queries():
+    """The registry front (the driver's 50-entry check window) must consist
+    of queries with no fully-green row in any committed CORRECTNESS record,
+    in registration order — the property the data-driven rotation exists
+    to maintain."""
+    from fxspark.queries import _driver_green_names
+
+    green = _driver_green_names()
+    names = list(QUERIES)
+    never = [n for n in names if n not in green]
+    # every never-green query precedes every green one
+    assert names[: len(never)] == never
+    # sanity: the records exist and some queries ARE green (r01-r03 landed)
+    assert green & set(names), "no green rows found — records missing?"
