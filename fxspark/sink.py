@@ -165,3 +165,50 @@ def compact(spark, path: str, target_mb: int = 128) -> int:
     n = max(1, -(-total // (target_mb * 1024 * 1024)))
     write_table(df.repartition(n), path)
     return n
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    partition_col: str,
+) -> list:
+    """Partition-pruned last-writer-wins upsert into a hive-partitioned
+    parquet store: merge ONLY the partitions the incoming batch touches and
+    rewrite only those directories (dynamic partition overwrite) — the
+    incremental-ingest shape that makes keyed upserts affordable at 100 TB,
+    where the full-table ``upsert`` rewrite is the scale-killer.
+
+    Steps: (1) distinct partition values of the batch (tiny — a micro-batch
+    touches few partitions); (2) read the store pruned to those values (the
+    filter prunes DIRECTORIES at planning time, nothing else is read);
+    (3) keyed merge; (4) ``partitionOverwriteMode=dynamic`` overwrite, which
+    replaces exactly the written partitions and leaves the rest untouched.
+    Returns the touched partition values.
+
+    Delta/Iceberg ``MERGE INTO`` subsumes steps 2-4 with file-level instead
+    of partition-level granularity; this is the portable parquet form with
+    the same pruning discipline. The batch must contain ``partition_col``.
+    """
+    touched = [
+        r[0] for r in incoming.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return touched
+    if os.path.exists(path):
+        current = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(touched))
+        )
+        merged = upsert(current, incoming, keys, order_by)
+    else:
+        merged = dedup_latest(incoming, list(keys), list(order_by))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched

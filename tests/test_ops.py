@@ -965,3 +965,62 @@ def test_asof_join_backward_unchanged_reference(spark):
         for r in asof_join(left, right, "k", "t").collect()
     }
     assert got == {("a", 2): "r1", ("a", 4): "r4"}
+
+
+def test_upsert_partitioned_touches_only_batch_partitions(spark, tmp_path):
+    """Partition-pruned upsert: merging a batch that touches one date must
+    leave the other date's files byte-identical on disk (the incremental
+    ingest contract), apply last-writer-wins within the touched partition,
+    and report the touched values."""
+    import glob as _glob
+
+    from fxspark.sink import upsert_partitioned
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [
+            Row(k="a", d="2024-01-01", v=1, seq=1),
+            Row(k="b", d="2024-01-01", v=2, seq=1),
+            Row(k="a", d="2024-01-02", v=3, seq=1),
+        ]
+    )
+    upsert_partitioned(spark, path, base, ["k", "d"], ["seq"], "d")
+    before = {
+        f: open(f, "rb").read()
+        for f in _glob.glob(f"{path}/d=2024-01-01/*.parquet")
+    }
+    assert before, "expected day-1 partition files"
+
+    batch = spark.createDataFrame(
+        [
+            Row(k="a", d="2024-01-02", v=30, seq=2),   # update
+            Row(k="c", d="2024-01-02", v=40, seq=1),   # insert
+        ]
+    )
+    touched = upsert_partitioned(spark, path, batch, ["k", "d"], ["seq"], "d")
+    assert touched == ["2024-01-02"]
+
+    after = {
+        f: open(f, "rb").read()
+        for f in _glob.glob(f"{path}/d=2024-01-01/*.parquet")
+    }
+    assert after == before  # untouched partition is byte-identical
+
+    got = {
+        (r["k"], r["d"]): (r["v"], r["seq"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01"): (1, 1),
+        ("b", "2024-01-01"): (2, 1),
+        ("a", "2024-01-02"): (30, 2),   # last writer won
+        ("c", "2024-01-02"): (40, 1),
+    }
+
+    # idempotent redelivery: same batch again changes nothing
+    upsert_partitioned(spark, path, batch, ["k", "d"], ["seq"], "d")
+    again = {
+        (r["k"], r["d"]): (r["v"], r["seq"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
