@@ -436,15 +436,28 @@ def semantic_dedup(
     once (O(corpus) folds), so every pair needs a single dot fold instead
     of dot + two norms — 3× less lambda work in the quadratic stage
     (measured 3.2 s → 2.5 s warm at sf0.1; the residual is the assignment
-    + join machinery, not pair scoring)."""
-    unit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
+    + join machinery, not pair scoring). The norm is computed ONCE into a
+    projected column before the per-element transform — HOF lambdas are
+    interpreted with no subexpression elimination, so an inline norm would
+    re-fold O(d) work per element (O(d²)/vector). Zero-norm vectors have no
+    direction: they are excluded from pair scoring explicitly (never
+    dropped, never a keeper)."""
+    live = (
+        df.select(id_col, vec_col)
+        .withColumn("_n", norm(F.col(vec_col)))
+        .filter(F.col("_n") > 0)  # before assignment: cosine is undefined
     )
     assigned = (
-        centroid_assign(df, centroids, vec_col, id_col)
+        centroid_assign(live.select(id_col, vec_col), centroids, vec_col, id_col)
         .select(id_col, "cid")
-        .join(df.select(id_col, vec_col), id_col)
-        .select(id_col, "cid", unit.alias("_vn"))
+        .join(live, id_col)
+        .select(
+            id_col,
+            "cid",
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_n")
+            ).alias("_vn"),
+        )
     )
     a = assigned.select(
         F.col("cid"),

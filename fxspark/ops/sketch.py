@@ -38,7 +38,11 @@ def misra_gries_candidates(
     valid lower bound on partition-local frequency). Memory is O(capacity)
     per task regardless of distinct-key cardinality; input rows stream
     through Arrow batches without materializing the partition.
+
+    The output ``key`` keeps the INPUT column's type (numeric ids stay
+    numeric), so the exact second pass joins without a cross-type compare.
     """
+    key_type = df.schema[key_col].dataType.simpleString()
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -59,11 +63,18 @@ def misra_gries_candidates(
                     if rem > 0 and len(counters) < capacity:
                         counters[key] = rem
         yield pd.DataFrame(
-            {"key": list(counters), "lower_bound": list(counters.values())}
+            {
+                # object dtype: Arrow casts to the declared key type; a
+                # default numeric dtype would mangle e.g. string keys
+                "key": pd.Series(list(counters), dtype=object),
+                "lower_bound": pd.Series(
+                    list(counters.values()), dtype="int64"
+                ),
+            }
         )
 
     return df.select(F.col(key_col).alias("key")).mapInPandas(
-        mg, "key string, lower_bound long"
+        mg, f"key {key_type}, lower_bound long"
     )
 
 

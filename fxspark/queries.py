@@ -2110,22 +2110,122 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_stats")  # rows-only: sketch outputs have no SQL twin
+@query(
+    "events_approx_stats",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ), kmv AS (
+      SELECT event_type, count(*) AS n_seen, max(h) AS kth
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    ), s AS (
+      SELECT event_type, value, event_id
+      FROM events
+      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) / 1152921504606846976.0 < 0.25
+    ), samp AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS ns
+      FROM s
+    ), med AS (
+      SELECT event_type, round(CAST(value AS DOUBLE), 6) AS approx_p50_value
+      FROM samp WHERE rn = (ns + 1) // 2
+    ), c AS (
+      SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(round(CASE WHEN kmv.n_seen < 64 THEN kmv.n_seen
+                           ELSE (64 - 1) / kmv.kth END, 0) AS BIGINT)
+             AS approx_users,
+           med.approx_p50_value,
+           c.n_events
+    FROM c
+    JOIN kmv ON kmv.event_type = c.event_type
+    LEFT JOIN med ON med.event_type = c.event_type
+    """,
+)
 def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (SURVEY.md §2.5 gap): per event_type,
-    HyperLogLog++ distinct users (approx_count_distinct, rsd=2%) and t-digest
-    median value (approx_percentile, accuracy 10000) next to the exact count.
-    Both sketches are mergeable — partial per partition, merge at the
-    reducer — so at 100 TB they replace a full shuffle-distinct / global
-    sort with constant-size state per partition. No DuckDB oracle (different
-    sketch implementations ⇒ different estimates); the unit test pins each
-    estimate against its exact counterpart within the algorithm's error
-    bound (tests/test_ops.py)."""
+    """Approximate aggregates (SURVEY.md §2.5 gap) with DECLARED randomness,
+    per event_type: KMV (k=64, md5-fraction hash) distinct-user estimate and
+    the discrete median of a deterministic 25% hash sample, next to the
+    exact count. The opaque production sketches (``approx_count_distinct``
+    HLL++, ``approx_percentile`` t-digest) compute the same quantities with
+    mergeable constant-size state — but their estimates are implementation
+    randomness, so they can never be differentially verified; declaring the
+    hash makes the ESTIMATE ITSELF bit-reproducible by the DuckDB oracle
+    (same pattern as ``events_kmv_distinct``). Scale shape: the per-group
+    k-smallest is pruned in two phases (per-salt top-k, then top-k of the
+    32·k survivors) so no group ever sorts more than 32·k candidate rows;
+    the sample median sorts 25% of each group — the declared-verifiable
+    tier; t-digest remains the beyond path and is error-bound-pinned against
+    this twin in tests/test_ops.py."""
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50_value"),
-        F.count(F.lit(1)).alias("n_events"),
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(2**60))
+    )
+    hh = events.select("event_type", h.alias("h")).distinct()
+    salted = hh.withColumn("_salt", F.pmod(F.xxhash64("h"), F.lit(32)))
+    w1 = Window.partitionBy("event_type", "_salt").orderBy("h")
+    cand = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 64)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    kmin = cand.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= 64
+    )
+    kmv = kmin.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth")
+    )
+    hs = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(2**60))
+    )
+    samp = events.filter(hs < 0.25).select("event_type", "value", "event_id")
+    wm = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    med = (
+        samp.withColumn("rn", F.row_number().over(wm))
+        .withColumn("ns", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(ns + 1) div 2"))
+        .select(
+            "event_type",
+            F.round(F.col("value").cast("double"), 6).alias(
+                "approx_p50_value"
+            ),
+        )
+    )
+    c = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    est = F.round(
+        F.when(F.col("n_seen") < 64, F.col("n_seen").cast("double")).otherwise(
+            F.lit(63.0) / F.col("kth")
+        ),
+        0,
+    ).cast("long")
+    return (
+        c.join(kmv, "event_type")
+        .join(med, "event_type", "left")
+        .select(
+            "event_type", est.alias("approx_users"), "approx_p50_value",
+            "n_events",
+        )
     )
 
 
@@ -4119,9 +4219,15 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split(F.lower(F.trim(F.col("text"))), " ")
     d = docs.withColumn("_t", t).withColumn(
         "_b",
+        # size(_t) < 2 would make sequence(1, size-1) descend ([1,0]) and
+        # element_at(_t, 0) throw; single-token/empty docs must still be
+        # scored, so guard to an empty bigram array (dup-bigram handles
+        # size(_b) == 0 explicitly).
         F.expr(
-            "transform(sequence(1, size(_t) - 1),"
+            "CASE WHEN size(_t) >= 2 THEN"
+            " transform(sequence(1, size(_t) - 1),"
             " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+            " ELSE CAST(array() AS array<string>) END"
         ),
     )
     return d.select(
@@ -4517,11 +4623,17 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
+    # size(t) < 2 would make sequence(1, size-1) DESCEND ([1,0]) and
+    # slice(t, 0, 2) throw; guard to an empty array (explode then drops
+    # the row, matching the oracle's empty range(1, len(w))).
     bg = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
-        )
+        F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
     bb = docs.select("doc_id", bg.alias("bg")).withColumn(
         "w1", F.substring_index("bg", " ", 1)
@@ -4591,9 +4703,15 @@ def q_doc_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens(F.col("text"))
     d = docs.withColumn("_t", t).withColumn(
         "_b",
+        # size(_t) < 2 would make sequence(1, size-1) descend ([1,0]) and
+        # element_at(_t, 0) throw; single-token/empty docs must still be
+        # scored, so guard to an empty bigram array (dup-bigram handles
+        # size(_b) == 0 explicitly).
         F.expr(
-            "transform(sequence(1, size(_t) - 1),"
+            "CASE WHEN size(_t) >= 2 THEN"
+            " transform(sequence(1, size(_t) - 1),"
             " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+            " ELSE CAST(array() AS array<string>) END"
         ),
     )
     n_tokens = F.size("_t")

@@ -63,6 +63,12 @@ def get_spark(app_name: str = "fxspark", master: str | None = None) -> SparkSess
         # exactly what DuckDB's parquet reader does, so both engines see
         # identical microsecond values (filters, ordering, output).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Hive partition directory names are strings; inference would read
+        # them back as DATE/INT and drift the store schema across upsert
+        # ticks (sink.upsert_partitioned) — keep read-back types declared.
+        .config(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("FXSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

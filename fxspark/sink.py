@@ -9,10 +9,11 @@ engine's equivalents:
 - ``insert_absent`` — keep-existing merge (v1 semantics)
 
 Both are pure DataFrame plans (union + keyed argmax — one shuffle). On a
-100 TB lakehouse table the same call maps to Delta ``MERGE INTO`` (used when
-delta-spark is importable) so the rewrite touches only matched files instead
-of rewriting the table; the pure-DF form remains the portable fallback and
-the semantics oracle.
+lakehouse deployment (Delta/Iceberg, not bundled here) the same semantics
+map to ``MERGE INTO``, which touches only matched files instead of
+rewriting the table; this module implements the portable parquet forms —
+full-rewrite ``upsert`` and partition-granular ``upsert_partitioned`` —
+which double as the semantics oracle for any such deployment.
 """
 
 from __future__ import annotations
@@ -197,18 +198,33 @@ def upsert_partitioned(
     ]
     if not touched:
         return touched
+    # Hive partition values are directory-name strings; left to inference the
+    # read-back type drifts from the batch's ("2024-01-01" → DATE) and every
+    # later tick merges mismatched schemas. Pin inference off, then cast the
+    # store to the batch's exact schema so non-string partition keys round-trip.
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
     if os.path.exists(path):
         current = (
             spark.read.parquet(path)
             .filter(F.col(partition_col).isin(touched))
+            .select(
+                *[F.col(f.name).cast(f.dataType) for f in incoming.schema.fields]
+            )
         )
         merged = upsert(current, incoming, keys, order_by)
     else:
         merged = dedup_latest(incoming, list(keys), list(order_by))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # The merged plan still READS `path`; materialize before overwriting the
+    # same directories or a task retry mid-commit could re-read truncated
+    # input. Per-write option (not a session-global flip) keeps concurrent
+    # writers on this session safe.
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
     return touched

@@ -136,3 +136,33 @@ def test_heavy_hitters_corpus_never_shuffles_on_raw_key(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_heavy_hitters_numeric_key_column(spark):
+    # open key domains include numeric ids: the output key must keep the
+    # input type (a hardcoded string schema made Arrow conversion fail)
+    rows = [Row(uid=7)] * 6 + [Row(uid=i) for i in range(5)]
+    df = spark.createDataFrame(rows).repartition(2)
+    cands = misra_gries_candidates(df, "uid", capacity=4)
+    assert cands.schema["key"].dataType.simpleString() == "bigint"
+    got = [
+        (r["key"], r["cnt"])
+        for r in heavy_hitters_exact(df, "uid", k=1, capacity=8).collect()
+    ]
+    assert got == [(7, 6)]
+
+
+def test_semantic_dedup_zero_vector_excluded(spark):
+    # zero-norm vectors have no direction: never dropped, never a keeper,
+    # and no NaN cosine leaks into the scored pairs
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.0, 0.0]),
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.999, 0.01]),
+        ]
+    )
+    cents = spark.createDataFrame([Row(cid=0, embedding=[1.0, 0.0])])
+    out = semantic_dedup(emb, cents, 0.95).collect()
+    assert {r["vec_id"] for r in out} == {2}
+    assert out[0]["kept_by"] == 1

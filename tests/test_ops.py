@@ -419,8 +419,9 @@ def test_dup_clusters_chain_and_islands(spark):
 
 
 def test_approx_stats_within_error_bounds(spark, sf_dir):
-    """HLL++ distinct estimate within 3·rsd of exact; t-digest median within
-    the value range spanned by the neighboring exact percentiles."""
+    """KMV (k=64) distinct estimate within 3·rsd = 3/√63 of exact; the
+    deterministic-sample median within the exact p35–p65 band (a 25% sample
+    median concentrates at ~0.5/√m quantile error)."""
     from fxspark.queries import QUERIES
     from fxspark.session import load_table
 
@@ -429,16 +430,16 @@ def test_approx_stats_within_error_bounds(spark, sf_dir):
     exact = {r["event_type"]: r for r in
              load_table(spark, sf_dir, "events").groupBy("event_type").agg(
                  F.countDistinct("user_id").alias("users"),
-                 F.expr("percentile(value, 0.45)").alias("p45"),
-                 F.expr("percentile(value, 0.55)").alias("p55"),
+                 F.expr("percentile(value, 0.35)").alias("p35"),
+                 F.expr("percentile(value, 0.65)").alias("p65"),
                  F.count(F.lit(1)).alias("n_events"),
              ).collect()}
     assert set(approx) == set(exact)
     for et in exact:
         a, e = approx[et], exact[et]
         assert a["n_events"] == e["n_events"]
-        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"])
-        assert e["p45"] <= a["approx_p50_value"] <= e["p55"]
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.38 * e["users"])
+        assert e["p35"] <= a["approx_p50_value"] <= e["p65"]
 
 
 def test_register_views_raw_sql_surface(spark, sf_dir):

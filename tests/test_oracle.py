@@ -52,3 +52,11 @@ def test_gate_rotation_fronts_never_green_queries():
     assert names[: len(never)] == never
     # sanity: the records exist and some queries ARE green (r01-r03 landed)
     assert green & set(names), "no green rows found — records missing?"
+    # every query in the driver's 50-entry check window has an oracle, so
+    # the window can convert fully green (no no_oracle rows) — future
+    # registrations must not push an oracle-less query into the window
+    from fxspark.queries import ORACLE
+
+    window = names[:50]
+    missing = [n for n in window if n not in ORACLE]
+    assert not missing, f"gate-window queries without an oracle: {missing}"
