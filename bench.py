@@ -128,6 +128,11 @@ EXTENSION = [
     "events_kmv_distinct",
     "user_value_ewma",
     "source_shared_spans",
+    "doc_importance_weights",
+    "doc_token_budget_select",
+    "token_bpe_pair_counts",
+    "user_value_trailing_1h",
+    "benchmark_minhash_contamination",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

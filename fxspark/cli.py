@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from fxspark import fx
 from fxspark.ingest import normalize
 from fxspark.ops.checks import check_report, observe_checks
-from fxspark.sink import console_report, read_table, upsert, write_table
+from fxspark.sink import (
+    append_run_log,
+    console_report,
+    read_table,
+    upsert,
+    write_table,
+)
 from fxspark.sources import csv_pairs, http_rates, json_dir_rates
 
 KEYS = ("ccy_couple", "date")  # natural key, Fx_1min.py:38
@@ -33,6 +39,7 @@ def tick(
     url_template: str | None = None,
     now: dt.datetime | None = None,
     report: bool = True,
+    log_path: str | None = None,
 ) -> DataFrame:
     """One scheduled run (O1, ``Fx_1min.py:240-262``). Returns the report DF."""
     t0 = time.time()
@@ -72,6 +79,20 @@ def tick(
         for constraint, count in check_report(obs.get):
             print(f"[check] {constraint}: {count}")
         print(f"Script executed in {time.time() - t0:.2f} seconds")  # Fx_1min.py:262
+    if log_path is not None:
+        # S8: one structured record per tick (the .bat's `> log 2>&1`,
+        # machine-parseable). Forces the check Observation if `report`
+        # didn't already; both counts are micro-batch-bounded.
+        append_run_log(
+            log_path,
+            {
+                "ts_utc": dt.datetime.now(dt.timezone.utc).isoformat(),
+                "store": store_path,
+                "quarantined": quarantined.count(),
+                "checks": dict(check_report(obs.get)),
+                "elapsed_sec": round(time.time() - t0, 3),
+            },
+        )
     return result
 
 
@@ -81,6 +102,7 @@ def main() -> None:
     p.add_argument("--rates-dir", help="offline JSON fixture directory")
     p.add_argument("--pairs-csv", help="currency pair universe CSV")
     p.add_argument("--url-template", help="live HTTP source URL template")
+    p.add_argument("--log", help="append one JSON record per tick (S8)")
     args = p.parse_args()
 
     from fxspark.session import get_spark
@@ -92,6 +114,7 @@ def main() -> None:
         rates_dir=args.rates_dir,
         pairs_csv=args.pairs_csv,
         url_template=args.url_template,
+        log_path=args.log,
     )
 
 

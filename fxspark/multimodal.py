@@ -262,6 +262,82 @@ def fake_frame_decoder(
     return out
 
 
+def detect_frame_decoder():
+    """Probe the runtime for a real video codec, preferring PyAV (in-process
+    libav bindings) over imageio-ffmpeg (subprocess pipe). Returns a
+    ``decoder(payload, every_n) -> [(idx, ts_ms, w, h, frame_bytes)]`` or
+    ``None`` when no codec library is importable (this container ships
+    neither — see SCALE.md 'environment limits')."""
+    try:
+        import av  # noqa: F401
+
+        def av_decoder(payload, every_n):
+            import io
+
+            import av as _av
+
+            if not payload:
+                return []
+            out = []
+            with _av.open(io.BytesIO(payload)) as container:
+                stream = container.streams.video[0]
+                tb = float(stream.time_base) if stream.time_base else 0.0
+                for i, frame in enumerate(container.decode(stream)):
+                    if i % max(every_n, 1):
+                        continue
+                    ts_ms = (
+                        int(frame.pts * tb * 1000)
+                        if frame.pts is not None and tb
+                        else i * 33
+                    )
+                    out.append(
+                        (
+                            i,
+                            ts_ms,
+                            frame.width,
+                            frame.height,
+                            frame.to_ndarray(format="rgb24").tobytes(),
+                        )
+                    )
+            return out
+
+        return av_decoder
+    except ImportError:
+        pass
+    try:
+        import imageio_ffmpeg  # noqa: F401
+
+        def ffmpeg_decoder(payload, every_n):
+            import os
+            import tempfile
+
+            import imageio_ffmpeg as _iio
+
+            if not payload:
+                return []
+            # the ffmpeg CLI needs a seekable input for most containers
+            with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+                f.write(payload)
+                tmp = f.name
+            try:
+                gen = _iio.read_frames(tmp)
+                meta = gen.__next__()
+                w, h = meta["size"]
+                fps = meta.get("fps") or 30.0
+                out = []
+                for i, frame in enumerate(gen):
+                    if i % max(every_n, 1):
+                        continue
+                    out.append((i, int(i * 1000 / fps), w, h, bytes(frame)))
+                return out
+            finally:
+                os.unlink(tmp)
+
+        return ffmpeg_decoder
+    except ImportError:
+        return None
+
+
 def decode_video_frames(
     media: DataFrame, every_n: int = 30, decoder=None
 ) -> DataFrame:
@@ -269,18 +345,22 @@ def decode_video_frames(
     each media row expands to its sampled frames ``(media_id, frame_idx,
     ts_ms, width, height, frame_bytes)``.
 
-    ``decoder(payload, every_n)`` supplies the codec. No real codec exists
-    in this container, so the DEFAULT honestly raises; pass
-    ``fake_frame_decoder`` (deterministic synthetic frames) to run the
-    plumbing end-to-end — which is what the tests pin: schema, empty-payload
-    handling, batch fan-out, partition sizing. At scale the decode is the
-    cost center: partitions must follow payload bytes (``spread`` on the
-    media frame), and frame_bytes should be written column-sharded rather
-    than carried through shuffles."""
+    ``decoder(payload, every_n)`` supplies the codec; when omitted, the
+    runtime is probed (``detect_frame_decoder``: PyAV, then imageio-ffmpeg)
+    and, with no codec importable — this container ships none — the call
+    honestly raises; pass ``fake_frame_decoder`` (deterministic synthetic
+    frames) to run the plumbing end-to-end — which is what the tests pin:
+    schema, empty-payload handling, batch fan-out, partition sizing. At
+    scale the decode is the cost center: partitions must follow payload
+    bytes (``spread`` on the media frame), and frame_bytes should be
+    written column-sharded rather than carried through shuffles."""
+    if decoder is None:
+        decoder = detect_frame_decoder()
     if decoder is None:
         raise NotImplementedError(
-            "video decode needs ffmpeg/av, not present in this environment; "
-            "pass decoder=fake_frame_decoder to exercise the plumbing"
+            "video decode needs a codec library (pyav or imageio-ffmpeg), "
+            "neither importable in this environment; pass "
+            "decoder=fake_frame_decoder to exercise the plumbing"
         )
     import pandas as pd
 

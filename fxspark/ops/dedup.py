@@ -283,6 +283,70 @@ def _signature_from_sets(sets_: DataFrame, k: int, hash_fn: str = "xxhash64") ->
     )
 
 
+def _band_key_exprs(k: int, bands: int, hash_fn: str) -> list:
+    """Band-key expressions over a ``signature`` array column: compacted
+    xxhash64 key (cheap shuffle) or the exact r-value tuple (md5_60 oracle
+    path — band collisions bit-reproducible by any engine)."""
+    r = k // bands
+    if hash_fn == "xxhash64":
+        return [
+            F.xxhash64(*[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
+            for b in range(bands)
+        ]
+    return [
+        F.concat_ws(",", *[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
+        for b in range(bands)
+    ]
+
+
+def minhash_cross_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH contamination: near-duplicate (corpus doc,
+    benchmark doc) pairs, exact-Jaccard-verified — the fuzzy tier above
+    ``ngram_overlap``'s exact-gram sweep (paraphrased or lightly-edited eval
+    material that exact grams miss).
+
+    Topology mirrors ``ngram_overlap``, not the self-join: the benchmark
+    side is thousands of docs regardless of corpus size, so its banded
+    signatures AND its shingle sets broadcast — the corpus is map-side
+    joined twice (candidate bands, then verification) and never shuffles on
+    the open band/shingle domains. Emits (doc_id, bench_id, jaccard)."""
+    corpus_sets = _shingle_sets(corpus, id_col, text_col, n).localCheckpoint()
+    bench_sets = _shingle_sets(bench, id_col, text_col, n).localCheckpoint()
+    keys = F.posexplode(F.array(*_band_key_exprs(k, bands, hash_fn))).alias(
+        "_band", "_bh"
+    )
+    cb = _signature_from_sets(corpus_sets, k, hash_fn).select("_id", keys)
+    bb = _signature_from_sets(bench_sets, k, hash_fn).select(
+        F.col("_id").alias("_bid"), keys
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["_band", "_bh"])
+        .select(F.col("_id").alias("doc_id"), F.col("_bid").alias("bench_id"))
+        .distinct()
+    )
+    sa = corpus_sets.select(F.col("_id").alias("doc_id"), F.col("_sh").alias("_sha"))
+    sb = bench_sets.select(F.col("_id").alias("bench_id"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter / (F.size("_sha") + F.size("_shb") - inter)
+    return (
+        cand.join(sa, "doc_id")
+        .join(F.broadcast(sb), "bench_id")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "bench_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -306,7 +370,6 @@ def minhash_lsh_pairs(
     bit-reproducible by any engine (the oracle path); the default keeps the
     8-byte compacted key (cheaper shuffle at billions of rows).
     """
-    r = k // bands
     # The shingle sets feed the signature AND both exact-verify sides; the
     # signature feeds both sides of the band self-join — materialize each
     # once rather than re-running the explode/agg per plan reference.
@@ -314,19 +377,11 @@ def minhash_lsh_pairs(
     if verify:
         sets_ = sets_.localCheckpoint()
     sig = _signature_from_sets(sets_, k, hash_fn).localCheckpoint()
-    if hash_fn == "xxhash64":
-        band_key = [
-            F.xxhash64(*[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
-            for b in range(bands)
-        ]
-    else:  # exact tuple key — no engine-specific hash in the collision set
-        band_key = [
-            F.concat_ws(",", *[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
-            for b in range(bands)
-        ]
     banded = sig.select(
         "_id",
-        F.posexplode(F.array(*band_key)).alias("_band", "_bh"),
+        F.posexplode(F.array(*_band_key_exprs(k, bands, hash_fn))).alias(
+            "_band", "_bh"
+        ),
     )
     cand = (
         banded.alias("x")

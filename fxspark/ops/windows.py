@@ -103,3 +103,86 @@ def keyed_ewma(
     ).select(
         key_col, "n_total", F.col("_ewma").alias("ewma"), "last_value"
     )
+
+
+def keyed_ewma_chunked(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    chunk: int = 4096,
+):
+    """``keyed_ewma`` beyond the in-row-array ceiling: the EWMA recurrence
+    is AFFINE in the accumulator — a segment of m values reduces to
+    ``(A, B) = ((1−α)^m, Σ α·x_t·(1−α)^{m−t})`` with ``out = A·in + B`` —
+    so segments combine associatively and no row ever holds a key's full
+    history.
+
+    Plan: rank events per key (one shuffle+sort, no array), bucket ranks
+    into ``chunk``-sized segments, reduce each segment to its ``(A, B)``
+    (in-row array bounded by ``chunk``), then fold the ordered segment
+    summaries onto the seed (first value) — the summary array is bounded by
+    ``n/chunk``, so a 10⁹-event key needs ~250k 16-byte summaries, not 10⁹
+    values. Same output schema as ``keyed_ewma``; parity is pinned to ~1e-9
+    relative (segment algebra regroups float ops, so the last ulps differ —
+    which is why the ORACLE query keeps the sequential form)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    ranked = (
+        df.select(
+            key_col, *order_cols, F.col(value_col).cast("double").alias("_x")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .select(key_col, "_x", "_rn")
+    )
+
+    # per-(key, segment) affine reduction over ranks >= 2 (rank 1 is the seed)
+    seg_rows = ranked.filter(F.col("_rn") >= 2).withColumn(
+        "_seg", ((F.col("_rn") - 2) / F.lit(chunk)).cast("long")
+    )
+    seg_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("_rn", "_x"))), lambda s: s["_x"]
+    )
+    ab = F.aggregate(
+        seg_vals,
+        F.struct(F.lit(1.0).alias("a"), F.lit(0.0).alias("b")),
+        lambda acc, x: F.struct(
+            (acc["a"] * F.lit(1.0 - alpha)).alias("a"),
+            (F.lit(1.0 - alpha) * acc["b"] + F.lit(alpha) * x).alias("b"),
+        ),
+    )
+    segs = seg_rows.groupBy(key_col, "_seg").agg(ab.alias("_ab"))
+
+    # per-key: seed, count, last value — plain aggregates, no arrays
+    heads = df.select(
+        key_col,
+        F.struct(*[F.col(c) for c in order_cols]).alias("_ord"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.min_by("_x", "_ord").alias("_seed"),
+        F.max_by("_x", "_ord").alias("last_value"),
+    )
+
+    # ordered segment summaries (bounded by n/chunk per key) folded onto seed
+    combined = segs.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct("_seg", "_ab"))).alias("_chain")
+    )
+    final = F.aggregate(
+        F.col("_chain"),
+        F.col("_seed"),
+        lambda acc, c: c["_ab"]["a"] * acc + c["_ab"]["b"],
+    )
+    return (
+        heads.join(combined, key_col, "left")
+        .select(
+            key_col,
+            "n_total",
+            F.when(F.col("_chain").isNull(), F.col("_seed"))
+            .otherwise(final)
+            .alias("ewma"),
+            "last_value",
+        )
+    )

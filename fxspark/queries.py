@@ -5062,6 +5062,343 @@ def q_source_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_importance_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM tok WHERE tok <> ''
+    ), tgt AS (
+      SELECT bucket, count(*) AS c FROM b
+      WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY bucket
+    ), raw AS (
+      SELECT bucket, count(*) AS c FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM b
+              WHERE source IN ('src0','src1','src2','src3','src4')) AS tgt_n,
+             (SELECT CAST(count(*) AS BIGINT) FROM b) AS raw_n
+    ), scored AS (
+      SELECT b.doc_id, b.source,
+             CAST(round(ln((coalesce(tgt.c, 0) + 1.0) / (tot.tgt_n + 256.0))
+                        - ln((raw.c + 1.0) / (tot.raw_n + 256.0)), 9)
+                  AS DECIMAL(20,10)) AS s
+      FROM b JOIN raw USING (bucket)
+      LEFT JOIN tgt USING (bucket)
+      CROSS JOIN tot
+    )
+    SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(s) AS DOUBLE), 6) AS log_weight
+    FROM scored GROUP BY doc_id, source
+    """,
+)
+def q_doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-document log-likelihood ratio between a
+    TARGET domain (here the declared sources src0-src4) and the raw corpus,
+    under hashed-unigram bag-of-words models (256 md5 buckets, add-one
+    smoothing) — the standard cheap scorer for 'select web data that looks
+    like the target'. Deterministic by construction: the feature hash is
+    declared md5 arithmetic, so the weight itself is oracle-verifiable.
+    Scale shape: the two bucket LMs are 256-row aggregates (broadcast
+    back), the corpus side is explode → map-side bucket → one doc-keyed
+    sum; nothing shuffles on the open token domain. Per-token scores are
+    rounded then decimal-summed, so the doc weight is partition-order
+    independent."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(256),
+    )
+    b = tok.select("doc_id", "source", bucket.alias("bucket"))
+    is_tgt = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    tgt = (
+        b.filter(is_tgt).groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tot = b.agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).cast("long").alias("tgt_n"),
+        F.count(F.lit(1)).alias("raw_n"),
+    )
+    s = F.round(
+        F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tgt_n") + 256.0))
+        - F.log((F.col("rc") + 1.0) / (F.col("raw_n") + 256.0)),
+        9,
+    ).cast("decimal(20,10)")
+    return (
+        b.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(tot))
+        .select("doc_id", "source", s.alias("_s"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_s").cast("double"), 6).alias("log_weight"),
+        )
+    )
+
+
+@query(
+    "doc_token_budget_select",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / nullif(len(toks), 0), 9) AS score
+      FROM t
+    ), c AS (
+      SELECT doc_id, source, n_tok, score,
+             sum(n_tok) OVER (PARTITION BY source
+                              ORDER BY score DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM f
+    )
+    SELECT doc_id, source, n_tok, score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_tokens - n_tok < 600 AS BOOLEAN) AS kept
+    FROM c
+    """,
+)
+def q_doc_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy data selection under a per-source token budget: rank each
+    source's documents by a declared quality score (type-token ratio,
+    doc_id tiebreak), admit documents in rank order until the source's
+    600-token budget is reached — the 'fill the training mixture to budget,
+    best first' step that follows mixture planning (``source_mixing_plan``
+    decides how much; this decides WHICH). A document is kept when it
+    STARTS within budget, so the boundary document may overshoot — the
+    deterministic variant of budget-filling. Scale shape: identical to
+    sequence packing — the running-sum window partitions on source, so
+    there is no global sort and source count scales partitions, not depth;
+    scoring is map-only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    f = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.nullif(F.size(toks), F.lit(0)).cast("double"),
+            9,
+        ).alias("score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = f.withColumn("cum_tokens", F.sum("n_tok").over(w))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "score",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        ((F.col("cum_tokens") - F.col("n_tok")) < 600).alias("kept"),
+    )
+
+
+def _minhash_cross_oracle(
+    k: int = 64, bands: int = 16, threshold: float = 0.7
+) -> str:
+    from fxspark.ops.dedup import _MERSENNE_31 as M, _minhash_perms
+
+    r = k // bands
+    sig = ", ".join(
+        f"min(({a}*x + {b}) % {M}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_perms(k))
+    )
+    band_arms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bn, concat_ws(',', "
+        + ", ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        + ") AS bk FROM sig"
+        for b in range(bands)
+    )
+    jac = ("CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+           " / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                    for i in range(1, len(t)-1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x'||substr(md5(sh0),1,15)) AS BIGINT) % {M} AS x
+      FROM (SELECT doc_id, unnest(s) AS sh0 FROM sh)
+    ), sig AS (
+      SELECT doc_id, {sig} FROM h GROUP BY doc_id
+    ), bands AS (
+      {band_arms}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM bands a JOIN bands b ON a.bn = b.bn AND a.bk = b.bk
+      WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+    )
+    SELECT c.doc_id, c.bench_id, round({jac}, 6) AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id
+                JOIN sh sb ON sb.doc_id = c.bench_id
+    WHERE {jac} >= {threshold}
+    """
+
+
+@query("benchmark_minhash_contamination", oracle=_minhash_cross_oracle())
+def q_benchmark_minhash_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy benchmark contamination: MinHash-LSH candidate pairs between
+    the training corpus and a benchmark set (stand-in eval set: docs with
+    ``doc_id % 10 == 0``), verified with exact Jaccard ≥ 0.7 — catches the
+    paraphrased/lightly-edited eval leakage that ``benchmark_contamination``'s
+    exact 4-gram sweep misses. Runs with the cross-engine md5_60 hash family
+    and exact band tuples, so the DuckDB oracle replays the same signatures
+    and band collisions (full value differential over the LSH pipeline).
+    Scale shape (``ops.dedup.minhash_cross_pairs``): the bench side's bands
+    and shingle sets BROADCAST — the corpus never shuffles on band or
+    shingle domains, the same topology as the exact-gram decontam sweep."""
+    from fxspark.ops.dedup import minhash_cross_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_cross_pairs(
+        corpus, bench, "doc_id", "text", n=3, k=64, bands=16,
+        threshold=0.7, hash_fn="md5_60",
+    )
+
+
+@query(
+    "user_value_trailing_1h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6)))
+                        OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS trailing_avg,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_user_value_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-window aggregate via a RANGE frame: for every event,
+    the mean value over the same user's events in the preceding hour
+    (inclusive) — the time-based sibling of ``rolling_value_avg``'s
+    row-count frame, and the standard feature for burst/velocity signals.
+    The frame is TIME-bounded (``rangeBetween`` on epoch seconds), so
+    irregular event spacing is handled exactly; one shuffle+sort on
+    user_id. The frame sum goes through the decimal-exact route: frame
+    membership is identical across engines, but accumulation order within
+    equal timestamps is not — decimal addition commutes, doubles don't."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )
+
+
+@query(
+    "token_bpe_pair_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      FROM tok WHERE tok <> '' GROUP BY tok
+    ), pairs AS (
+      SELECT tok, freq,
+             unnest([c[i] || c[i+1] for i in range(1, len(c))]) AS pair
+      FROM (SELECT tok, freq, string_split(tok, '') AS c FROM vocab)
+    )
+    SELECT pair,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS total_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY total_count DESC, pair
+    LIMIT 30
+    """,
+)
+def q_token_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-selection step (the tokenizer-training inner loop):
+    count adjacent symbol pairs across the corpus weighted by word
+    frequency and rank the merge candidates — top-30 with a deterministic
+    (count desc, pair asc) tiebreak. The critical scale move is aggregating
+    to the VOCABULARY first (tokens → word counts, a partial-combined agg
+    whose output is vocab-sized, not corpus-sized) and exploding
+    character pairs from vocab entries only — 100 TB of text collapses to
+    ~millions of distinct words before any per-character work happens.
+    Single-char words contribute no pairs (the same descending-sequence
+    guard as the bigram family); the final top-k is TakeOrderedAndProject,
+    never a global sort."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), " ")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        "tok",
+        "freq",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(tok) >= 2 THEN"
+                " transform(sequence(1, length(tok) - 1),"
+                " i -> concat(substring(tok, i, 1), substring(tok, i + 1, 1)))"
+                " ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("total_count"),
+        )
+        .orderBy(F.col("total_count").desc(), "pair")
+        .limit(30)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

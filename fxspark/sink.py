@@ -141,6 +141,23 @@ def console_report(df: DataFrame, columns: Sequence[str], widths: Sequence[int])
     return "\n".join(lines)
 
 
+def append_run_log(log_path: str, record: dict) -> None:
+    """Structured run-log sink (S8): one JSON line per tick, appended.
+
+    The reference captures each scheduled run by redirecting stdout/stderr
+    to a log file (``run_update_1min.bat:13,16``); the engine's form is a
+    structured append — one machine-parseable record per tick (metrics,
+    check counts, timing) instead of captured console text, so a fleet of
+    schedulers can tail/aggregate it. Driver-side by design: exactly one
+    bounded line per tick, the same cardinality as the reference's log."""
+    import json
+
+    parent = os.path.dirname(os.path.abspath(log_path))
+    os.makedirs(parent, exist_ok=True)
+    with open(log_path, "a", encoding="utf-8") as fh:
+        fh.write(json.dumps(record, sort_keys=True, default=str) + "\n")
+
+
 def compact(spark, path: str, target_mb: int = 128) -> int:
     """Small-files compaction: rewrite a parquet directory into
     ⌈bytes / target_mb⌉ files (the lakehouse OPTIMIZE primitive — streaming

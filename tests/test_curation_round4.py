@@ -166,3 +166,29 @@ def test_semantic_dedup_zero_vector_excluded(spark):
     out = semantic_dedup(emb, cents, 0.95).collect()
     assert {r["vec_id"] for r in out} == {2}
     assert out[0]["kept_by"] == 1
+
+
+def test_minhash_cross_pairs_hand_values(spark):
+    # corpus doc 1 is a near-copy of bench doc 100; doc 2 is unrelated.
+    # the cross variant must find (1, 100) and must NOT pair corpus docs
+    # with each other even when they'd collide (3 and 1 are identical).
+    from fxspark.ops.dedup import minhash_cross_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base + " mu"),
+            Row(doc_id=2, text="one two three four five six seven"),
+            Row(doc_id=3, text=base + " mu"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text=base + " nu")])
+    got = {
+        (r["doc_id"], r["bench_id"]): r["jaccard"]
+        for r in minhash_cross_pairs(
+            corpus, bench, "doc_id", "text", n=3, k=64, bands=16,
+            threshold=0.5, hash_fn="md5_60",
+        ).collect()
+    }
+    assert set(got) == {(1, 100), (3, 100)}
+    assert all(0.5 <= j <= 1.0 for j in got.values())

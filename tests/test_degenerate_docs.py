@@ -26,6 +26,9 @@ DEGENERATE_QUERIES = [
     "doc_bigram_logprob",
     "doc_quality_logistic",
     "doc_repetition_stats",
+    "doc_importance_weights",  # no doc from the target sources at all
+    "doc_token_budget_select",
+    "token_bpe_pair_counts",  # single-char words contribute no pairs
 ]
 
 

@@ -197,3 +197,23 @@ def test_http_rates_local_server(spark):
         assert "Time Series FX (Daily)" in out["EUR"]
     finally:
         srv.shutdown()
+
+
+def test_tick_structured_run_log(spark, fixture_dir, tmp_path):
+    """S8: each tick appends exactly one machine-parseable JSON record with
+    the run metrics — the engine's form of the reference's `> log 2>&1`
+    capture (run_update_1min.bat:13)."""
+    store = str(tmp_path / "exchange_rates")
+    log = str(tmp_path / "runs" / "tick.log")
+    tick(spark, store, rates_dir=str(fixture_dir), now=NOW, report=False,
+         log_path=log)
+    tick(spark, store, rates_dir=str(fixture_dir), now=NOW, report=False,
+         log_path=log)
+    lines = open(log).read().splitlines()
+    assert len(lines) == 2
+    for line in lines:
+        rec = json.loads(line)
+        assert rec["store"] == store
+        assert rec["quarantined"] == 1  # the rate-limited payload
+        assert rec["checks"]["rows"] == sum(len(s) for s in SERIES.values())
+        assert rec["elapsed_sec"] > 0

@@ -1025,3 +1025,80 @@ def test_upsert_partitioned_touches_only_batch_partitions(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_keyed_ewma_chunked_parity(spark):
+    """The segment-fold EWMA (associative (A,B) chunk algebra) must agree
+    with the sequential declared fold to float-regrouping tolerance, with a
+    chunk size small enough to force many segments per key — including
+    1-event keys (seed only, no segments) and keys smaller than one chunk."""
+    import math
+    import random
+
+    from fxspark.ops.windows import keyed_ewma, keyed_ewma_chunked
+
+    rng = random.Random(7)
+    rows = []
+    for k, n in [("a", 1), ("b", 3), ("c", 17), ("d", 100)]:
+        for i in range(n):
+            rows.append(Row(k=k, t=i, v=rng.uniform(-100, 100)))
+    df = spark.createDataFrame(rows).repartition(5)
+
+    seq = {r["k"]: r for r in keyed_ewma(df, "k", ["t"], "v", 0.3).collect()}
+    seg = {r["k"]: r for r in
+           keyed_ewma_chunked(df, "k", ["t"], "v", 0.3, chunk=4).collect()}
+    assert set(seq) == set(seg)
+    for k in seq:
+        assert seq[k]["n_total"] == seg[k]["n_total"]
+        assert seq[k]["last_value"] == seg[k]["last_value"]
+        assert math.isclose(seq[k]["ewma"], seg[k]["ewma"], rel_tol=1e-9), k
+
+
+def test_merge_rollup_associative_equals_full_rescan(spark):
+    """Maintained-rollup algebra: merging per-batch partials in ANY grouping
+    must equal the rollup of the full union — the property that lets a
+    100 TB store answer from keys-sized state instead of rescans."""
+    import random
+
+    from fxspark.ops.rollup import merge_rollup, rollup_read, rollup_table
+
+    rng = random.Random(11)
+    batches = []
+    for _ in range(3):
+        batches.append(spark.createDataFrame(
+            [Row(k=rng.choice("abc"), v=round(rng.uniform(-50, 50), 3))
+             for _ in range(40)]
+        ))
+
+    full = rollup_table(batches[0].union(batches[1]).union(batches[2]), ["k"], "v")
+    inc = None
+    for b in batches:
+        inc = merge_rollup(inc, rollup_table(b, ["k"], "v"), ["k"])
+    # a different merge grouping (b2⊕b3 first) must give the same state
+    alt = merge_rollup(
+        rollup_table(batches[0], ["k"], "v"),
+        merge_rollup(rollup_table(batches[1], ["k"], "v"),
+                     rollup_table(batches[2], ["k"], "v"), ["k"]),
+        ["k"],
+    )
+    want = {r["k"]: r for r in rollup_read(full).collect()}
+    for got_df in (inc, alt):
+        got = {r["k"]: r for r in rollup_read(got_df).collect()}
+        assert set(got) == set(want)
+        for k in want:
+            for m in ("cnt", "sum", "min", "max", "mean"):
+                assert got[k][m] == want[k][m], (k, m)
+
+
+def test_merge_rollup_disjoint_keys_full_outer(spark):
+    """Keys present on only one side keep their state (full-outer merge,
+    NULL-neutral measure fns)."""
+    from fxspark.ops.rollup import merge_rollup, rollup_table
+
+    a = rollup_table(
+        spark.createDataFrame([Row(k="only_a", v=1.0)]), ["k"], "v")
+    b = rollup_table(
+        spark.createDataFrame([Row(k="only_b", v=2.0)]), ["k"], "v")
+    got = {r["k"]: r for r in merge_rollup(a, b, ["k"]).collect()}
+    assert got["only_a"]["cnt"] == 1 and float(got["only_a"]["sum"]) == 1.0
+    assert got["only_b"]["cnt"] == 1 and float(got["only_b"]["max"]) == 2.0

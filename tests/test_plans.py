@@ -139,3 +139,38 @@ def test_semantic_dedup_no_cartesian(spark, sf_dir):
     on cid), never a cartesian product."""
     plan = _plan(spark, sf_dir, "embedding_semantic_dedup")
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_importance_weights_broadcasts_bucket_lms(spark, sf_dir):
+    """DSIR scoring: the two 256-row bucket LMs and the totals row join
+    BROADCAST — the token-exploded corpus side never sort-merge shuffles
+    on bucket (the open-domain side shuffles once, keyed by doc)."""
+    plan = _plan(spark, sf_dir, "doc_importance_weights")
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_token_budget_select_partitions_on_source(spark, sf_dir):
+    """Budget selection: the running-sum window partitions on source (no
+    global-order sort), same scale shape as sequence packing."""
+    plan = _plan(spark, sf_dir, "doc_token_budget_select")
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2, plan[:3000]
+
+
+def test_bpe_pairs_topk_not_global_sort(spark, sf_dir):
+    """BPE candidate ranking: vocab-first aggregation then
+    TakeOrderedAndProject for the top-30 — no full sort of the pair
+    domain, no Python stage."""
+    plan = _plan(spark, sf_dir, "token_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_cross_broadcasts_bench_side(spark, sf_dir):
+    """Cross-corpus contamination: the bench side's bands and shingle sets
+    broadcast — the corpus never sort-merge shuffles on band or shingle
+    domains (ngram_overlap's topology, fuzzy tier)."""
+    plan = _plan(spark, sf_dir, "benchmark_minhash_contamination")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]

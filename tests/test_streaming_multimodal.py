@@ -103,11 +103,18 @@ def test_multimodal_meta_and_features(spark):
     assert feats == feats2
 
 
-def test_video_decode_is_explicitly_stubbed(spark):
-    from fxspark.multimodal import decode_video_frames
+def test_video_decode_probes_runtime_then_raises_honestly(spark):
+    """With no codec importable the default path must raise (not silently
+    fake); when a codec IS present, detect_frame_decoder returns a real
+    decoder and decode_video_frames uses it."""
+    from fxspark.multimodal import decode_video_frames, detect_frame_decoder
 
-    with pytest.raises(NotImplementedError):
-        decode_video_frames(None)
+    dec = detect_frame_decoder()
+    if dec is None:
+        with pytest.raises(NotImplementedError):
+            decode_video_frames(None)
+    else:  # pragma: no cover - only runs where pyav/imageio-ffmpeg exist
+        assert callable(dec)
 
 
 def test_video_frame_plumbing_with_fake_decoder(spark):
@@ -482,3 +489,41 @@ def test_expr_decoders_parity_with_pandas(spark):
         a = {r["media_id"]: r.asDict() for r in pandas_fn(media).collect()}
         b = {r["media_id"]: r.asDict() for r in expr_fn(media).collect()}
         assert a == b, f"{kind}: {a} != {b}"
+
+
+def test_rollup_stream_converges_to_full_rescan(spark, tmp_path):
+    """Maintained rollup via foreachBatch: after streaming N file drops
+    (across a restart), the stored keys-sized state must equal the rollup
+    of a full batch rescan — and redelivery must not double-count."""
+    import json as _json
+
+    from fxspark.ops.rollup import rollup_table
+    from fxspark.streaming.runner import run_rollup_stream
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    state = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, v double"
+    rows1 = [{"k": "a", "v": 1.5}, {"k": "b", "v": -2.0}, {"k": "a", "v": 4.0}]
+    (drops / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1))
+
+    q = run_rollup_stream(spark, str(drops), state, ckpt, schema, ["k"], "v")
+    q.awaitTermination(120)
+
+    rows2 = [{"k": "a", "v": 10.0}, {"k": "c", "v": 7.25}]
+    (drops / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows2))
+    # restart from the same checkpoint: only b2 is new, b1 not re-merged
+    q = run_rollup_stream(spark, str(drops), state, ckpt, schema, ["k"], "v")
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(
+        [Row(k=r["k"], v=r["v"]) for r in rows1 + rows2])
+    want = {r["k"]: r for r in rollup_table(full, ["k"], "v").collect()}
+    got = {r["k"]: r for r in spark.read.parquet(state).collect()}
+    assert set(got) == set(want) == {"a", "b", "c"}
+    for k in want:
+        for m in ("cnt", "sum", "min", "max"):
+            assert got[k][m] == want[k][m], (k, m)
