@@ -677,9 +677,12 @@ def q_doc_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup.py:112`` (sizes recomputed over the capped universe); the unit
     property test pins small cases, this pins the fixture corpus.
     Implementation: prefix-filtered within the capped universe (cap bounds
-    bucket width, prefix bounds candidates — measured 8.0 s → 3.7 s at
-    sf0.1 vs the plain capped inverted index; the loose 0.5 threshold keeps
-    the prefix at half of each set, which is the residual cost)."""
+    bucket width, prefix bounds candidates), plus the PPJoin length and
+    position filters (exactness-preserving candidate pruning) and a single
+    checkpoint of the capped inverted index — measured 8.0 s → 3.7 s →
+    ~3.3 s at sf0.1 vs the plain capped inverted index; the loose 0.5
+    threshold keeps the prefix at half of each set, which is the residual
+    cost."""
     from fxspark.ops.dedup import jaccard_pairs_prefix
 
     docs = spread(load_table(spark, sf_dir, "documents"))
