@@ -133,6 +133,14 @@ EXTENSION = [
     "token_bpe_pair_counts",
     "user_value_trailing_1h",
     "benchmark_minhash_contamination",
+    "user_type_scd2",
+    "user_state_cdc_diff",
+    "event_funnel_stages",
+    "daily_retention",
+    "orders_quality_audit",
+    "doc_weighted_sample",
+    "user_value_outliers",
+    "nation_trade_pagerank",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

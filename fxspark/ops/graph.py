@@ -1,0 +1,87 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+Connected components (dedup clustering) lives in ``ops/dedup.py``; this
+module holds the rank-propagation family. The driver unrolls a FIXED
+number of iterations — each is one join + one aggregation, and the frame
+is ``localCheckpoint``-ed between iterations so the lineage (and the plan
+Catalyst must optimize) stays O(1) instead of growing per iteration, the
+standard Spark iterative-algorithm discipline (same pattern as the
+label-propagation tier of ``ops/dedup.connected_components``).
+
+Determinism: the per-node contribution sum is decimal-exact (cast to
+DECIMAL(38,18), summed, cast back), so the result is bit-identical across
+partitionings and engines — an unrolled SQL oracle replays it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank, ``n_iter`` synchronous iterations.
+
+    ``rank_{i+1}(v) = (1-d)/N + d * sum_{(u,v) in E} rank_i(u) * w(u,v) / out(u)``
+
+    Nodes are the union of sources and destinations; dangling nodes (no
+    out-edges) keep contributing nothing (their mass leaks — the simple
+    variant, stated so the oracle can replay it). Every iteration is one
+    shuffle on ``dst`` plus a broadcast-sized rank join; at scale the edge
+    list is the big side and stays partitioned by ``src`` across
+    iterations, so only the (N-row) rank frame moves.
+
+    Returns (node, rank) with rank a raw double — round at the query edge.
+    """
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_col.alias("_w")
+    )
+    out = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
+    # Edge frame with precomputed out-weight share: reused every iteration —
+    # materialize once so the join/agg per iteration reads a checkpoint, not
+    # the full upstream lineage.
+    e = e.join(out, "_src").withColumn("_share", F.col("_w") / F.col("_out"))
+    e = e.select("_src", "_dst", "_share").localCheckpoint()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    teleport = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") * F.col("_share")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("_c").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("_in"),
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

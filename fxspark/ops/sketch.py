@@ -98,3 +98,46 @@ def heavy_hitters_exact(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return counted.orderBy(F.col("cnt").desc(), F.col("key")).limit(k)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 20,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weight-proportional top-k sample: priority sampling
+    (Duffield-Lund-Thorup, JACM 2007). Each item gets priority ``w / u``
+    with ``u`` uniform on (0, 1]; the k highest priorities are the sample
+    (inclusion probability increases with weight; the scheme admits
+    unbiased subset-sum estimators via the (k+1)-th priority threshold).
+
+    Randomness is DECLARED, not opaque: ``u = (md5_60(key) mod B + 1)/B``
+    (first 60 md5 bits, the repo's cross-engine hash family) — reproducible
+    across runs, partitionings, and engines (the oracle replays the same
+    integers), the same discipline as the KMV and MinHash sketches.
+    ``w / u`` is a single IEEE division of exactly-represented values, so
+    priorities are bit-identical everywhere; no transcendentals (the
+    exponential-race formulation needs ``log``, whose last ulp is
+    libm-dependent).
+
+    Plan: map-side priority projection + TakeOrderedAndProject — no global
+    sort, no shuffle beyond the top-k reduction. O(k) driver memory.
+    """
+    from fxspark.ops.dedup import base_hash
+
+    u = (
+        F.pmod(
+            base_hash(F.col(key_col).cast("string"), "md5_60"), F.lit(buckets)
+        )
+        + 1
+    ) / F.lit(float(buckets))
+    pr = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn("_pr", pr)
+        .orderBy(F.col("_pr").desc(), F.col(key_col))
+        .limit(k)
+        .withColumn("priority", F.round(F.col("_pr"), 6))
+        .drop("_pr")
+    )

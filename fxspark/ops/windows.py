@@ -186,3 +186,43 @@ def keyed_ewma_chunked(
             "last_value",
         )
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest time it reached
+    each stage GIVEN it reached the previous stage earlier (strictly
+    increasing timestamps) — the classic product-analytics conversion
+    funnel (view -> click -> purchase), computed without MATCH_RECOGNIZE.
+
+    Plan: one conditional min_by-style aggregation per stage, chained by
+    per-key joins. Every join/agg shuffles on the entity key only — the
+    event table is scanned once per stage with the stage filter pushed to
+    the scan, and key cardinality (users) is the parallelism unit. Output:
+    one row per key that entered the funnel, with t_<stage> timestamps
+    (NULL once the funnel is abandoned) — aggregate conversion counts are a
+    groupBy away.
+    """
+    cur = (
+        df.filter(F.col(stage_col) == stages[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias(f"t_{stages[0]}"))
+    )
+    prev_t = f"t_{stages[0]}"
+    for st in stages[1:]:
+        nxt = (
+            df.filter(F.col(stage_col) == st)
+            .select(key_col, F.col(ts_col).alias("_ts"))
+            .join(cur.select(key_col, prev_t), key_col)
+            .filter(F.col("_ts") > F.col(prev_t))
+            .groupBy(key_col)
+            .agg(F.min("_ts").alias(f"t_{st}"))
+        )
+        cur = cur.join(nxt, key_col, "left")
+        prev_t = f"t_{st}"
+    return cur

@@ -5403,6 +5403,423 @@ def q_token_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Warehouse lifecycle family (round 5): CDC / SCD2 / funnel / retention /
+# quality-audit / deterministic weighted sampling / iterative graph rank —
+# the operations around the analytics core that a table's LIFETIME needs
+# (versioning, diffing, auditing) plus product-analytics staples.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_type_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), versions AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM versions
+    )
+    """,
+)
+def q_user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event log: collapse
+    consecutive same-state rows per user, then assign validity intervals
+    (``ops/cdc.scd2_intervals``) — the versioned-dimension discipline the
+    reference's overwrite-only store loses every tick
+    (``update_exchange_rates.py:160-170`` truncate-and-reload)."""
+    from fxspark.ops.cdc import scd2_intervals
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        events, "user_id", ["ts", "event_id"], ["event_type"]
+    )
+
+
+@query(
+    "user_state_cdc_diff",
+    oracle=f"""
+    WITH old_snap AS (
+      SELECT user_id, value AS old_value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-01-10 00:00:00'
+      ) WHERE rn = 1
+    ), new_snap AS (
+      SELECT user_id, value AS new_value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                WHEN o.old_value IS DISTINCT FROM n.new_value THEN 'update'
+           END AS change_type,
+           o.old_value, n.new_value
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
+    WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+               AND o.old_value IS NOT DISTINCT FROM n.new_value)
+    """,
+)
+def q_user_state_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (``ops/cdc.snapshot_diff``): the change set
+    between each user's latest state in two adjacent time windows —
+    insert/update/delete classification via one full-outer join, the
+    incremental feed an overwrite-only store (the reference's) cannot
+    produce."""
+    from fxspark.ops.cdc import snapshot_diff
+    from fxspark.ops.latest import latest_per_key_agg
+
+    events = load_table(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    t2 = F.lit(CUTOFF).cast("timestamp")
+    old = latest_per_key_agg(
+        events.filter((F.col("ts") >= t0) & (F.col("ts") < t1)),
+        "user_id", ["ts", "event_id"], payload=["value"],
+    )
+    new = latest_per_key_agg(
+        events.filter((F.col("ts") >= t1) & (F.col("ts") < t2)),
+        "user_id", ["ts", "event_id"], payload=["value"],
+    )
+    return snapshot_diff(old, new, "user_id", ["value"])
+
+
+@query(
+    "event_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user
+    (``ops/windows.funnel_stages``): earliest time each stage is reached
+    strictly after the previous one, NULL once abandoned. Every stage is a
+    filtered scan + per-key aggregation — shuffles only on user_id."""
+    from fxspark.ops.windows import funnel_stages
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_stages(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@query(
+    "daily_retention",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d
+    ), ret AS (
+      SELECT a.d, CAST(count(*) AS BIGINT) AS retained7
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND b.d = a.d - 7
+      GROUP BY a.d
+    )
+    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau,
+           COALESCE(ret.retained7, 0) AS retained7,
+           round(COALESCE(ret.retained7, 0) / CAST(dau.dau AS DOUBLE), 6)
+             AS retention_rate
+    FROM dau LEFT JOIN ret ON dau.d = ret.d
+    """,
+)
+def q_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + 7-day retention (users active on d who were
+    also active on d-7) — the growth-analytics staple. Distinct (day,
+    user) pairs once, then a self-join on (user, day-7): both sides hash
+    on user_id, no skew (near-unique), linear in active pairs."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    b = du.select(F.col("d").alias("_bd"), F.col("user_id").alias("_bu"))
+    ret = (
+        du.join(
+            b,
+            (F.col("user_id") == F.col("_bu"))
+            & (F.col("_bd") == F.date_sub(F.col("d"), 7)),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("retained7"))
+    )
+    return (
+        dau.join(ret, "d", "left")
+        .select(
+            # midnight TIMESTAMP, not DATE: both engines then hand the
+            # comparator the same datetime64 dtype (a DATE column arrives
+            # as python objects from Spark but datetime64 from DuckDB)
+            F.col("d").cast("timestamp").alias("day"),
+            "dau",
+            F.coalesce(F.col("retained7"), F.lit(0)).alias("retained7"),
+            F.round(
+                F.coalesce(F.col("retained7"), F.lit(0))
+                / F.col("dau").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
+
+
+@query(
+    "orders_quality_audit",
+    oracle="""
+    SELECT 'bad_status' AS check_name, CAST(count(*) FILTER (
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+             AS violations FROM orders
+    UNION ALL
+    SELECT 'dup_orderkey', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'negative_totalprice', CAST(count(*) FILTER (
+             WHERE o_totalprice < 0) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'null_custkey', CAST(count(*) FILTER (
+             WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orphan_custkey', CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q_orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit as a query: row-level constraints (nulls, ranges,
+    domain, duplicate keys) in ONE conditional-aggregation pass over
+    orders, plus the one check that needs a join — referential orphans via
+    left-anti against customer (broadcast at dim scale). Complements the
+    zero-extra-pass ``ops/checks.observe_checks`` (which rides a write
+    action but cannot see cross-table constraints)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    row_checks = orders.agg(
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "negative_totalprice"
+        ),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+    )
+    unpivoted = row_checks.selectExpr(
+        "stack(4, 'bad_status', bad_status, 'dup_orderkey', dup_orderkey,"
+        " 'negative_totalprice', negative_totalprice,"
+        " 'null_custkey', null_custkey) AS (check_name, violations)"
+    ).select("check_name", F.col("violations").cast("long"))
+    orphans = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orphan_custkey").alias("check_name"), "violations")
+    )
+    return unpivoted.unionByName(orphans)
+
+
+@query(
+    "doc_weighted_sample",
+    oracle="""
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) /
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 + 1) / 1000000.0) AS p
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(p, 6) AS priority
+    FROM pr ORDER BY p DESC, doc_id LIMIT 25
+    """,
+)
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sample of 25 documents by length:
+    priority sampling (Duffield-Lund-Thorup) with DECLARED randomness —
+    ``u`` derived from md5(doc_id), so the oracle replays the identical
+    sample (``ops/sketch.weighted_priority_sample``). Map-side projection
+    + TakeOrderedAndProject; no global sort at any corpus size."""
+    from fxspark.ops.sketch import weighted_priority_sample
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return weighted_priority_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=25
+    )
+
+
+@query(
+    "user_value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ssq
+      FROM events GROUP BY user_id
+    ), z AS (
+      SELECT e.event_id, e.user_id, e.value,
+             (e.value - s / n) /
+               sqrt((ssq - s * s / n) / (n - 1)) AS zscore
+      FROM events e JOIN stats USING (user_id)
+      WHERE n >= 3 AND (ssq - s * s / n) / (n - 1) > 0
+    )
+    SELECT event_id, user_id, value, round(zscore, 6) AS zscore
+    FROM z WHERE abs(zscore) > 2.5
+    """,
+)
+def q_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags: events whose value deviates > 2.5
+    sample standard deviations from that user's mean. Moments are
+    decimal-exact sums (order-independent — the built-in stddev is a
+    float fold whose result depends on partitioning); the z arithmetic is
+    then plain IEEE, bit-identical in any engine. One agg + one key join."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("value"), 6).alias("s"),
+        exact_sum(F.col("value") * F.col("value"), 6).alias("ssq"),
+    )
+    var = (F.col("ssq") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        events.join(stats, "user_id")
+        .filter((F.col("n") >= 3) & (var > 0))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2.5)
+        .select(
+            "event_id", "user_id", "value",
+            F.round(F.col("zscore"), 6).alias("zscore"),
+        )
+    )
+
+
+_PAGERANK_ITER = """
+    r{i} AS (
+      SELECT n.node,
+             (1.0 - 0.85) / (SELECT n FROM params) + 0.85 * COALESCE(
+               CAST(sum(CAST(r.rank * e.share AS DECIMAL(38,18))) AS DOUBLE),
+               0.0) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r{prev} r ON r.node = e.src
+      GROUP BY n.node
+    )"""
+
+
+@query(
+    "nation_trade_pagerank",
+    oracle="""
+    WITH edges0 AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, sum(w) AS out_w FROM edges0 GROUP BY src
+    ), edges AS (
+      SELECT e.src, e.dst, e.w / o.out_w AS share
+      FROM edges0 e JOIN outw o ON e.src = o.src
+    ), nodes AS (
+      SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0
+    ), params AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes
+    ),"""
+    + ",".join(
+        _PAGERANK_ITER.format(i=i, prev=i - 1) for i in range(1, 6)
+    )
+    + """
+    SELECT node AS nation, round(rank, 6) AS pagerank FROM r5
+    """,
+)
+def q_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 synchronous iterations) over the
+    customer-nation -> supplier-nation trade graph, edge weight = lineitem
+    count (``ops/graph.pagerank``). The iterative loop localCheckpoints
+    between iterations (O(1) lineage); per-node contribution sums are
+    decimal-exact, so the unrolled SQL oracle replays the ranks
+    bit-for-bit — the declared-determinism treatment applied to an
+    iterative algorithm."""
+    from fxspark.ops.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("_cnk"),
+                F.col("n_name").alias("src"),
+            ),
+            customer["c_nationkey"] == F.col("_cnk"),
+        )
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("dst"),
+            ),
+            supplier["s_nationkey"] == F.col("_snk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, "src", "dst", weight="w", n_iter=5, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("nation"),
+        F.round(F.col("rank"), 6).alias("pagerank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
 # The correctness driver oracle-checks the FIRST 50 ``queries()`` entries in
