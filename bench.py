@@ -141,6 +141,9 @@ EXTENSION = [
     "doc_weighted_sample",
     "user_value_outliers",
     "nation_trade_pagerank",
+    "bloom_decontam_candidates",
+    "peak_concurrent_users",
+    "lang_source_chisq",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -141,3 +141,89 @@ def weighted_priority_sample(
         .withColumn("priority", F.round(F.col("_pr"), 6))
         .drop("_pr")
     )
+
+
+def bloom_membership_prefilter(
+    corpus,
+    bench,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+):
+    """Bloom-style membership prefilter for benchmark decontamination, with
+    DECLARED hashing so the candidate set (false positives included) is
+    bit-reproducible by any engine.
+
+    Each n-gram maps to ``k`` bit positions by double hashing (Kirsch-
+    Mitzenmacher): ``pos_i = (h1 + i*h2) mod m`` with ``h1, h2`` carved from
+    the 60-bit md5 hash (``h2`` forced odd so the stride cycles the
+    power-of-two ring). The benchmark side becomes a deduplicated set of
+    int positions — ~8 bytes per gram-position regardless of gram length,
+    the compact broadcast object a 100 TB sweep wants (the corpus side
+    never shuffles; membership is a map-side broadcast join on ints). A
+    gram is bloom-POSITIVE iff all ``k`` of its positions are present —
+    exactly a Bloom filter's semantics, so genuine overlaps are never
+    missed and the false-positive rate is the classic ``(1-e^{-kn/m})^k``.
+
+    Emits per corpus doc: ``n_candidate_grams`` (bloom-positive) and
+    ``n_exact_grams`` (verified against the real gram set) — candidates
+    minus exact IS the realized false-positive count, so the prefilter's
+    precision is observable in the result.
+    """
+    from pyspark.sql import functions as F
+
+    from fxspark.ops.dedup import base_hash, shingles
+
+    mask = m_bits - 1
+
+    def positions(col):
+        h = base_hash(col, "md5_60")
+        h1 = h.bitwiseAND(F.lit(mask))
+        h2 = (
+            F.shiftright(h, 20).bitwiseAND(F.lit(mask)).bitwiseOR(F.lit(1))
+        )
+        return [
+            (h1 + F.lit(i) * h2).bitwiseAND(F.lit(mask)) for i in range(k)
+        ]
+
+    bench_grams = (
+        bench.select(F.explode(shingles(F.col(text_col), n)).alias("_g"))
+        .distinct()
+    )
+    bench_pos = (
+        bench_grams.select(
+            F.explode(F.array(*positions(F.col("_g")))).alias("_p")
+        ).distinct()
+    )
+    tr = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    )
+    probe = tr.select(
+        "_id", "_g", F.explode(F.array(*positions(F.col("_g")))).alias("_p")
+    )
+    cand = (
+        probe.join(F.broadcast(bench_pos), "_p")
+        .groupBy("_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k)
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_candidate_grams"))
+    )
+    exact = (
+        tr.join(F.broadcast(bench_grams), "_g", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_grams"))
+    )
+    return (
+        cand.join(exact, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_candidate_grams",
+            F.coalesce(F.col("n_exact_grams"), F.lit(0)).alias(
+                "n_exact_grams"
+            ),
+        )
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fxspark.ops.asof import asof_join, nth_before_cutoff
@@ -5817,6 +5817,176 @@ def q_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nation"),
         F.round(F.col("rank"), 6).alias("pagerank"),
     )
+
+
+@query(
+    "bloom_decontam_candidates",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+3], ' ')
+                            for i in range(1, len(t)-2)]) AS s
+      FROM toks WHERE len(t) >= 4
+    ), bench_grams AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 11 = 0
+    ), bench_pos AS (
+      SELECT DISTINCT
+             ((h & 1048575) + i * (((h >> 20) & 1048575) | 1)) & 1048575 AS p
+      FROM (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+            FROM bench_grams), range(4) t(i)
+    ), train AS (
+      SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 11 <> 0
+    ), probe AS (
+      SELECT doc_id, g,
+             ((h & 1048575) + i * (((h >> 20) & 1048575) | 1)) & 1048575 AS p
+      FROM (SELECT doc_id, g,
+                   ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM train),
+           range(4) t(i)
+    ), cand AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidate_grams
+      FROM (
+        SELECT doc_id, g
+        FROM probe JOIN bench_pos USING (p)
+        GROUP BY doc_id, g HAVING count(*) = 4
+      ) GROUP BY doc_id
+    ), exact AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact_grams
+      FROM train JOIN bench_grams USING (g)
+      GROUP BY doc_id
+    )
+    SELECT cand.doc_id, cand.n_candidate_grams,
+           COALESCE(exact.n_exact_grams, 0) AS n_exact_grams
+    FROM cand LEFT JOIN exact ON cand.doc_id = exact.doc_id
+    """,
+)
+def q_bloom_decontam_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination sweep
+    (``ops/sketch.bloom_membership_prefilter``): the benchmark slice's
+    4-grams become k=4 declared double-hash bit positions (m=2^20) — a
+    compact int set broadcast to every task — and training docs report
+    bloom-positive gram counts next to exact-verified counts (the gap is
+    the realized false-positive rate). No false negatives by construction;
+    the oracle replays the identical hash arithmetic, false positives and
+    all."""
+    from fxspark.ops.sketch import bloom_membership_prefilter
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    return bloom_membership_prefilter(train, bench, "doc_id", "text", n=4)
+
+
+@query(
+    "peak_concurrent_users",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(ts AS DATE) AS d, user_id,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ), pts AS (
+      SELECT d, s AS t, 1 AS delta, user_id FROM iv
+      UNION ALL
+      SELECT d, e, -1, user_id FROM iv
+    ), run AS (
+      SELECT d,
+             sum(delta) OVER (PARTITION BY d
+                              ORDER BY t, delta DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM pts
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           CAST(max(c) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY d
+    """,
+)
+def q_peak_concurrent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the sweep-line: each user's daily
+    active interval [first event, last event] becomes a +1/-1 point pair;
+    the running sum's maximum is the peak number of simultaneously-active
+    users (interval ends inclusive — +1 sorts before -1 at equal t). The
+    window partitions by DAY, so no global single-partition sort exists at
+    any scale; ties reorder only equal deltas, leaving the prefix maxima
+    invariant."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.groupBy(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    pts = iv.select(
+        "d", F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        iv.select(
+            "d", F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy(F.col("t"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("c", F.sum("delta").over(w))
+    return run.groupBy("d").agg(
+        F.max("c").alias("peak_concurrent")
+    ).select(
+        F.col("d").cast("timestamp").alias("day"),
+        F.col("peak_concurrent").cast("long").alias("peak_concurrent"),
+    )
+
+
+@query(
+    "lang_source_chisq",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY 1, 2
+    ), rt AS (SELECT lang, sum(o) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, sum(o) AS c FROM obs GROUP BY source),
+    n AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.o, rt.r * ct.c / (SELECT n FROM n) AS e
+      FROM obs JOIN rt USING (lang) JOIN ct USING (source)
+    )
+    SELECT round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(38,12)))
+                 AS DOUBLE), 6) AS chi2,
+           CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof
+    FROM cells
+    """,
+)
+def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between document language and source —
+    the corpus-composition drift check a curation pipeline runs per
+    snapshot. Observed/expected from three aggregations of the same
+    contingency cells (cell counts are exact integers in doubles, so the
+    expected-count arithmetic is IEEE-deterministic); the final sum over
+    cells is decimal-exact, making the statistic itself hash-verifiable."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(rt, "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("r") * F.col("c") / F.col("n"))
+    )
+    chi2 = F.round(
+        F.sum(
+            ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+            .cast("decimal(38,12)")
+        ).cast("double"),
+        6,
+    )
+    dof = docs.agg(
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof")
+    )
+    return cells.agg(chi2.alias("chi2")).crossJoin(F.broadcast(dof))
 
 
 # ---------------------------------------------------------------------------

@@ -140,3 +140,55 @@ def test_pagerank_weighted_split_proportional(spark):
     # in steady state b's damped in-flow is 3x c's
     t = 0.15 / 3
     assert (ranks["b"] - t) / (ranks["c"] - t) == pytest.approx(3.0, rel=1e-3)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from fxspark.ops.sketch import bloom_membership_prefilter
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta zeta"),   # shares 1 4-gram
+            (2, "totally unrelated words here now"),
+            (3, "alpha beta gamma delta epsilon extra"),  # shares 2
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in bloom_membership_prefilter(
+            corpus, bench, "id", "text", n=4
+        ).collect()
+    }
+    # every true overlap is bloom-positive (no false negatives)...
+    assert out[1].n_exact_grams == 1 and out[1].n_candidate_grams >= 1
+    assert out[3].n_exact_grams == 2 and out[3].n_candidate_grams >= 2
+    # ...and candidates never undercount the exact set
+    for r in out.values():
+        assert r.n_candidate_grams >= r.n_exact_grams
+
+
+def test_peak_concurrency_sweep_line(spark, sf_dir):
+    import fxspark.queries as Q
+
+    out = {
+        r.day.date().isoformat(): r.peak_concurrent
+        for r in Q.QUERIES["peak_concurrent_users"](spark, sf_dir).collect()
+    }
+    # peak is at least 1 on any day with events and never exceeds the
+    # number of users active that day
+    from fxspark.session import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    dau = {
+        r.d.isoformat(): r.n
+        for r in events.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(dau)
+    for d, peak in out.items():
+        assert 1 <= peak <= dau[d]
