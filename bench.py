@@ -144,6 +144,8 @@ EXTENSION = [
     "bloom_decontam_candidates",
     "peak_concurrent_users",
     "lang_source_chisq",
+    "event_transition_matrix",
+    "trade_triangles",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -5989,6 +5989,117 @@ def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.agg(chi2.alias("chi2")).crossJoin(F.broadcast(dof))
 
 
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), totals AS (
+      SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.event_type, p.n,
+           round(p.n / CAST(t.tot AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN totals t USING (prev_type)
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (lag window keyed by user, then a state-pair count + row-normalized
+    probabilities) — the sequence-mining staple behind next-action
+    prediction and anomalous-flow detection. The window partitions on
+    user_id (near-unique, no skew); the pair aggregation's key domain is
+    |event types|^2, broadcast-sized at any corpus scale."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias(
+                "prob"
+            ),
+        )
+    )
+
+
+@query(
+    "trade_triangles",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT least(cn.n_name, sn.n_name) AS a,
+             greatest(cn.n_name, sn.n_name) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+    )
+    SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+    FROM e0 e1
+    JOIN e0 e2 ON e2.a = e1.b
+    JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the undirected nation trade graph — the
+    graph-analytics cohesion primitive (clustering coefficient, community
+    seeds). Edges are canonicalized (least, greatest) so each triangle
+    is emitted exactly once with n1 < n2 < n3; the standard two-join
+    enumeration keeps candidate growth bounded by the ordered-edge
+    orientation (every join key is the smaller endpoint — the classic
+    degree-ordering trick that caps skew at high-degree hubs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("_cnk"),
+                F.col("n_name").alias("_cn"),
+            ),
+            customer["c_nationkey"] == F.col("_cnk"),
+        )
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("_sn"),
+            ),
+            supplier["s_nationkey"] == F.col("_snk"),
+        )
+        .filter(F.col("_cn") != F.col("_sn"))
+    )
+    edges = base.select(
+        F.least("_cn", "_sn").alias("a"), F.greatest("_cn", "_sn").alias("b")
+    ).distinct()
+    e1 = edges.select(F.col("a").alias("n1"), F.col("b").alias("n2"))
+    e2 = edges.select(F.col("a").alias("n2"), F.col("b").alias("n3"))
+    e3 = edges.select(F.col("a").alias("n1"), F.col("b").alias("n3"))
+    return e1.join(e2, "n2").join(e3, ["n1", "n3"]).select("n1", "n2", "n3")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

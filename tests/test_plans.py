@@ -174,3 +174,48 @@ def test_minhash_cross_broadcasts_bench_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "benchmark_minhash_contamination")
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_funnel_stage_filters_reach_scan(spark, sf_dir):
+    """event_funnel_stages: each stage's event_type predicate must be pushed
+    into its events scan, and no window operator may appear (the funnel is
+    aggs + key joins, not a global ordering)."""
+    plan = _plan(spark, sf_dir, "event_funnel_stages")
+    assert "Window" not in plan
+    seg = plan.split("PushedFilters")
+    pushed = "".join(s[:220] for s in seg[1:])
+    assert "event_type" in pushed, pushed
+
+
+def test_bloom_prefilter_broadcasts_position_set(spark, sf_dir):
+    """bloom_decontam_candidates: the bench position set and gram set are
+    broadcast — the corpus side must never shuffle on gram/position (no
+    SortMergeJoin in the plan)."""
+    plan = _plan(spark, sf_dir, "bloom_decontam_candidates")
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_sweep_line_window_is_day_partitioned(spark, sf_dir):
+    """peak_concurrent_users: the running-sum window must be partitioned
+    (no 'No Partition Defined' single-partition global sort)."""
+    plan = _plan(spark, sf_dir, "peak_concurrent_users")
+    assert "Window" in plan
+    # a partitioned window sorts by the partition expr first; the global
+    # form would show an Exchange SinglePartition feeding the window
+    assert "SinglePartition" not in plan.split("Window")[0][-600:], plan[:3000]
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    """user_state_cdc_diff: exactly one full-outer join over the two
+    latest-state aggregates; events scanned once per snapshot side."""
+    plan = _plan(spark, sf_dir, "user_state_cdc_diff")
+    assert plan.count("FullOuter") == 1 or plan.count("full_outer") == 1, plan[:2500]
+    assert plan.count("Scan parquet") == 2, plan[:2500]
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    """doc_weighted_sample: top-k must be TakeOrderedAndProject, never a
+    global Sort + Limit."""
+    plan = _plan(spark, sf_dir, "doc_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
