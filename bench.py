@@ -146,6 +146,7 @@ EXTENSION = [
     "lang_source_chisq",
     "event_transition_matrix",
     "trade_triangles",
+    "doc_bm25_search",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -6100,6 +6100,98 @@ def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.join(e2, "n2").join(e3, ["n1", "n3"]).select("n1", "n2", "n3")
 
 
+@query(
+    "doc_bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS len FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(CAST(len AS DECIMAL(38,4))) AS DOUBLE) AS total_len
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS f
+      FROM toks WHERE t IN ('data', 'model', 'quality') GROUP BY doc_id, t
+    ), df AS (
+      SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.f * 2.2
+               / (tf.f + 1.2 * (1.0 - 0.75 + 0.75 * dl.len
+                                / (stats.total_len / stats.n_docs)))
+             AS DECIMAL(38,12))) AS DOUBLE) AS score
+      FROM tf
+      JOIN df USING (t)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (k1=1.2, b=0.75): top-20 documents for the
+    query terms {data, model, quality} — the lexical-retrieval baseline
+    every RAG/dedup pipeline wants next to the embedding tiers.
+
+    Scale shape: the token stream is FILTERED to the query terms before any
+    aggregation (predicate on the exploded token — corpus-sized input, but
+    query-term-sized aggregate state), df/idf and the corpus stats are
+    broadcast scalars, and the final top-k is TakeOrderedAndProject. Score
+    sums are decimal-exact; ln is bit-stable across engines (same pattern
+    the driver-green surprisal/bigram queries rely on)."""
+    from fxspark.ops.text import tokens as _tok
+
+    k1, b = 1.2, 0.75
+    terms = ["data", "model", "quality"]
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(_tok(F.col("text"))).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("len")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        exact_sum(F.col("len"), 4).alias("total_len"),
+    )
+    tf = (
+        toks.filter(F.col("t").isin(*terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("f") + k1 * (
+        1.0 - b + b * F.col("len") / (F.col("total_len") / F.col("n_docs"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", idf * F.col("f") * (k1 + 1.0) / denom)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("_s").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

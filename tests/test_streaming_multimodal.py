@@ -527,3 +527,60 @@ def test_rollup_stream_converges_to_full_rescan(spark, tmp_path):
     for k in want:
         for m in ("cnt", "sum", "min", "max"):
             assert got[k][m] == want[k][m], (k, m)
+
+
+def test_cdc_stream_emits_change_sets_and_maintains_store(spark, tmp_path):
+    """Streaming CDC: each micro-batch appends its insert/update change set
+    (no-news keys emit nothing) and the store stays the latest-per-key
+    state; restarting against the same checkpoint only consumes new drops."""
+    from fxspark.streaming.cdc import cdc_stream
+
+    drops = tmp_path / "cdc_src"
+    drops.mkdir()
+    store = str(tmp_path / "cdc_store")
+    changes = str(tmp_path / "cdc_changes")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def run():
+        q = cdc_stream(
+            spark, str(drops), "user_id long, ts long, value double",
+            "user_id", ["ts"], ["value"], store, changes, ckpt,
+        )
+        q.awaitTermination(120)
+
+    with open(drops / "b1.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": 10, "value": 1.0}) + "\n")
+        f.write(json.dumps({"user_id": 2, "ts": 10, "value": 2.0}) + "\n")
+        f.write(json.dumps({"user_id": 2, "ts": 11, "value": 2.5}) + "\n")
+    run()
+
+    with open(drops / "b2.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": 20, "value": 1.0}) + "\n")  # no-op
+        f.write(json.dumps({"user_id": 2, "ts": 20, "value": 9.0}) + "\n")  # update
+        f.write(json.dumps({"user_id": 3, "ts": 20, "value": 3.0}) + "\n")  # insert
+    run()
+
+    state = {r.user_id: r.value for r in spark.read.parquet(store).collect()}
+    assert state == {1: 1.0, 2: 9.0, 3: 3.0}
+
+    log = spark.read.parquet(changes).collect()
+    by_batch = {}
+    for r in log:
+        by_batch.setdefault(r.batch_id, {})[r.user_id] = r
+    b1, b2 = by_batch[0], by_batch[1]
+    # batch 1: everything is an insert; within-batch LWW picked ts=11
+    assert {u: r.change_type for u, r in b1.items()} == {
+        1: "insert", 2: "insert",
+    }
+    assert b1[2].new_value == 2.5
+    # batch 2: user 1 unchanged -> absent; 2 update with old value; 3 insert
+    assert {u: r.change_type for u, r in b2.items()} == {
+        2: "update", 3: "insert",
+    }
+    assert (b2[2].old_value, b2[2].new_value) == (2.5, 9.0)
+
+    # folding the log reproduces the store: last change per key wins
+    final = {}
+    for r in sorted(log, key=lambda r: r.batch_id):
+        final[r.user_id] = r.new_value
+    assert final == state
