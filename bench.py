@@ -277,6 +277,39 @@ def main() -> None:
     ext_timings[f"events_latest_{EVENT_ROWS // 1000}k"] = round(statistics.median(runs), 4)
     print(f"# ext events_latest_{EVENT_ROWS // 1000}k: {runs[-1]:.3f}s", file=sys.stderr)
 
+    # SCD2 throughput probe: Type-2 interval build over a synthetic 5M-row
+    # change log (100k entities x 50 ticks, ~half no-op updates that the
+    # build must collapse) — two window passes partitioned on the entity
+    # key, the lifecycle family's scale primitive at ~35x the sf0.1 events
+    # table.
+    scd_rows = int(os.environ.get("FXSPARK_BENCH_SCD_ROWS", "5000000"))
+    from fxspark.ops.cdc import scd2_intervals
+
+    log = spark.range(scd_rows).select(
+        (SF.col("id") % 100_000).alias("entity"),
+        (SF.col("id") / 100_000).cast("long").alias("tick"),
+        # state flips pseudo-randomly but repeats ~50% of the time
+        SF.pmod(SF.col("id") * 2654435761 % 7, SF.lit(4)).alias("state"),
+    )
+
+    def scd_run():
+        scd2_intervals(log, "entity", ["tick"], ["state"]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    scd_run()
+    runs = []
+    for _ in range(EXT_REPS):
+        t0 = time.perf_counter(); scd_run()
+        runs.append(time.perf_counter() - t0)
+    ext_timings[f"scd2_build_{scd_rows // 1000}k"] = round(
+        statistics.median(runs), 4
+    )
+    print(
+        f"# ext scd2_build_{scd_rows // 1000}k: {runs[-1]:.3f}s",
+        file=sys.stderr,
+    )
+
     # Skew-stress A/B (VERDICT r2 #6): one hot key owns half the fact rows —
     # the distribution where a plain shuffle join melts one task. Broadcast
     # is disabled for BOTH runs (the dim fits under the threshold, which

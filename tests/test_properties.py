@@ -229,3 +229,107 @@ def test_misra_gries_never_drops_a_pigeonhole_heavy_key(spark, keys, capacity):
             assert k in out, (k, c, len(keys), capacity, out)
     for k, lb in out.items():
         assert 0 < lb <= counts[k], (k, lb, counts[k])
+
+
+# --- round-5 lifecycle properties ---------------------------------------
+
+scd_rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(min_value=0, max_value=20),
+        st.sampled_from(["A", "B", None]),
+    ),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda t: (t[0], t[1]),  # one change per (key, tick)
+)
+
+
+@given(rows=scd_rows_strategy)
+@SETTINGS
+def test_scd2_point_in_time_reconstruction(spark, rows):
+    """For ANY change log: looking up the SCD2 interval containing time t
+    must return exactly the latest logged attribute at or before t — the
+    defining property of a Type-2 dimension."""
+    from fxspark.ops.cdc import scd2_intervals
+
+    df = spark.createDataFrame(
+        [Row(k=k, t=t, v=v) for (k, t, v) in rows], "k string, t long, v string"
+    )
+    iv = scd2_intervals(df, "k", ["t"], ["v"]).collect()
+    # intervals per key are contiguous, non-overlapping, and end open
+    by_key: dict[str, list] = {}
+    for r in iv:
+        by_key.setdefault(r.k, []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
+    # point-in-time lookup == latest log row at or before t
+    log = sorted(rows)
+    for (k, t, _v) in rows:
+        expect = max(
+            ((tt, vv) for (kk, tt, vv) in log if kk == k and tt <= t),
+            key=lambda p: p[0],
+        )[1]
+        hit = [
+            r.v
+            for r in by_key[k]
+            if r.valid_from <= t and (r.valid_to is None or t < r.valid_to)
+        ]
+        assert hit == [expect], (k, t, hit, expect)
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10_000), min_size=3, max_size=10
+    ),
+    bump=st.integers(min_value=1, max_value=100_000),
+)
+@SETTINGS
+def test_priority_sample_weight_monotone(spark, weights, bump):
+    """Raising one item's weight can never evict it from the sample
+    (priority w/u is monotone in w; everyone else's priority is fixed)."""
+    from fxspark.ops.sketch import weighted_priority_sample
+
+    k = 2
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w long"
+    )
+    base = {r.id for r in weighted_priority_sample(df, "id", "w", k=k).collect()}
+    target = min(base)
+    df2 = spark.createDataFrame(
+        [(i, w + bump if i == target else w) for i, w in enumerate(weights)],
+        "id long, w long",
+    )
+    boosted = {
+        r.id for r in weighted_priority_sample(df2, "id", "w", k=k).collect()
+    }
+    assert target in boosted
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_snapshot_diff_log_fold_reconstructs_new_state(spark, rows):
+    """Applying a diff to the old snapshot always reproduces the new one:
+    old - deletes - updates_old + updates_new + inserts == new."""
+    from fxspark.ops.cdc import snapshot_diff
+
+    mid = len(rows) // 2
+    old_rows = {k: v for (k, o, v) in sorted(rows[:mid], key=lambda t: t[1])}
+    new_rows = {k: v for (k, o, v) in sorted(rows[mid:], key=lambda t: t[1])}
+    old = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in old_rows.items()], "k string, v long"
+    )
+    new = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in new_rows.items()], "k string, v long"
+    )
+    diff = snapshot_diff(old, new, "k", ["v"]).collect()
+    state = dict(old_rows)
+    for r in diff:
+        if r.change_type == "delete":
+            del state[r.k]
+        else:
+            state[r.k] = r.new_v
+    assert state == new_rows
