@@ -245,3 +245,82 @@ def upsert_partitioned(
         .parquet(path)
     )
     return touched
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots (time travel). Delta/Iceberg implement this with file
+# manifests + MERGE on a lakehouse deployment (see write_table's note); this
+# is the dependency-free filesystem form: every write is a NEW immutable
+# generation directory, a pointer file names the current one, and readers
+# can open any retained generation. Writers never mutate a directory a
+# reader could be scanning — the pointer flip (os.replace) is the only
+# commit point, and it is atomic.
+# ---------------------------------------------------------------------------
+
+_LATEST = "_LATEST"
+
+
+def table_versions(path: str) -> list[int]:
+    """Retained generation numbers, ascending."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(path)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def write_versioned(
+    df: DataFrame, path: str, format: str = "parquet", keep: int = 3
+) -> int:
+    """Commit ``df`` as the next generation of the table at ``path``;
+    returns the new version number.
+
+    Write order is crash-safe: (1) stage the full generation directory,
+    (2) atomically flip the ``_LATEST`` pointer, (3) prune generations
+    beyond the newest ``keep`` — a crash before (2) leaves an orphan
+    directory (ignored and overwritten later), a crash after (2) only
+    delays pruning. ``keep`` >= 2 guarantees a reader that resolved the
+    pointer just before a commit can still finish scanning its generation.
+    """
+    os.makedirs(path, exist_ok=True)
+    versions = table_versions(path)
+    new_v = (versions[-1] + 1) if versions else 1
+    gen = os.path.join(path, f"v{new_v:06d}")
+    shutil.rmtree(gen, ignore_errors=True)  # orphan from a crashed commit
+    w = df.write.mode("overwrite")
+    if format == "csv":
+        w = w.option("header", True)
+    w.format(format).save(gen)
+    tmp = os.path.join(path, _LATEST + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, os.path.join(path, _LATEST))  # the commit point
+    for v in table_versions(path)[:-keep]:
+        shutil.rmtree(os.path.join(path, f"v{v:06d}"), ignore_errors=True)
+    return new_v
+
+
+def read_versioned(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    format: str = "parquet",
+) -> DataFrame | None:
+    """Read a table generation: the pointer's (current) one by default, or
+    an explicit retained ``version`` (time travel). None if the table (or
+    the requested generation) doesn't exist."""
+    ptr = os.path.join(path, _LATEST)
+    if version is None:
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            version = int(fh.read().strip())
+    gen = os.path.join(path, f"v{version:06d}")
+    if not os.path.isdir(gen):
+        return None
+    r = spark.read
+    if format == "csv":
+        r = r.option("header", True).option("inferSchema", True)
+    return r.format(format).load(gen)

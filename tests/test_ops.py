@@ -1102,3 +1102,30 @@ def test_merge_rollup_disjoint_keys_full_outer(spark):
     got = {r["k"]: r for r in merge_rollup(a, b, ["k"]).collect()}
     assert got["only_a"]["cnt"] == 1 and float(got["only_a"]["sum"]) == 1.0
     assert got["only_b"]["cnt"] == 1 and float(got["only_b"]["max"]) == 2.0
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """write_versioned commits immutable generations behind an atomic
+    pointer: readers see every retained version unchanged, the pointer
+    tracks the newest, and pruning keeps exactly `keep` generations."""
+    from fxspark.sink import read_versioned, table_versions, write_versioned
+
+    path = str(tmp_path / "vt")
+    assert read_versioned(spark, path) is None
+    v1 = write_versioned(spark.range(3).toDF("id"), path, keep=2)
+    v2 = write_versioned(spark.range(5).toDF("id"), path, keep=2)
+    assert (v1, v2) == (1, 2)
+    assert read_versioned(spark, path).count() == 5          # current
+    assert read_versioned(spark, path, version=1).count() == 3  # time travel
+    v3 = write_versioned(spark.range(7).toDF("id"), path, keep=2)
+    assert table_versions(path) == [2, 3]                    # v1 pruned
+    assert read_versioned(spark, path, version=1) is None
+    assert read_versioned(spark, path).count() == 7
+    # a crashed commit leaves an orphan generation dir: the next write
+    # reclaims the number without serving it
+    import shutil as _sh
+    orphan = str(tmp_path / "vt" / "v000004")
+    spark.range(1).toDF("id").write.parquet(orphan)
+    assert read_versioned(spark, path).count() == 7          # pointer still v3
+    v4 = write_versioned(spark.range(9).toDF("id"), path, keep=2)
+    assert v4 == 5 and read_versioned(spark, path).count() == 9
