@@ -147,6 +147,8 @@ EXTENSION = [
     "event_transition_matrix",
     "trade_triangles",
     "doc_bm25_search",
+    "value_histogram",
+    "events_key_skew_report",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

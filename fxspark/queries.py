@@ -6192,6 +6192,147 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ), binned AS (
+      SELECT CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19)
+             AS BIGINT) AS bin
+      FROM events CROSS JOIN b
+    )
+    SELECT bin,
+           round((SELECT lo FROM b) + bin * (((SELECT hi FROM b)
+                 - (SELECT lo FROM b)) / 20.0), 6) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values: global min/max as a
+    broadcast scalar (one partial-combined agg), then a map-side bin
+    projection + bin-keyed count — two scans, no sort, 20-row output at
+    any input size. The max value clamps into the last bin (least(...,19)),
+    the standard closed-top-bin convention. Bin arithmetic is plain IEEE
+    (sub/div/floor), bit-identical in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    binned = events.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width), F.lit(19)
+        ).cast("long").alias("bin"),
+        F.col("lo"),
+        width.alias("w"),
+    )
+    return (
+        binned.groupBy("bin", "lo", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * F.col("w"), 6).alias(
+                "bin_lo"
+            ),
+            "n",
+        )
+    )
+
+
+@query(
+    "events_key_skew_report",
+    oracle="""
+    WITH kc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_c FROM kc
+    ), cc AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS m FROM kc GROUP BY c
+    ), cc2 AS (
+      SELECT c, m,
+             COALESCE(sum(m) OVER (ORDER BY c
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS start
+      FROM cc
+    ), s AS (
+      SELECT CAST(sum(CAST(c * (m * start + (m * (m + 1)) // 2)
+                   AS DECIMAL(38,0))) AS DOUBLE) AS rank_weighted
+      FROM cc2
+    )
+    SELECT tot.n_keys, tot.n_rows,
+           round(tot.max_c / CAST(tot.n_rows AS DOUBLE), 6) AS top_key_share,
+           round(tot.n_rows / CAST(tot.n_keys AS DOUBLE), 6) AS mean_per_key,
+           round((2.0 * (SELECT rank_weighted FROM s)
+                  - (tot.n_keys + 1) * CAST(tot.n_rows AS DOUBLE))
+                 / (tot.n_keys * CAST(tot.n_rows AS DOUBLE)), 6) AS gini
+    FROM tot
+    """,
+)
+def q_events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for a prospective shuffle key: key count, row
+    count, hottest key's row share, mean rows/key, and the Gini coefficient
+    of the per-key distribution (0 = uniform, ->1 = one key owns
+    everything) — the report that decides between a plain shuffle, AQE
+    skew-join, or explicit salting (``ops/joins.salted_join``) BEFORE a
+    100 TB job runs. The heavy input collapses to one row per key
+    immediately (partial-combined count), then to COUNT-OF-COUNTS (one row
+    per distinct frequency) before the Gini rank arithmetic — keys sharing
+    a frequency contribute a closed-form rank-range sum (ranks within a
+    tie are interchangeable), so the only window runs over the distinct
+    frequency values, a domain orders of magnitude below the key count.
+    All rank terms are integer-exact (DECIMAL(38,0) sum)."""
+    events = load_table(spark, sf_dir, "events")
+    kc = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    tot = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    cc = kc.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    w = (
+        Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cc2 = cc.withColumn(
+        "start", F.coalesce(F.sum("m").over(w), F.lit(0))
+    )
+    term = F.col("c") * (
+        F.col("m") * F.col("start")
+        + F.expr("(m * (m + 1)) DIV 2")
+    )
+    s = cc2.agg(
+        F.sum(term.cast("decimal(38,0)"))
+        .cast("double")
+        .alias("rank_weighted")
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .select(
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("max_c") / F.col("n_rows").cast("double"), 6
+            ).alias("top_key_share"),
+            F.round(
+                F.col("n_rows") / F.col("n_keys").cast("double"), 6
+            ).alias("mean_per_key"),
+            F.round(
+                (
+                    2.0 * F.col("rank_weighted")
+                    - (F.col("n_keys") + 1)
+                    * F.col("n_rows").cast("double")
+                )
+                / (F.col("n_keys") * F.col("n_rows").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
