@@ -6154,8 +6154,9 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(_tok(F.col("text"))).alias("t")
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("len")
+    # doc length is size(tokens) map-side — no explode, no shuffle
+    dl = docs.select(
+        "doc_id", F.size(_tok(F.col("text"))).cast("double").alias("len")
     )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
