@@ -226,3 +226,152 @@ def funnel_stages(
         cur = cur.join(nxt, key_col, "left")
         prev_t = f"t_{st}"
     return cur
+
+
+def keyed_cusum(
+    df: DataFrame,
+    keys: str | list[str],
+    order: list[str],
+    value_col: str,
+    target: Column,
+    slack: float,
+    threshold: float,
+    scale: int = 6,
+) -> DataFrame:
+    """One-sided (upper) CUSUM drift detector per key, as two stacked
+    windows — no recurrence state, no per-key arrays.
+
+    The textbook chart is the recurrence ``S_i = max(0, S_{i-1} + (x_i -
+    target - slack))``, which looks inherently sequential. It has a closed
+    form: with ``e_i = x_i - target - slack`` and ``c_i = Σ_{k<=i} e_k``,
+
+        ``S_i = c_i - min(0, min_{j<=i} c_j)``
+
+    (the running sum minus the lowest water-mark, floored at zero), so the
+    whole chart is a running SUM plus a running MIN over the same
+    (key-partitioned, time-ordered) window — one shuffle, one sort, both
+    windows sharing the exchange. This is the same affine-recurrence
+    unrolling discipline as ``keyed_ewma_chunked``, except CUSUM's max(0,·)
+    admits an exact window form, so no chunking is ever needed: the
+    operator scales to arbitrarily long per-key histories.
+
+    Determinism: ``e_i`` is cast to an exact DECIMAL of ``scale`` decimals
+    (a straight cast, not ``round()`` — engines disagree on double rounding
+    in the last ulp) and cumulated exactly, so ``cusum`` is bit-identical
+    in any engine. Output adds ``cusum`` (double) and ``alert`` (cusum >
+    threshold).
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = (F.col(value_col) - target - F.lit(slack)).cast(
+        f"decimal(38,{scale})"
+    )
+    out = df.withColumn("_cum", F.sum(e).over(w))
+    low = F.least(F.lit(0).cast(f"decimal(38,{scale})"), F.min("_cum").over(w))
+    return (
+        out.withColumn("cusum", (F.col("_cum") - low).cast("double"))
+        .withColumn("alert", F.col("cusum") > F.lit(threshold))
+        .drop("_cum")
+    )
+
+
+def grid_interpolate(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Resample each key's irregular series onto a fixed epoch-aligned grid
+    with linear interpolation between the surrounding observations — the
+    gap-filling half of a time-series engine (LOCF's exact-interpolation
+    sibling; see ``user_value_locf`` for the carry-forward form).
+
+    Plan shape: per key, the grid timestamps (epoch-aligned multiples of
+    ``step_seconds`` inside the key's [min, max] span) are generated
+    map-side with ``sequence``+``explode`` — no spine join, no driver loop
+    — then unioned with the observations and swept by ONE key-partitioned
+    time-ordered window: ``last(..., ignorenulls)`` over the preceding
+    frame supplies the left neighbour, ``first(..., ignorenulls)`` over the
+    following frame the right neighbour, and the interpolation weight is a
+    ratio of integer epoch-seconds (IEEE-deterministic, so the rounded
+    output hashes identically cross-engine). Observations sort before the
+    grid point at an equal timestamp, which makes an exactly-hit grid point
+    return the observed value (weight 0), not an interpolation.
+
+    One shuffle on the key; grid density is bounded by span/step per key,
+    so output size is declared, not data-dependent. Returns
+    ``(keys..., grid_ts, value)`` with ``value`` UNROUNDED.
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    step = F.lit(int(step_seconds))
+    sec = F.unix_timestamp(F.col(ts_col))
+
+    span = df.groupBy(*keys).agg(
+        F.min(sec).alias("_lo"), F.max(sec).alias("_hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                -F.floor(-F.col("_lo") / step) * step,  # ceil to grid
+                F.floor(F.col("_hi") / step) * step,
+                step,
+            )
+        ).alias("_sec"),
+    ).select(
+        *keys,
+        F.col("_sec"),
+        F.lit(1).alias("_is_grid"),
+        F.lit(None).cast("double").alias("_v"),
+    )
+    obs = df.select(
+        *keys,
+        sec.alias("_sec"),
+        F.lit(0).alias("_is_grid"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    both = obs.unionByName(grid)
+
+    w = Window.partitionBy(*keys).orderBy("_sec", "_is_grid")
+    prev = F.last(
+        F.when(F.col("_is_grid") == 0, F.struct("_sec", "_v")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nxt = F.first(
+        F.when(F.col("_is_grid") == 0, F.struct("_sec", "_v")), ignorenulls=True
+    ).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+
+    p, x = F.col("_prev"), F.col("_next")
+    frac = (F.col("_sec") - p["_sec"]).cast("double") / (
+        x["_sec"] - p["_sec"]
+    ).cast("double")
+    val = F.when(p["_sec"] == F.col("_sec"), p["_v"]).otherwise(
+        p["_v"] + (x["_v"] - p["_v"]) * frac
+    )
+    return (
+        both.withColumn("_prev", prev)
+        .withColumn("_next", nxt)
+        .filter(F.col("_is_grid") == 1)
+        # an exact hit on the last observation has no right neighbour but
+        # needs none (weight 0); interior points need both
+        .filter(
+            F.col("_prev").isNotNull()
+            & (
+                (F.col("_prev")["_sec"] == F.col("_sec"))
+                | F.col("_next").isNotNull()
+            )
+        )
+        .select(
+            *keys,
+            F.timestamp_seconds(F.col("_sec")).alias("grid_ts"),
+            val.alias("value"),
+        )
+    )

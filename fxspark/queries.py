@@ -6335,6 +6335,293 @@ def q_events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 second wave: closed-form model fits, drift detection, cohort
+# analytics, association rules — the classic warehouse/curation surface the
+# reference's latest-vs-previous report (Fx_1min.py:208-216) is the germ of.
+# ---------------------------------------------------------------------------
+
+# Epoch of 2024-01-01 00:00:00 UTC — the x-origin for trend fits (keeps the
+# sufficient statistics small enough for DECIMAL(38,6) exactness).
+_X0 = 1704067200
+
+
+@query(
+    "user_value_trend",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, count(*) AS n_obs,
+             CAST(sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_X0} AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST((CAST(floor(epoch(ts)) AS BIGINT) - {_X0}) * value
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST((CAST(floor(epoch(ts)) AS BIGINT) - {_X0})
+                           * (CAST(floor(epoch(ts)) AS BIGINT) - {_X0})
+                           AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM events GROUP BY user_id
+    ), f AS (
+      SELECT user_id, n_obs, sx, sy,
+             CASE WHEN n_obs * sxx - sx * sx > 0
+                  THEN (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx)
+             END AS sl
+      FROM s
+    )
+    SELECT user_id, n_obs,
+           round(sl * 86400, 6) AS slope_per_day,
+           round((sy - sl * sx) / n_obs, 6) AS intercept
+    FROM f
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of ``value`` over time (``ops/stats.grouped_ols``):
+    slope scaled to per-day units plus the fit intercept. One
+    partial-aggregated groupBy computing five exact-decimal sufficient
+    statistics — the same shuffle as a plain rollup, so the fit costs what a
+    count does at 100 TB. The reference stops at last-vs-previous deltas;
+    this is the closed-form regression a monitoring tier runs instead."""
+    from fxspark.ops.stats import grouped_ols
+
+    events = load_table(spark, sf_dir, "events")
+    fit = grouped_ols(
+        events,
+        "user_id",
+        x=F.unix_timestamp("ts") - F.lit(_X0),
+        y=F.col("value"),
+    )
+    return fit.select(
+        "user_id",
+        "n_obs",
+        F.round(F.col("slope") * 86400, 6).alias("slope_per_day"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+@query(
+    "user_value_cusum",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             round(CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / count(*), 6) AS target
+      FROM events GROUP BY user_id
+    ), e AS (
+      SELECT e.user_id, e.ts, e.event_id, e.value,
+             CAST(e.value - m.target - 10.0 AS DECIMAL(38,6)) AS ei
+      FROM events e JOIN m USING (user_id)
+    ), c1 AS (
+      SELECT user_id, ts, event_id, value,
+             sum(ei) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM e
+    ), c AS (
+      SELECT user_id, ts, event_id, value, cum,
+             least(CAST(0 AS DECIMAL(38,6)),
+                   min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)) AS low
+      FROM c1
+    )
+    SELECT user_id, ts, event_id, value,
+           CAST(cum - low AS DOUBLE) AS cusum
+    FROM c
+    WHERE CAST(cum - low AS DOUBLE) > 120.0
+    """,
+)
+def q_user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alerts per user (``ops/windows.keyed_cusum``):
+    rows where the cumulative positive deviation from the user's own mean
+    (slack 10, threshold 120) is in alarm. The recurrence ``S_i = max(0,
+    S_{i-1} + e_i)`` is unrolled to running-sum-minus-running-low-water-mark
+    — two stacked windows sharing one key shuffle, no per-key state, exact
+    decimal cumulation (the closed form is what makes the classic SPC chart
+    distributable over arbitrarily long per-key histories)."""
+    from fxspark.ops.windows import keyed_cusum
+
+    events = load_table(spark, sf_dir, "events")
+    target = events.groupBy("user_id").agg(
+        F.round(exact_sum(F.col("value")) / F.count(F.lit(1)), 6).alias(
+            "target"
+        )
+    )
+    scored = keyed_cusum(
+        events.join(target, "user_id"),
+        keys="user_id",
+        order=["ts", "event_id"],
+        value_col="value",
+        target=F.col("target"),
+        slack=10.0,
+        threshold=120.0,
+    )
+    return scored.filter(F.col("alert")).select(
+        "user_id", "ts", "event_id", "value", "cusum"
+    )
+
+
+@query(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH first_o AS (
+      SELECT o_custkey,
+             date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), size_c AS (
+      SELECT cohort, count(*) AS n_customers FROM first_o GROUP BY cohort
+    ), rev AS (
+      SELECT f.cohort,
+             datediff('month', f.cohort,
+                      date_trunc('month', o.o_orderdate)) AS month_offset,
+             count(*) AS n_orders,
+             sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS revd
+      FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort, r.month_offset, s.n_customers, r.n_orders,
+           CAST(r.revd AS DOUBLE) AS revenue,
+           round(CAST(sum(r.revd) OVER (PARTITION BY r.cohort
+                                        ORDER BY r.month_offset
+                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / s.n_customers, 6) AS cum_ltv_per_customer
+    FROM rev r JOIN size_c s ON r.cohort = s.cohort
+    """,
+)
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month, revenue accumulated by month offset, LTV per cohort customer.
+    The first-order agg and the revenue agg shuffle on the SAME key
+    (custkey) — one exchange reused; the cumulative window runs over the
+    tiny (cohort × offset) matrix, and cohort sizes broadcast-join back.
+    Exact-decimal revenue so the running LTV is partitioning-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_o = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    size_c = first_o.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rev = (
+        orders.join(first_o, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+            )
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("_revd"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(size_c), "cohort")
+        .withColumn("_cum", F.sum("_revd").over(w))
+        .select(
+            "cohort",
+            "month_offset",
+            "n_customers",
+            "n_orders",
+            F.col("_revd").cast("double").alias("revenue"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("n_customers"), 6
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+@query(
+    "basket_brand_lift",
+    oracle="""
+    WITH bk AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (
+      SELECT count(DISTINCT o) AS n_orders FROM bk
+    ), c AS (
+      SELECT brand, count(*) AS cnt FROM bk GROUP BY brand
+    ), p AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS pair_cnt
+      FROM bk a JOIN bk b ON a.o = b.o AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.pair_cnt,
+           round(CAST(p.pair_cnt AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(p.pair_cnt AS DOUBLE) / ca.cnt, 6) AS confidence,
+           round(CAST(p.pair_cnt AS DOUBLE) * n.n_orders
+                 / (CAST(ca.cnt AS DOUBLE) * cb.cnt), 6) AS lift
+    FROM p
+    JOIN c ca ON ca.brand = p.brand_a
+    JOIN c cb ON cb.brand = p.brand_b
+    CROSS JOIN n
+    WHERE p.pair_cnt >= 5
+    """,
+)
+def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: support,
+    confidence and lift for every co-purchased brand pair seen in >= 5
+    orders. The basket frame (order, brand) is deduped map-side then
+    self-joined ON THE ORDER KEY — co-partitioned, so pair generation is
+    one shuffle and is bounded by sum(basket_size²), never |orders|²; brand
+    marginals broadcast back. Pure integer-ratio arithmetic — exact in any
+    engine. The A-priori support threshold applies AFTER pair counting
+    because pair cardinality (brand²=625) is tiny; at a million-SKU
+    catalogue the same plan takes a pre-filter on item marginals first."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bk = (
+        lineitem.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = bk.agg(F.countDistinct("o").alias("n_orders"))
+    c = bk.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = bk.alias("a")
+    b = bk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 5)
+    )
+    ca = c.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("_ca"))
+    cb = c.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("_ca"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("pair_cnt").cast("double")
+                * F.col("n_orders")
+                / (F.col("_ca").cast("double") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
 # The correctness driver oracle-checks the FIRST 50 ``queries()`` entries in

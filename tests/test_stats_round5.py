@@ -1,0 +1,150 @@
+"""Round-5 second-wave operators: grouped OLS, CUSUM closed form,
+grid interpolation — each pinned against an independent reference
+implementation (numpy / naive recurrence / hand interpolation)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_grouped_ols_matches_numpy(spark):
+    rows = []
+    rng = np.random.RandomState(7)
+    for k in range(5):
+        xs = np.sort(rng.randint(0, 1_000_000, size=40))
+        ys = 0.5 * k * xs / 86400.0 + 10 * k + rng.randn(40)
+        rows += [(k, int(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "k int, x long, y double")
+
+    from fxspark.ops.stats import grouped_ols
+
+    got = {
+        r["k"]: r
+        for r in grouped_ols(df, "k", F.col("x"), F.col("y")).collect()
+    }
+    for k in range(5):
+        xs = np.array([x for kk, x, _ in rows if kk == k], dtype=np.float64)
+        ys = np.array([y for kk, _, y in rows if kk == k], dtype=np.float64)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[k]["n_obs"] == 40
+        assert got[k]["slope"] == pytest.approx(slope, rel=1e-6)
+        assert got[k]["intercept"] == pytest.approx(intercept, rel=1e-5)
+
+
+def test_grouped_ols_degenerate_key_is_null_not_crash(spark):
+    # one observation, and a key whose x values are all identical:
+    # det == 0 in both cases -> NULL fit, no division error
+    df = spark.createDataFrame(
+        [(1, 5, 2.0), (2, 7, 1.0), (2, 7, 3.0)], "k int, x long, y double"
+    )
+    from fxspark.ops.stats import grouped_ols
+
+    got = {
+        r["k"]: r
+        for r in grouped_ols(df, "k", F.col("x"), F.col("y")).collect()
+    }
+    assert got[1]["slope"] is None and got[1]["intercept"] is None
+    assert got[2]["slope"] is None and got[2]["intercept"] is None
+
+
+def _naive_cusum(vals, target, slack):
+    s, out = 0.0, []
+    for v in vals:
+        s = max(0.0, s + (v - target - slack))
+        out.append(s)
+    return out
+
+
+def test_keyed_cusum_equals_naive_recurrence(spark):
+    rng = np.random.RandomState(3)
+    rows = []
+    series = {}
+    for k in range(4):
+        vals = list(np.round(rng.randn(120) + (0.3 if k % 2 else 0.0), 4))
+        series[k] = vals
+        rows += [(k, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, i int, v double")
+
+    from fxspark.ops.windows import keyed_cusum
+
+    got = (
+        keyed_cusum(
+            df,
+            keys="k",
+            order=["i"],
+            value_col="v",
+            target=F.lit(0.0),
+            slack=0.1,
+            threshold=2.0,
+        )
+        .orderBy("k", "i")
+        .collect()
+    )
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, vals in series.items():
+        ref = _naive_cusum(vals, 0.0, 0.1)
+        assert len(by_key[k]) == len(vals)
+        for r, want in zip(by_key[k], ref):
+            assert r["cusum"] == pytest.approx(want, abs=1e-9)
+            assert r["alert"] == (r["cusum"] > 2.0)
+
+
+def test_grid_interpolate_linear_and_exact_hits(spark):
+    # key 1: obs at t=10 (v=1.0) and t=70 (v=7.0), grid step 30
+    #   -> grid points 30 (v=3.0) and 60 (v=6.0); t=0/90 outside span
+    # key 2: obs exactly ON a grid point -> observed value, not interp
+    df = spark.createDataFrame(
+        [
+            (1, 10, 1.0),
+            (1, 70, 7.0),
+            (2, 30, 5.0),
+            (2, 90, 11.0),
+        ],
+        "k int, sec long, v double",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "v")
+
+    from fxspark.ops.windows import grid_interpolate
+
+    got = {
+        (r["k"], r["grid_ts"].timestamp()): r["value"]
+        for r in grid_interpolate(df, "k", "ts", "v", 30).collect()
+    }
+    assert got[(1, 30.0)] == pytest.approx(3.0)
+    assert got[(1, 60.0)] == pytest.approx(6.0)
+    assert got[(2, 30.0)] == pytest.approx(5.0)  # exact hit -> observed
+    assert got[(2, 60.0)] == pytest.approx(8.0)
+    assert got[(2, 90.0)] == pytest.approx(11.0)  # exact hit at right edge
+    assert (1, 0.0) not in got and (1, 90.0) not in got
+
+
+def test_grid_interpolate_monotone_between_obs(spark):
+    # interpolated values always lie between neighbouring observations
+    rng = np.random.RandomState(11)
+    secs = np.sort(rng.choice(np.arange(0, 5000), size=60, replace=False))
+    vals = np.round(rng.rand(60) * 100, 3)
+    df = spark.createDataFrame(
+        [(1, int(s), float(v)) for s, v in zip(secs, vals)],
+        "k int, sec long, v double",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "v")
+
+    from fxspark.ops.windows import grid_interpolate
+
+    rows = grid_interpolate(df, "k", "ts", "v", 60).collect()
+    assert rows, "grid should be non-empty"
+    obs = list(zip(secs.tolist(), vals.tolist()))
+    for r in rows:
+        t = r["grid_ts"].timestamp()
+        lo = max((o for o in obs if o[0] <= t), key=lambda o: o[0])
+        hi = min((o for o in obs if o[0] >= t), key=lambda o: o[0])
+        lo_v, hi_v = sorted((lo[1], hi[1]))
+        assert lo_v - 1e-9 <= r["value"] <= hi_v + 1e-9
+        if hi[0] > lo[0]:
+            frac = (t - lo[0]) / (hi[0] - lo[0])
+            want = lo[1] + (hi[1] - lo[1]) * frac
+            assert r["value"] == pytest.approx(want, abs=1e-9)
