@@ -1,0 +1,92 @@
+"""Exact 2-D skyline (Pareto frontier) without a self-join.
+
+A row dominates another when it is <= on the minimized axis, >= on the
+maximized axis, and strictly better on at least one. The naive plan is the
+O(n²) dominance self-join; the classic single-node trick is one sort (by
+the minimized axis) with a running max of the maximized axis. A single
+global window would serialize onto one partition at scale, so this is the
+bucketed two-phase form of that sweep:
+
+1. bucket rows by fixed-width ranges of the minimized axis;
+2. per-bucket max of the maximized axis (a tiny aggregate), prefix-maxed
+   over STRICTLY EARLIER buckets (every row there is strictly cheaper) —
+   a window over the bucket-summary frame, i.e. O(#buckets) rows;
+3. broadcast the seeds back; within each bucket a range-frame window
+   supplies the strictly-cheaper running max, seeded by the earlier
+   buckets' prefix; a (bucket, x)-partitioned max supplies the equal-x
+   tie max.
+
+Every per-row window is partitioned by bucket — parallelism is the bucket
+count, no global sort, no quadratic pair generation. The sweep is exact
+(not a heuristic prune): ``skyline2d`` returns precisely the rows a
+NOT-EXISTS dominance query returns, which the oracle twin pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_NEG_INF = -(1 << 62)
+
+
+def skyline2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Rows not dominated under (minimize ``minimize_col``, maximize
+    ``maximize_col``). Both columns must be integer-valued (scale doubles
+    to ints first — e.g. cents); ties on both axes survive together.
+    """
+    x = F.col(minimize_col).cast("long")
+    y = F.col(maximize_col).cast("long")
+
+    bounds = df.agg(
+        F.min(x).alias("_xlo"), F.max(x).alias("_xhi")
+    )
+    d = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        F.when(
+            F.col("_xhi") == F.col("_xlo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                ((x - F.col("_xlo")) * n_buckets)
+                / (F.col("_xhi") - F.col("_xlo") + 1),
+            ).cast("int")
+        ),
+    )
+
+    per_bucket = d.groupBy("_bkt").agg(F.max(y).alias("_bmax"))
+    wseed = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = per_bucket.select(
+        "_bkt",
+        F.coalesce(F.max("_bmax").over(wseed), F.lit(_NEG_INF)).alias("_seed"),
+    )
+
+    win_cheaper = (
+        Window.partitionBy("_bkt")
+        .orderBy(x)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    win_tie = Window.partitionBy("_bkt", x)
+
+    scored = (
+        d.join(F.broadcast(seeds), "_bkt")
+        .withColumn(
+            "_mstrict",
+            F.greatest(
+                F.col("_seed"),
+                F.coalesce(F.max(y).over(win_cheaper), F.lit(_NEG_INF)),
+            ),
+        )
+        .withColumn("_mtie", F.max(y).over(win_tie))
+    )
+    return scored.filter(
+        ~((F.col("_mstrict") >= y) | (F.col("_mtie") > y))
+    ).drop("_bkt", "_xlo", "_xhi", "_seed", "_mstrict", "_mtie")

@@ -250,3 +250,45 @@ def pii_counts(col: Column) -> dict[str, Column]:
         out[kind] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
         cur = F.regexp_replace(cur, pat, f"<{kind}>")
     return out
+
+
+def hashed_features(
+    df,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+):
+    """Signed feature hashing (the 'hashing trick', Weinberger et al. 2009):
+    each token is hashed to one of ``n_buckets`` dimensions with a ±1 sign
+    drawn from an independent hash bit, and a document's vector entry is the
+    signed occurrence count — the fixed-width, vocabulary-free bag-of-words
+    a downstream linear model trains on at 100 TB (no dictionary to build,
+    broadcast, or keep consistent across shards).
+
+    Both hashes derive from md5 (the engine-portable family
+    ``ops/dedup.minhash_signatures`` declares): bucket = first-60-bits mod
+    ``n_buckets``, sign = parity of hex digit 16 — so the exact vectors are
+    replayable in any engine with md5, which is what makes a HASHED feature
+    space oracle-checkable. Plan: explode tokens map-side, one
+    partial-combined groupBy on (doc, bucket); zero entries are dropped
+    (the output is the sparse vector). Pure JVM expressions end-to-end.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.explode(tokens(F.col(text_col))).alias("_tok")
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("long")
+    sign = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 16, 1), 16, 10).cast("long")
+        % 2
+    ) * 2 - 1
+    return (
+        df.select(F.col(id_col), t)
+        .select(
+            id_col,
+            (h % n_buckets).alias("bucket"),
+            sign.alias("_sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_sign").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

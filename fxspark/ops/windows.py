@@ -300,10 +300,14 @@ def grid_interpolate(
     time-ordered window: ``last(..., ignorenulls)`` over the preceding
     frame supplies the left neighbour, ``first(..., ignorenulls)`` over the
     following frame the right neighbour, and the interpolation weight is a
-    ratio of integer epoch-seconds (IEEE-deterministic, so the rounded
-    output hashes identically cross-engine). Observations sort before the
-    grid point at an equal timestamp, which makes an exactly-hit grid point
-    return the observed value (weight 0), not an interpolation.
+    ratio of exact integer epoch-MICROseconds (``unix_micros`` — second
+    truncation would collapse sub-second observations onto the same anchor
+    and make neighbour choice engine-dependent), so the result is
+    IEEE-deterministic and hashes identically cross-engine. Observations
+    sort before the grid point at an equal timestamp, which makes an
+    exactly-hit grid point return the observed value (weight 0), not an
+    interpolation; an exact hit on the last observation needs (and uses) no
+    right neighbour.
 
     One shuffle on the key; grid density is bounded by span/step per key,
     so output size is declared, not data-dependent. Returns
@@ -312,48 +316,52 @@ def grid_interpolate(
     from pyspark.sql import Window
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    step = F.lit(int(step_seconds))
-    sec = F.unix_timestamp(F.col(ts_col))
+    step_us = int(step_seconds) * 1_000_000
+    step = F.lit(step_us)
+    us = F.unix_micros(F.col(ts_col))
 
     span = df.groupBy(*keys).agg(
-        F.min(sec).alias("_lo"), F.max(sec).alias("_hi")
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
     )
+    # integer ceil/floor to the grid (epochs are positive; DIV truncates)
     grid = span.select(
         *keys,
         F.explode(
             F.sequence(
-                -F.floor(-F.col("_lo") / step) * step,  # ceil to grid
-                F.floor(F.col("_hi") / step) * step,
+                F.expr(f"((_lo + {step_us - 1}) DIV {step_us}) * {step_us}"),
+                F.expr(f"(_hi DIV {step_us}) * {step_us}"),
                 step,
             )
-        ).alias("_sec"),
+        ).alias("_us"),
     ).select(
         *keys,
-        F.col("_sec"),
+        F.col("_us"),
         F.lit(1).alias("_is_grid"),
         F.lit(None).cast("double").alias("_v"),
     )
     obs = df.select(
         *keys,
-        sec.alias("_sec"),
+        us.alias("_us"),
         F.lit(0).alias("_is_grid"),
         F.col(value_col).cast("double").alias("_v"),
     )
     both = obs.unionByName(grid)
 
-    w = Window.partitionBy(*keys).orderBy("_sec", "_is_grid")
+    # _v as the final key makes duplicate-microsecond observations (a
+    # theoretical tie) resolve identically in any engine
+    w = Window.partitionBy(*keys).orderBy("_us", "_is_grid", "_v")
     prev = F.last(
-        F.when(F.col("_is_grid") == 0, F.struct("_sec", "_v")), ignorenulls=True
+        F.when(F.col("_is_grid") == 0, F.struct("_us", "_v")), ignorenulls=True
     ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     nxt = F.first(
-        F.when(F.col("_is_grid") == 0, F.struct("_sec", "_v")), ignorenulls=True
+        F.when(F.col("_is_grid") == 0, F.struct("_us", "_v")), ignorenulls=True
     ).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
     p, x = F.col("_prev"), F.col("_next")
-    frac = (F.col("_sec") - p["_sec"]).cast("double") / (
-        x["_sec"] - p["_sec"]
+    frac = (F.col("_us") - p["_us"]).cast("double") / (
+        x["_us"] - p["_us"]
     ).cast("double")
-    val = F.when(p["_sec"] == F.col("_sec"), p["_v"]).otherwise(
+    val = F.when(p["_us"] == F.col("_us"), p["_v"]).otherwise(
         p["_v"] + (x["_v"] - p["_v"]) * frac
     )
     return (
@@ -365,13 +373,13 @@ def grid_interpolate(
         .filter(
             F.col("_prev").isNotNull()
             & (
-                (F.col("_prev")["_sec"] == F.col("_sec"))
+                (F.col("_prev")["_us"] == F.col("_us"))
                 | F.col("_next").isNotNull()
             )
         )
         .select(
             *keys,
-            F.timestamp_seconds(F.col("_sec")).alias("grid_ts"),
+            F.timestamp_micros(F.col("_us")).alias("grid_ts"),
             val.alias("value"),
         )
     )

@@ -6621,6 +6621,197 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_value_interp",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(epoch_us(min(ts)) AS BIGINT) AS lo,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS hi
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(((lo + 21599999999) // 21600000000)
+                                      * 21600000000,
+                                    (hi // 21600000000) * 21600000000,
+                                    21600000000)) AS us,
+             1 AS is_grid, CAST(NULL AS DOUBLE) AS v
+      FROM span
+    ), obs AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, 0 AS is_grid,
+             value AS v
+      FROM events
+    ), u AS (
+      SELECT * FROM obs UNION ALL BY NAME SELECT * FROM grid
+    ), sw AS (
+      SELECT user_id, us, is_grid,
+             last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+               OVER wp AS p_us,
+             last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER wp AS p_v,
+             first_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+               OVER wf AS n_us,
+             first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER wf AS n_v
+      FROM u
+      WINDOW wp AS (PARTITION BY user_id ORDER BY us, is_grid, v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY us, is_grid, v
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, make_timestamp(us) AS grid_ts,
+           CASE WHEN p_us = us THEN p_v
+                ELSE p_v + (n_v - p_v) * (CAST(us - p_us AS DOUBLE)
+                                          / CAST(n_us - p_us AS DOUBLE))
+           END AS value
+    FROM sw
+    WHERE is_grid = 1 AND p_us IS NOT NULL
+      AND (p_us = us OR n_us IS NOT NULL)
+    """,
+)
+def q_user_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's irregular value series resampled onto an epoch-aligned
+    6-hour grid with linear interpolation (``ops/windows.grid_interpolate``)
+    — the exact-interpolation sibling of ``user_value_locf``. Grid points
+    are generated map-side from each key's span (no spine join), neighbours
+    come from one ignore-nulls window sweep over the obs+grid union, and
+    the weight is a ratio of exact epoch-microseconds, so the doubles are
+    bit-identical cross-engine without any rounding."""
+    from fxspark.ops.windows import grid_interpolate
+
+    events = load_table(spark, sf_dir, "events")
+    return grid_interpolate(
+        events, "user_id", "ts", "value", step_seconds=21600
+    )
+
+
+@query(
+    "doc_hashed_features",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substr(md5(t), 16, 1)) AS BIGINT) % 2 * 2 - 1
+               AS sign
+      FROM toks
+    )
+    SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, bucket
+    HAVING CAST(sum(sign) AS BIGINT) <> 0
+    """,
+)
+def q_doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing of the document corpus
+    (``ops/text.hashed_features``): 64-dimensional vocabulary-free
+    bag-of-words, bucket and ±1 sign both drawn from the engine-portable
+    md5 family — the fixed-width representation a distributed linear model
+    trains on without ever building a dictionary. Map-side explode + one
+    partial-combined groupBy on (doc, bucket); sparse zero entries drop."""
+    from fxspark.ops.text import hashed_features
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return hashed_features(docs, "doc_id", "text", n_buckets=64)
+
+
+@query(
+    "supplier_part_jaccard",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), sz AS (
+      SELECT s, count(*) AS c FROM sp GROUP BY s
+    ), pairs AS (
+      SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS shared
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT p.supp_a, p.supp_b, p.shared,
+           ca.c + cb.c - p.shared AS union_cnt,
+           round(CAST(p.shared AS DOUBLE) / (ca.c + cb.c - p.shared), 6)
+             AS jaccard
+    FROM pairs p
+    JOIN sz ca ON ca.s = p.supp_a
+    JOIN sz cb ON cb.s = p.supp_b
+    WHERE p.shared >= 150
+    """,
+)
+def q_supplier_part_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-similarity by shared part catalogue: Jaccard of part sets
+    for every supplier pair co-occurring on >= 150 parts — the
+    bipartite-projection node-similarity op (who could substitute for
+    whom). Pair generation goes through the part-keyed inverted index
+    (co-partitioned self-join on the part), so candidates are bounded by
+    sum(suppliers-per-part²), never |suppliers|²; set sizes broadcast back
+    and the Jaccard is an exact integer ratio. On a skewed catalogue the
+    hot-part fan-out caps the same way ``doc_jaccard_pairs_capped`` caps
+    its posting lists."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sp = lineitem.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sz = sp.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(
+            F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 150)
+    )
+    ca = sz.select(F.col("s").alias("supp_a"), F.col("c").alias("_ca"))
+    cb = sz.select(F.col("s").alias("supp_b"), F.col("c").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(ca), "supp_a")
+        .join(F.broadcast(cb), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared",
+            (F.col("_ca") + F.col("_cb") - F.col("shared")).alias("union_cnt"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("_ca") + F.col("_cb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "part_price_skyline",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+)
+def q_part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the part catalogue — cheapest price for the
+    largest size (``ops/skyline.skyline2d``): the bucketed two-phase sweep
+    (per-bucket running max seeded by the earlier buckets' prefix max)
+    replaces both the O(n²) dominance self-join the ORACLE deliberately
+    keeps — an independent formulation, not a mirror — and the
+    single-partition global-window sort. Prices scale to exact cents so
+    the sweep's comparisons are integer."""
+    from fxspark.ops.skyline import skyline2d
+
+    part = load_table(spark, sf_dir, "part")
+    d = part.withColumn(
+        "_cents", F.round(F.col("p_retailprice") * 100).cast("long")
+    )
+    return skyline2d(d, "_cents", "p_size", n_buckets=32).select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

@@ -148,3 +148,54 @@ def test_grid_interpolate_monotone_between_obs(spark):
             frac = (t - lo[0]) / (hi[0] - lo[0])
             want = lo[1] + (hi[1] - lo[1]) * frac
             assert r["value"] == pytest.approx(want, abs=1e-9)
+
+
+def test_skyline2d_matches_bruteforce(spark):
+    rng = np.random.RandomState(5)
+    pts = [(i, int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.randint(0, 500, 300), rng.randint(0, 500, 300)))]
+    # inject exact ties on both axes
+    pts += [(1000, pts[0][1], pts[0][2]), (1001, 0, 0), (1002, 0, 0)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+
+    from fxspark.ops.skyline import skyline2d
+
+    got = {r["id"] for r in skyline2d(df, "x", "y", n_buckets=8).collect()}
+    want = set()
+    for i, x, y in pts:
+        dominated = any(
+            bx <= x and by >= y and (bx < x or by > y) for _, bx, by in pts
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want and want
+
+
+def test_skyline2d_single_bucket_degenerate(spark):
+    # all x identical -> one bucket; only max-y rows survive (ties together)
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 9), (3, 10, 9)], "id long, x long, y long"
+    )
+    from fxspark.ops.skyline import skyline2d
+
+    got = {r["id"] for r in skyline2d(df, "x", "y").collect()}
+    assert got == {2, 3}
+
+
+def test_hashed_features_fixed_width_and_signed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "z z z"), (3, "")], "doc_id long, text string"
+    )
+    from fxspark.ops.text import hashed_features
+
+    rows = hashed_features(df, "doc_id", "text", n_buckets=8).collect()
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 2: one token 3x -> single bucket, |weight| == 3
+    (r2,) = by_doc[2]
+    assert abs(r2["weight"]) == 3
+    # doc 1: a(3) and b(2) — either separate buckets (|3|,|2|) or a
+    # collision (|3±2|); total signed mass is conserved either way
+    assert sum(abs(r["weight"]) for r in by_doc[1]) in (1, 5)
