@@ -492,3 +492,119 @@ def semantic_dedup(
         .filter(F.col("_rk") == 1)
         .select(id_col, "cid", F.col("_keeper").alias("kept_by"), "cos")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent0: DataFrame,
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd's k-means for ``iters`` full (assign, update)
+    rounds from the declared seed codebook ``cent0`` (``cell``, ``cv``
+    array<double>) — the training loop whose single-shot halves already
+    exist here (``train_ivf_codebook`` trains on a bounded sample;
+    ``semantic_dedup``/IVF only ASSIGN). This is the full distributed EM:
+    every row votes in every update.
+
+    Topology per iteration (the MLlib topology, expressed declaratively):
+    assignment is a broadcast of the k×d codebook against the corpus — a
+    map-side ``crossJoin(broadcast)`` + lexicographic ``min(struct(dist,
+    cell))`` argmin, no shuffle; the update is ONE partial-combined
+    (cell, dim) aggregation, so the exchange carries k×d rows regardless
+    of corpus size. Nothing ever collects to the driver — centroids stay
+    a (tiny) DataFrame and the loop just deepens the lazy plan.
+
+    Determinism (what makes an ITERATIVE float algorithm oracle-hashable):
+    per-dim means are exact-decimal sums divided in double (the
+    ``label_centroid_stats`` discipline), and the distance fold is the
+    module's sequential ``zip_with``+``aggregate`` — bit-identical to the
+    oracle's ``list_sum(list_apply(list_zip(...)))`` replay, so even
+    cross-iteration error propagation is reproduced exactly. Ties in the
+    argmin break on the cell id in both engines.
+
+    Returns per-cell stats after a final assignment against the trained
+    codebook: ``cell, n_vecs, inertia, centroid_l2``.
+    """
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(cent)).withColumn(
+            "_dist", l2sq(F.col("_v"), F.col("_cv"))
+        )
+        return (
+            scored.groupBy("_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("_dist").alias("dist"), F.col("cell").alias("cell")
+                    )
+                ).alias("_m"),
+                F.first("_v").alias("_v"),  # identical across the k rows
+            )
+            .select(
+                "_id",
+                F.col("_m.cell").alias("cell"),
+                F.col("_m.dist").alias("_dist"),
+                "_v",
+            )
+        )
+
+    cent = cent0.select("cell", F.col("cv").alias("_cv"))
+    for _ in range(iters):
+        assigned = assign(cent)
+        cent = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("_cv")
+            )
+        )
+
+    final = assign(cent)
+    l2 = (
+        cent.select("cell", F.explode("_cv").alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("c") * F.col("c")).cast("decimal(38,12)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("centroid_l2")
+        )
+    )
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("_dist").cast("decimal(38,9)")).cast("double"), 6
+            ).alias("inertia"),
+        )
+        .join(F.broadcast(l2), "cell")
+        .select("cell", "n_vecs", "inertia", "centroid_l2")
+    )

@@ -274,8 +274,14 @@ def keyed_cusum(
     )
     out = df.withColumn("_cum", F.sum(e).over(w))
     low = F.least(F.lit(0).cast(f"decimal(38,{scale})"), F.min("_cum").over(w))
+    # subtract in DOUBLE on the two exactly-converted operands: a
+    # DECIMAL(38)-DECIMAL(38) difference needs 39 digits, which some
+    # engines (DuckDB) silently demote to float arithmetic — converting
+    # each side first is the form every engine computes identically
     return (
-        out.withColumn("cusum", (F.col("_cum") - low).cast("double"))
+        out.withColumn(
+            "cusum", F.col("_cum").cast("double") - low.cast("double")
+        )
         .withColumn("alert", F.col("cusum") > F.lit(threshold))
         .drop("_cum")
     )

@@ -6401,58 +6401,82 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT user_id,
-             round(CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
-                   / count(*), 6) AS target
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS vsum,
+             CAST(count(*) AS DECIMAL(8,0)) AS n
       FROM events GROUP BY user_id
     ), e AS (
-      SELECT e.user_id, e.ts, e.event_id, e.value,
-             CAST(e.value - m.target - 10.0 AS DECIMAL(38,6)) AS ei
+      SELECT e.user_id, e.ts, e.event_id, e.value, m.n,
+             CAST(CAST(CAST(e.value AS DECIMAL(18,6)) * m.n AS DECIMAL(28,6))
+                  - m.vsum
+                  - CAST(m.n * CAST(10.0 AS DECIMAL(4,1)) AS DECIMAL(14,1))
+                  AS DECIMAL(30,6)) AS ei
       FROM events e JOIN m USING (user_id)
     ), c1 AS (
-      SELECT user_id, ts, event_id, value,
+      SELECT user_id, ts, event_id, value, n,
              sum(ei) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS cum
       FROM e
     ), c AS (
-      SELECT user_id, ts, event_id, value, cum,
+      SELECT user_id, ts, event_id, value, n, cum,
              least(CAST(0 AS DECIMAL(38,6)),
                    min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING)) AS low
       FROM c1
     )
     SELECT user_id, ts, event_id, value,
-           CAST(cum - low AS DOUBLE) AS cusum
+           (CAST(cum AS DOUBLE) - CAST(low AS DOUBLE))
+             / CAST(n AS DOUBLE) AS cusum
     FROM c
-    WHERE CAST(cum - low AS DOUBLE) > 120.0
+    WHERE (CAST(cum AS DOUBLE) - CAST(low AS DOUBLE))
+            / CAST(n AS DOUBLE) > 120.0
     """,
 )
 def q_user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-sided CUSUM drift alerts per user (``ops/windows.keyed_cusum``):
-    rows where the cumulative positive deviation from the user's own mean
-    (slack 10, threshold 120) is in alarm. The recurrence ``S_i = max(0,
-    S_{i-1} + e_i)`` is unrolled to running-sum-minus-running-low-water-mark
-    — two stacked windows sharing one key shuffle, no per-key state, exact
-    decimal cumulation (the closed form is what makes the classic SPC chart
-    distributable over arbitrarily long per-key histories)."""
-    from fxspark.ops.windows import keyed_cusum
-
+    """One-sided CUSUM drift alerts per user: rows where the cumulative
+    positive deviation from the user's own mean (slack 10, threshold 120)
+    is in alarm. Same running-sum-minus-low-water-mark closed form as
+    ``ops/windows.keyed_cusum`` (two stacked windows, one key shuffle, no
+    per-key state), but in the n-SCALED exact algebra: the per-user mean is
+    a quotient, and deviations against a quotient would round through a
+    double -> decimal cast that engines disagree on in the last decimal
+    ulp, so the chart is computed on ``n·value − Σvalue − n·slack`` — every
+    term an exact decimal product — and only divided back by n (pure IEEE,
+    identical everywhere) at the output."""
     events = load_table(spark, sf_dir, "events")
-    target = events.groupBy("user_id").agg(
-        F.round(exact_sum(F.col("value")) / F.count(F.lit(1)), 6).alias(
-            "target"
+    m = events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(28,6)")
+        .alias("_vsum"),
+        F.count(F.lit(1)).cast("decimal(8,0)").alias("_n"),
+    )
+    ei = (
+        (F.col("value").cast("decimal(18,6)") * F.col("_n")).cast(
+            "decimal(28,6)"
         )
+        - F.col("_vsum")
+        - (F.col("_n") * F.lit(10.0).cast("decimal(4,1)")).cast(
+            "decimal(14,1)"
+        )
+    ).cast("decimal(30,6)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    scored = keyed_cusum(
-        events.join(target, "user_id"),
-        keys="user_id",
-        order=["ts", "event_id"],
-        value_col="value",
-        target=F.col("target"),
-        slack=10.0,
-        threshold=120.0,
+    d = (
+        events.join(m, "user_id")
+        .withColumn("_cum", F.sum(ei.alias("_ei")).over(w))
     )
-    return scored.filter(F.col("alert")).select(
-        "user_id", "ts", "event_id", "value", "cusum"
+    low = F.least(
+        F.lit(0).cast("decimal(38,6)"), F.min("_cum").over(w)
+    )
+    cusum = (
+        F.col("_cum").cast("double") - low.cast("double")
+    ) / F.col("_n").cast("double")
+    return (
+        d.withColumn("cusum", cusum)
+        .filter(F.col("cusum") > 120.0)
+        .select("user_id", "ts", "event_id", "value", "cusum")
     )
 
 
@@ -6810,6 +6834,225 @@ def q_part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline2d(d, "_cents", "p_size", n_buckets=32).select(
         "p_partkey", "p_brand", "p_retailprice", "p_size"
     )
+
+
+@query(
+    "stream_cdc_replay",
+    oracle="""
+    WITH b1 AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+      ) WHERE rn = 1
+    ), c1 AS (
+      SELECT user_id, 'insert' AS change_type,
+             CAST(NULL AS TIMESTAMP) AS old_ts,
+             CAST(NULL AS DOUBLE) AS old_value,
+             ts AS new_ts, value AS new_value, 0 AS batch_id
+      FROM b1
+    ), s1 AS (SELECT * FROM b1),
+    b2 AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+                      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+      ) WHERE rn = 1
+    ), c2 AS (
+      SELECT b.user_id,
+             CASE WHEN s.user_id IS NULL THEN 'insert'
+                  WHEN NOT (s.ts IS NOT DISTINCT FROM b.ts
+                            AND s.value IS NOT DISTINCT FROM b.value)
+                  THEN 'update' END AS change_type,
+             s.ts AS old_ts, s.value AS old_value,
+             b.ts AS new_ts, b.value AS new_value, 1 AS batch_id
+      FROM b2 b LEFT JOIN s1 s USING (user_id)
+      WHERE s.user_id IS NULL
+         OR NOT (s.ts IS NOT DISTINCT FROM b.ts
+                 AND s.value IS NOT DISTINCT FROM b.value)
+    ), s2 AS (
+      SELECT * FROM s1 WHERE user_id NOT IN (SELECT user_id FROM b2)
+      UNION ALL SELECT * FROM b2
+    ), b3 AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+      ) WHERE rn = 1
+    ), c3 AS (
+      SELECT b.user_id,
+             CASE WHEN s.user_id IS NULL THEN 'insert'
+                  WHEN NOT (s.ts IS NOT DISTINCT FROM b.ts
+                            AND s.value IS NOT DISTINCT FROM b.value)
+                  THEN 'update' END AS change_type,
+             s.ts AS old_ts, s.value AS old_value,
+             b.ts AS new_ts, b.value AS new_value, 2 AS batch_id
+      FROM b3 b LEFT JOIN s2 s USING (user_id)
+      WHERE s.user_id IS NULL
+         OR NOT (s.ts IS NOT DISTINCT FROM b.ts
+                 AND s.value IS NOT DISTINCT FROM b.value)
+    )
+    SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+    """,
+)
+def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of ``streaming.cdc.cdc_stream``'s per-micro-batch body
+    (latest-per-key reduce → key-restricted ``snapshot_diff`` vs the store
+    → LWW merge) with DETERMINISTIC batch boundaries — the events table
+    split into three ten-day windows plays three micro-batches, so the full
+    change log (insert/update rows with batch_id) is oracle-hashable, not
+    just the final store. Composes the exact operators the streaming
+    foreachBatch calls (``ops.latest.dedup_latest``,
+    ``ops.cdc.snapshot_diff``); deletes never appear because absence from a
+    micro-batch means "no news" (the tombstone convention), which the
+    oracle's insert/update-only CASE mirrors."""
+    from fxspark.ops.cdc import snapshot_diff
+    from fxspark.ops.latest import dedup_latest
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = [
+        (None, "2024-01-11 00:00:00"),
+        ("2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+        ("2024-01-21 00:00:00", None),
+    ]
+    store = None
+    out = None
+    for i, (lo, hi) in enumerate(bounds):
+        batch = events
+        if lo is not None:
+            batch = batch.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            batch = batch.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        latest = dedup_latest(batch, "user_id", ["ts", "event_id"]).select(
+            "user_id", "ts", "value"
+        )
+        if store is None:
+            changes = snapshot_diff(
+                latest.limit(0), latest, "user_id", ["ts", "value"]
+            )
+            store = latest
+        else:
+            old_state = store.join(
+                latest.select("user_id"), "user_id", "left_semi"
+            )
+            changes = snapshot_diff(
+                old_state, latest, "user_id", ["ts", "value"]
+            )
+            store = store.join(
+                latest.select("user_id"), "user_id", "left_anti"
+            ).unionByName(latest)
+        changes = changes.withColumn("batch_id", F.lit(i))
+        out = changes if out is None else out.unionByName(changes)
+    return out
+
+
+_L2_SQL = (
+    "list_sum(list_apply(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+
+def _kmeans_seed() -> list[list[float]] | None:
+    """The k-means seed codebook: the 8 lowest-vec_id embeddings, read once
+    at import (the ``_semantic_dedup_oracle`` literal-codebook discipline)
+    so both engines iterate from identical doubles."""
+    try:
+        import pyarrow.parquet as pq
+
+        sf_dir = os.environ.get("FXSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).sort_by("vec_id")
+        return [
+            [float(x) for x in v]
+            for v in t.column("embedding").to_pylist()[:8]
+        ]
+    except Exception:  # noqa: BLE001 — no fixture ⇒ honest rows-only check
+        return None
+
+
+def _kmeans_oracle() -> str | None:
+    seed = _kmeans_seed()
+    if seed is None:
+        return None
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(seed)
+    )
+    d1 = _L2_SQL.format(a="e.emb", b="cv")
+    return f"""
+    WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
+    c0(cell, cv) AS (VALUES {vals}),
+    a1 AS (
+      SELECT vec_id, emb,
+             (SELECT cell FROM c0 ORDER BY {d1} ASC, cell ASC LIMIT 1) AS cell
+      FROM e),
+    u1 AS (
+      SELECT cell, g.i AS pos,
+             CAST(sum(CAST(emb[g.i] AS DECIMAL(30,10))) AS DOUBLE)
+               / count(*) AS c
+      FROM a1, generate_series(1, 64) g(i) GROUP BY cell, g.i),
+    c1 AS (SELECT cell, list(c ORDER BY pos) AS cv FROM u1 GROUP BY cell),
+    a2 AS (
+      SELECT vec_id, emb,
+             (SELECT cell FROM c1 ORDER BY {d1} ASC, cell ASC LIMIT 1) AS cell
+      FROM e),
+    u2 AS (
+      SELECT cell, g.i AS pos,
+             CAST(sum(CAST(emb[g.i] AS DECIMAL(30,10))) AS DOUBLE)
+               / count(*) AS c
+      FROM a2, generate_series(1, 64) g(i) GROUP BY cell, g.i),
+    c2 AS (SELECT cell, list(c ORDER BY pos) AS cv FROM u2 GROUP BY cell),
+    l2 AS (
+      SELECT cell,
+             round(sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE)),
+                   6) AS centroid_l2
+      FROM u2 GROUP BY cell),
+    a3 AS (
+      SELECT vec_id,
+             (SELECT cell FROM c2 ORDER BY {d1} ASC, cell ASC LIMIT 1) AS cell,
+             (SELECT min({d1}) FROM c2) AS dist
+      FROM e)
+    SELECT a.cell, count(*) AS n_vecs,
+           round(CAST(sum(CAST(a.dist AS DECIMAL(38,9))) AS DOUBLE), 6)
+             AS inertia,
+           max(l2.centroid_l2) AS centroid_l2
+    FROM a3 a JOIN l2 ON l2.cell = a.cell
+    GROUP BY a.cell
+    """
+
+
+@query("embedding_kmeans_iters", oracle=_kmeans_oracle())
+def q_embedding_kmeans_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full distributed Lloyd's iterations over the embedding corpus
+    (``ops/similarity.kmeans_lloyd``) from the declared lowest-vec_id seed
+    codebook, reporting per-cell size, inertia and centroid norm. The
+    oracle replays BOTH iterations in SQL — assignment as a correlated
+    argmin over the same literal seeds, updates as exact-decimal per-dim
+    means — so the cross-iteration float propagation of an iterative ML
+    training loop is pinned bit-for-bit, the same discipline that makes
+    the IVF/SemDeDup codebooks hash-checkable."""
+    import pyarrow.parquet as pq  # noqa: F401 — fixture presence gate
+
+    from fxspark.ops.similarity import kmeans_lloyd
+
+    seed = _kmeans_seed()
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    if seed is None:  # no local fixture: derive seed in-engine
+        rows = (
+            emb.orderBy("vec_id")
+            .limit(8)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        seed = [[float(x) for x in r["embedding"]] for r in rows]
+    cent0 = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(seed)], "cell int, cv array<double>"
+    )
+    return kmeans_lloyd(emb, "vec_id", "embedding", cent0, iters=2)
 
 
 # ---------------------------------------------------------------------------

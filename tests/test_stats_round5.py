@@ -199,3 +199,42 @@ def test_hashed_features_fixed_width_and_signed(spark):
     # doc 1: a(3) and b(2) — either separate buckets (|3|,|2|) or a
     # collision (|3±2|); total signed mass is conserved either way
     assert sum(abs(r["weight"]) for r in by_doc[1]) in (1, 5)
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(200, 8).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    seed = vecs[:4]
+    cent0 = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(seed)],
+        "cell int, cv array<double>",
+    )
+    from fxspark.ops.similarity import kmeans_lloyd
+
+    got = {
+        r["cell"]: r
+        for r in kmeans_lloyd(df, "vec_id", "embedding", cent0, iters=3)
+        .collect()
+    }
+
+    # reference Lloyd's in numpy (same seed, same tie rule)
+    cents = seed.astype(np.float64)
+    for _ in range(3):
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        cents = np.stack(
+            [vecs[assign == c].mean(axis=0) for c in range(len(seed))]
+        )
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    for c in range(len(seed)):
+        n = int((assign == c).sum())
+        assert got[c]["n_vecs"] == n
+        inertia = float(d2[assign == c, c].sum())
+        assert got[c]["inertia"] == pytest.approx(inertia, rel=1e-6)
+        l2 = float(np.sqrt((cents[c] ** 2).sum()))
+        assert got[c]["centroid_l2"] == pytest.approx(l2, rel=1e-6)
