@@ -149,6 +149,16 @@ EXTENSION = [
     "doc_bm25_search",
     "value_histogram",
     "events_key_skew_report",
+    "user_value_trend",
+    "user_value_cusum",
+    "customer_cohort_ltv",
+    "basket_brand_lift",
+    "user_value_interp",
+    "doc_hashed_features",
+    "supplier_part_jaccard",
+    "part_price_skyline",
+    "stream_cdc_replay",
+    "embedding_kmeans_iters",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))
