@@ -219,3 +219,54 @@ def test_priority_sample_is_take_ordered(spark, sf_dir):
     global Sort + Limit."""
     plan = _plan(spark, sf_dir, "doc_weighted_sample")
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_skyline_no_quadratic_join(spark, sf_dir):
+    """The skyline plan must be the bucketed sweep — windows partitioned by
+    bucket — never a dominance self-join: no SortMergeJoin of part against
+    itself, and the only nested-loop joins are the two 1-row/k-row
+    broadcasts (bounds, bucket seeds)."""
+    plan = _plan(spark, sf_dir, "part_price_skyline")
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    # part is re-scanned for the bounds / bucket-summary branches (tiny
+    # aggregates), but never joined against itself row-for-row
+    assert plan.count("Scan parquet") <= 4, plan[:3000]
+    assert "Window" in plan
+
+
+def test_basket_lift_pairs_join_on_order_key(spark, sf_dir):
+    """Basket pair generation must join on the order key (shuffle or
+    broadcast hash join with o = o), never a cartesian; brand marginals and
+    the 1-row total must be broadcast."""
+    plan = _plan(spark, sf_dir, "basket_brand_lift")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_kmeans_assignment_is_broadcast(spark, sf_dir):
+    """Every k-means assignment pass must broadcast the k-row codebook
+    against the corpus (BroadcastNestedLoopJoin of a tiny side), and the
+    corpus must never shuffle on anything but the (cell, pos) update agg —
+    no SortMergeJoin anywhere in the loop."""
+    plan = _plan(spark, sf_dir, "embedding_kmeans_iters")
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_grouped_ols_single_exchange(spark, sf_dir):
+    """The OLS fit is one partial-aggregated groupBy: exactly one exchange,
+    no window, no join."""
+    plan = _plan(spark, sf_dir, "user_value_trend")
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_cusum_windows_share_one_exchange(spark, sf_dir):
+    """The CUSUM chart's running-sum and low-water-mark windows share the
+    same (user) partitioning: one exchange feeds the mean agg, one the
+    window sort — never a per-window re-shuffle."""
+    plan = _plan(spark, sf_dir, "user_value_cusum")
+    assert plan.count("Exchange") <= 3, plan[:3000]
