@@ -322,6 +322,39 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Skyline throughput probe: exact 2-D Pareto frontier over a synthetic
+    # 5M-point cloud (the bucketed two-phase sweep — ops/skyline). The
+    # NOT-EXISTS dominance formulation is O(n^2) = 25e12 pairs here, i.e.
+    # not runnable at all; the sweep is one shuffle + bucket-parallel
+    # windows, demonstrating the survival gap the BASELINE table measures
+    # at sf0.1.
+    sky_rows = int(os.environ.get("FXSPARK_BENCH_SKY_ROWS", "5000000"))
+    from fxspark.ops.skyline import skyline2d
+
+    cloud = spark.range(sky_rows).select(
+        SF.col("id"),
+        SF.pmod(SF.col("id") * 2654435761, SF.lit(1_000_000)).alias("x"),
+        SF.pmod(SF.col("id") * 104729, SF.lit(1_000_000)).alias("y"),
+    )
+
+    def sky_run():
+        skyline2d(cloud, "x", "y", n_buckets=64).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    sky_run()
+    runs = []
+    for _ in range(EXT_REPS):
+        t0 = time.perf_counter(); sky_run()
+        runs.append(time.perf_counter() - t0)
+    ext_timings[f"skyline_{sky_rows // 1000}k"] = round(
+        statistics.median(runs), 4
+    )
+    print(
+        f"# ext skyline_{sky_rows // 1000}k: {runs[-1]:.3f}s",
+        file=sys.stderr,
+    )
+
     # Skew-stress A/B (VERDICT r2 #6): one hot key owns half the fact rows —
     # the distribution where a plain shuffle join melts one task. Broadcast
     # is disabled for BOTH runs (the dim fits under the threshold, which

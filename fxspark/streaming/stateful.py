@@ -63,3 +63,69 @@ def stateful_pair_stats(
     return events.groupBy(key_col).applyInPandasWithState(
         update, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+CUSUM_OUT_SCHEMA = (
+    "user_id long, n_total long, cusum double, n_alerts long"
+)
+CUSUM_STATE_SCHEMA = "n_total long, cum double, low double, n_alerts long"
+
+
+def stateful_cusum(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    value_col: str = "value",
+    target: float = 0.0,
+    slack: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Streaming one-sided CUSUM per key — the O(1)-state twin of
+    ``ops.windows.keyed_cusum``'s batch closed form. The batch operator
+    materializes ``S_i = cum_i − min(0, min_{j≤i} cum_j)`` with two stacked
+    windows; the stream needs only the two scalars that formula reads —
+    the running sum and its low-water-mark — so state per key is constant
+    regardless of how long the key lives (plus counters), checkpointed in
+    the state store and updated from Arrow batches.
+
+    Emits one row per key per micro-batch: event count, current chart
+    value, and how many processed events were in alarm. Parity with the
+    batch operator on identical event order is pinned by test.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        n, cum, low, n_alerts = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            for v in pdf.sort_values(order_col)[value_col].astype(float):
+                cum += v - target - slack
+                low = min(low, cum)
+                n += 1
+                if cum - min(0.0, low) > threshold:
+                    n_alerts += 1
+        state.update((n, cum, low, n_alerts))
+        yield pd.DataFrame(
+            [
+                {
+                    key_col: key[0],
+                    "n_total": n,
+                    "cusum": cum - min(0.0, low),
+                    "n_alerts": n_alerts,
+                }
+            ]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        CUSUM_OUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -5,7 +5,7 @@ from __future__ import annotations
 import json
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 
@@ -584,3 +584,88 @@ def test_cdc_stream_emits_change_sets_and_maintains_store(spark, tmp_path):
     for r in sorted(log, key=lambda r: r.batch_id):
         final[r.user_id] = r.new_value
     assert final == state
+
+
+def test_stateful_cusum_across_batches_matches_batch_closed_form(
+    spark, tmp_path
+):
+    """Streaming CUSUM (O(1) state: running sum + low-water-mark) must
+    carry state across micro-batches and land exactly on the batch
+    closed-form operator's final chart value for every key."""
+    import numpy as np
+
+    from fxspark.streaming.stateful import stateful_cusum
+
+    rng = np.random.RandomState(9)
+    rows = [
+        {"user_id": k, "ts": t, "value": float(v)}
+        for k in (1, 2)
+        for t, v in enumerate(np.round(rng.randn(40) + 0.4, 3))
+    ]
+    half = len(rows) // 2
+    drops = tmp_path / "cdrops"
+    drops.mkdir()
+    for name, chunk in (("a.json", rows[:half]), ("b.json", rows[half:])):
+        with open(drops / name, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "user_id long, ts long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        stateful_cusum(
+            stream, target=0.2, slack=0.1, threshold=1.0
+        )
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY n_total DESC) rn "
+            "FROM cusum_stream) WHERE rn = 1"
+        ).collect()
+    }
+
+    from fxspark.ops.windows import keyed_cusum
+    from pyspark.sql import functions as F
+
+    batch = keyed_cusum(
+        spark.createDataFrame([Row(**r) for r in rows]),
+        keys="user_id",
+        order=["ts"],
+        value_col="value",
+        target=F.lit(0.2),
+        slack=0.1,
+        threshold=1.0,
+    )
+    last = {
+        r["user_id"]: r
+        for r in batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("ts"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    n_alerts = {
+        r["user_id"]: r["na"]
+        for r in batch.groupBy("user_id")
+        .agg(F.sum(F.col("alert").cast("long")).alias("na"))
+        .collect()
+    }
+    for k in (1, 2):
+        assert got[k]["n_total"] == 40
+        assert got[k]["cusum"] == pytest.approx(last[k]["cusum"], abs=1e-9)
+        assert got[k]["n_alerts"] == n_alerts[k]
