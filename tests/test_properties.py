@@ -333,3 +333,71 @@ def test_snapshot_diff_log_fold_reconstructs_new_state(spark, rows):
         else:
             state[r.k] = r.new_v
     assert state == new_rows
+
+
+# (x, y) integer points with a tiny range so dominance ties are frequent
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(pts=points_strategy)
+@SETTINGS
+def test_skyline_sound_and_complete(spark, pts):
+    """Soundness: no returned point is dominated. Completeness: every
+    dropped point is dominated by some RETURNED point (skyline transitivity
+    — a point dominated only by dropped points would be a bug)."""
+    from fxspark.ops.skyline import skyline2d
+
+    df = spark.createDataFrame(
+        [Row(id=i, x=x, y=y) for i, (x, y) in enumerate(pts)]
+    )
+    got = {r["id"] for r in skyline2d(df, "x", "y", n_buckets=3).collect()}
+
+    def dominates(a, b):
+        return a[0] <= b[0] and a[1] >= b[1] and (a[0] < b[0] or a[1] > b[1])
+
+    for i, p in enumerate(pts):
+        if i in got:
+            assert not any(dominates(q, p) for q in pts), (i, p, pts)
+        else:
+            assert any(
+                dominates(pts[j], p) for j in got
+            ), (i, p, pts, got)
+
+
+values_strategy = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=20
+)
+
+
+@given(vals=values_strategy)
+@SETTINGS
+def test_cusum_closed_form_equals_recurrence(spark, vals):
+    """The window closed form must equal the sequential recurrence
+    S_i = max(0, S_{i-1} + e_i) for any value sequence (sign changes,
+    all-negative, all-positive, single element)."""
+    from pyspark.sql import functions as F
+
+    from fxspark.ops.windows import keyed_cusum
+
+    df = spark.createDataFrame(
+        [Row(k="a", o=i, v=float(v)) for i, v in enumerate(vals)]
+    )
+    got = [
+        r["cusum"]
+        for r in keyed_cusum(
+            df, keys="k", order=["o"], value_col="v",
+            target=F.lit(0.0), slack=0.5, threshold=10.0,
+        ).orderBy("o").collect()
+    ]
+    s, want = 0.0, []
+    for v in vals:
+        s = max(0.0, s + (v - 0.5))
+        want.append(s)
+    assert got == pytest.approx(want, abs=1e-9)
