@@ -129,3 +129,71 @@ def stateful_cusum(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUT_SCHEMA = "event_type string, n_seen long, est_distinct long"
+KMV_STATE_SCHEMA = "n_seen long, mins array<double>"
+
+
+def stateful_kmv_distinct(
+    events: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming KMV distinct-count per group — the bounded-state stream
+    twin of ``events_kmv_distinct``: keep the k smallest md5-derived hash
+    fractions of the ids seen so far (state = one sorted float array of at
+    most k entries per group, constant forever), estimate distinct =
+    (k−1)/kth_min once the sketch is full, exact count below k.
+
+    Same declared hash as the batch query (first 60 md5 bits / 2^60), so a
+    stream restarted from any checkpoint — or the batch operator over the
+    same prefix — lands on the IDENTICAL estimate, not just a statistically
+    similar one: declared randomness is what makes approximate streaming
+    state restart-verifiable. Per micro-batch work: hash the batch, merge
+    two sorted k-arrays.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        n, mins = state.get if state.exists else (0, [])
+        mins = list(mins)
+        for pdf in pdfs:
+            n += len(pdf)
+            hs = [
+                int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                / float(2**60)
+                for v in pdf[id_col]
+            ]
+            mins = sorted(set(mins) | set(hs))[:k]
+        state.update((n, mins))
+        est = (
+            len(mins)
+            if len(mins) < k
+            else int(round((k - 1) / mins[k - 1]))
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    group_col: key[0],
+                    "n_seen": n,
+                    "est_distinct": est,
+                }
+            ]
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        update,
+        KMV_OUT_SCHEMA,
+        KMV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

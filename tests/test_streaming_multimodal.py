@@ -669,3 +669,56 @@ def test_stateful_cusum_across_batches_matches_batch_closed_form(
         assert got[k]["n_total"] == 40
         assert got[k]["cusum"] == pytest.approx(last[k]["cusum"], abs=1e-9)
         assert got[k]["n_alerts"] == n_alerts[k]
+
+
+def test_stateful_kmv_distinct_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV (bounded k-array state) must land on the IDENTICAL
+    estimate as the batch sketch over the same ids — declared randomness
+    makes the approximate state restart-verifiable, not just similar."""
+    import hashlib
+
+    from fxspark.streaming.stateful import stateful_kmv_distinct
+
+    k = 16
+    ids = [f"id{i}" for i in range(200)]  # 200 distinct > k -> estimation path
+    rows = [
+        {"event_type": "click", "event_id": v} for v in ids + ids[:50]
+    ]  # duplicates must not affect the sketch
+    half = len(rows) // 2
+    drops = tmp_path / "kdrops"
+    drops.mkdir()
+    for name, chunk in (("a.json", rows[:half]), ("b.json", rows[half:])):
+        with open(drops / name, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_type string, event_id string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        stateful_kmv_distinct(stream, k=k)
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM kmv_stream ORDER BY n_seen DESC LIMIT 1"
+    ).collect()[0]
+
+    # reference: the same declared sketch computed directly
+    hs = sorted(
+        {
+            int(hashlib.md5(v.encode()).hexdigest()[:15], 16) / float(2**60)
+            for v in ids
+        }
+    )[:k]
+    want = int(round((k - 1) / hs[k - 1]))
+    assert got["n_seen"] == len(rows)
+    assert got["est_distinct"] == want
+    # sketch sanity: estimate within 50% of truth at k=16
+    assert abs(got["est_distinct"] - 200) / 200 < 0.5
