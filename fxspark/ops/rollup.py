@@ -80,3 +80,82 @@ def rollup_read(rollup: DataFrame) -> DataFrame:
     return rollup.withColumn(
         "mean", (F.col("sum") / F.col("cnt")).cast("double")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained regression: OLS sufficient statistics are decomposable, so a
+# per-key trend fit can be kept incrementally like any count/sum rollup —
+# merge the batch's five moments into the stored state, fit at read time.
+# The reference recomputes its whole-store analysis every tick; this is the
+# shape that replaces a full-history rescan for model fits at 100 TB.
+# ---------------------------------------------------------------------------
+
+_OLS_MOMENTS = ("n_obs", "sx", "sy", "sxy", "sxx")
+
+
+def ols_rollup_table(df: DataFrame, keys, x, y) -> DataFrame:
+    """Per-key partial OLS state of one batch: the same five exact-decimal
+    sufficient statistics ``ops.stats.grouped_ols`` aggregates, kept AS
+    DECIMALS (not doubles) so merges are associative to the bit."""
+    xl = x.cast("long")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(xl.cast("decimal(38,0)")).alias("sx"),
+        F.sum(y.cast("decimal(38,6)")).alias("sy"),
+        F.sum((xl.cast("double") * y).cast("decimal(38,6)")).alias("sxy"),
+        F.sum((xl * xl).cast("decimal(38,0)")).alias("sxx"),
+    )
+
+
+def merge_ols_rollup(
+    existing: DataFrame | None, incoming: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge two OLS states: full-outer on keys, add every moment
+    (absent side = zero). Associative/commutative — batch arrival order
+    cannot change a bit of the stored state."""
+    if existing is None:
+        return incoming
+    e = existing.select(
+        *keys, *[F.col(c).alias(f"_e_{c}") for c in _OLS_MOMENTS]
+    )
+    i = incoming.select(
+        *keys, *[F.col(c).alias(f"_i_{c}") for c in _OLS_MOMENTS]
+    )
+    merged = e.join(i, list(keys), "full_outer")
+    zero = {
+        "n_obs": F.lit(0).cast("long"),
+        "sx": F.lit(0).cast("decimal(38,0)"),
+        "sy": F.lit(0).cast("decimal(38,6)"),
+        "sxy": F.lit(0).cast("decimal(38,6)"),
+        "sxx": F.lit(0).cast("decimal(38,0)"),
+    }
+    return merged.select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(f"_e_{c}"), zero[c])
+                + F.coalesce(F.col(f"_i_{c}"), zero[c])
+            ).alias(c)
+            for c in _OLS_MOMENTS
+        ],
+    )
+
+
+def ols_rollup_read(rollup: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fit from the maintained state — identical arithmetic to
+    ``ops.stats.grouped_ols``'s read side (decimal state → double once,
+    then the closed-form slope/intercept), so the maintained fit equals
+    the from-scratch fit bit-for-bit."""
+    n = F.col("n_obs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    det = n * sxx - sx * sx
+    slope = F.when(det > 0.0, (n * sxy - sx * sy) / det)
+    return rollup.select(
+        *keys,
+        "n_obs",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )

@@ -238,3 +238,57 @@ def test_kmeans_lloyd_matches_numpy(spark):
         assert got[c]["inertia"] == pytest.approx(inertia, rel=1e-6)
         l2 = float(np.sqrt((cents[c] ** 2).sum()))
         assert got[c]["centroid_l2"] == pytest.approx(l2, rel=1e-6)
+
+
+def test_maintained_ols_equals_from_scratch(spark):
+    """Incremental OLS: merging per-batch sufficient-statistic states (in
+    any order) then fitting must equal grouped_ols over the union —
+    bit-for-bit, since the state is exact decimal."""
+    rng = np.random.RandomState(13)
+    batches = []
+    for b in range(3):
+        rows = [
+            (k, int(x), float(y))
+            for k in range(4)
+            for x, y in zip(
+                rng.randint(0, 100000, 25),
+                np.round(rng.randn(25) * 5 + k, 4),
+            )
+        ]
+        batches.append(
+            spark.createDataFrame(rows, "k int, x long, y double")
+        )
+
+    from fxspark.ops.rollup import (
+        merge_ols_rollup,
+        ols_rollup_read,
+        ols_rollup_table,
+    )
+    from fxspark.ops.stats import grouped_ols
+
+    # forward order and reverse order must agree (associativity)
+    state_fwd = None
+    for b in batches:
+        state_fwd = merge_ols_rollup(
+            state_fwd, ols_rollup_table(b, ["k"], F.col("x"), F.col("y")), ["k"]
+        )
+    state_rev = None
+    for b in reversed(batches):
+        state_rev = merge_ols_rollup(
+            state_rev, ols_rollup_table(b, ["k"], F.col("x"), F.col("y")), ["k"]
+        )
+
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    want = {
+        r["k"]: r for r in grouped_ols(union, "k", F.col("x"), F.col("y")).collect()
+    }
+    for state in (state_fwd, state_rev):
+        got = {
+            r["k"]: r for r in ols_rollup_read(state, ["k"]).collect()
+        }
+        for k in range(4):
+            assert got[k]["n_obs"] == want[k]["n_obs"]
+            assert got[k]["slope"] == want[k]["slope"]  # exact, not approx
+            assert got[k]["intercept"] == want[k]["intercept"]
