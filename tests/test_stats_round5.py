@@ -292,3 +292,34 @@ def test_maintained_ols_equals_from_scratch(spark):
             assert got[k]["n_obs"] == want[k]["n_obs"]
             assert got[k]["slope"] == want[k]["slope"]  # exact, not approx
             assert got[k]["intercept"] == want[k]["intercept"]
+
+
+def test_profile_table_against_duckdb(spark, sf_dir):
+    import duckdb
+
+    from fxspark.ops.checks import profile_table
+    from fxspark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    prof = {r["column"]: r for r in profile_table(events, kmv_k=64).collect()}
+
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""SELECT count(*) AS n, count(DISTINCT user_id) AS du,
+                  count(DISTINCT event_type) AS dt,
+                  min(value) AS mn, max(value) AS mx, avg(value) AS mean
+           FROM '{sf_dir}/events.parquet'"""
+    ).fetchone()
+    n, du, dt, mn, mx, mean = ref
+
+    assert prof["value"]["n_rows"] == n
+    assert prof["value"]["n_null"] == 0
+    assert prof["value"]["min_val"] == pytest.approx(mn)
+    assert prof["value"]["max_val"] == pytest.approx(mx)
+    assert prof["value"]["mean_val"] == pytest.approx(mean, rel=1e-9)
+    # below-k column: exact distinct, no estimation error
+    assert prof["event_type"]["est_distinct"] == dt
+    # above-k column: KMV estimate within 35% at k=64
+    assert abs(prof["user_id"]["est_distinct"] - du) / du < 0.35
+    # string column has no numeric stats
+    assert prof["event_type"]["mean_val"] is None
