@@ -39,6 +39,31 @@ def ny_cutoff(now: dt.datetime | None = None, tz: str = "America/New_York") -> d
     return cutoff_ny.astimezone(dt.timezone.utc).replace(tzinfo=None)
 
 
+def fixed_offset_cutoff(
+    now: dt.datetime | None = None, utc_offset_hours: int = -4
+) -> dt.datetime:
+    """P9 — the v1 pipeline's cutoff EXACTLY as written: *yesterday 17:00*
+    at a HARDCODED UTC offset (``update_exchange_rates.py:121`` pins UTC-4,
+    i.e. EDT year-round), returned as naive UTC.
+
+    This replicates v1's behavior faithfully — including the DST bug: from
+    November to March New York is UTC-5, so this cutoff lands one hour
+    BEFORE the real close. Kept as a separate, clearly-named function so a
+    migration
+    can A/B the two (``ny_cutoff`` is the DST-correct P8 form the engine
+    uses by default; the winter-divergence is pinned by test).
+    """
+    if now is None:
+        now = dt.datetime.now(dt.timezone.utc)
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=dt.timezone.utc)
+    tz = dt.timezone(dt.timedelta(hours=utc_offset_hours))
+    local = now.astimezone(tz)
+    y = local - dt.timedelta(days=1)
+    cutoff_local = y.replace(hour=17, minute=0, second=0, microsecond=0)
+    return cutoff_local.astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+
 def rate_change_report(
     rates: DataFrame,
     now: dt.datetime | None = None,

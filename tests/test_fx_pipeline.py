@@ -217,3 +217,21 @@ def test_tick_structured_run_log(spark, fixture_dir, tmp_path):
         assert rec["quarantined"] == 1  # the rate-limited payload
         assert rec["checks"]["rows"] == sum(len(s) for s in SERIES.values())
         assert rec["elapsed_sec"] > 0
+
+
+def test_p9_fixed_offset_cutoff_replicates_v1_dst_bug():
+    """P9 (update_exchange_rates.py:121): hardcoded UTC-4 cutoff. In
+    summer (EDT) it equals the DST-correct P8 cutoff; in winter (EST,
+    UTC-5) it diverges by exactly one hour — the documented v1 bug,
+    replicated faithfully and pinned here."""
+    import datetime as dt
+
+    from fxspark.fx import fixed_offset_cutoff, ny_cutoff
+
+    summer = dt.datetime(2024, 7, 10, 12, 0, tzinfo=dt.timezone.utc)
+    assert fixed_offset_cutoff(summer) == ny_cutoff(summer)
+
+    winter = dt.datetime(2024, 1, 10, 12, 0, tzinfo=dt.timezone.utc)
+    v1 = fixed_offset_cutoff(winter)
+    correct = ny_cutoff(winter)
+    assert v1 - correct == dt.timedelta(hours=-1)
