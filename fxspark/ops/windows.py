@@ -389,3 +389,62 @@ def grid_interpolate(
             val.alias("value"),
         )
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback: Column,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Marketing-style LAST-TOUCH attribution: each conversion event is
+    credited to the same key's most recent preceding touch event (of any
+    type in ``touch_types``) within ``lookback`` — the product-analytics
+    complement of ``funnel_stages`` (which asks "did the journey happen";
+    this asks "which touch gets the credit").
+
+    Pure composition over the engine's as-of join (``ops/asof.asof_join``):
+    one (key, time)-sorted shuffle, linear in events, no per-key loop —
+    attributing a 100 TB event log costs one as-of pass. Output: one row
+    per conversion with ``touch_ts``/``touch_type`` (NULL = organic, i.e.
+    no touch inside the window) and the conversion's value if
+    ``value_col`` is given. First/linear-touch variants are the same plan
+    with direction/window changes; last-touch is the canonical form.
+    """
+    from fxspark.ops.asof import asof_join
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    conv_cols = [*keys, ts_col] + ([value_col] if value_col else [])
+    conversions = events.filter(F.col(type_col) == conversion_type).select(
+        *conv_cols
+    )
+    # the touch timestamp rides as an explicit payload column, so the
+    # as-of join returns it alongside the touch type
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        *keys,
+        F.col(ts_col),
+        F.col(type_col).alias("_tt"),
+        F.col(ts_col).alias("_touch_ts"),
+    )
+    out = asof_join(
+        conversions,
+        touches,
+        keys=keys,
+        on=ts_col,
+        right_payload=["_tt", "_touch_ts"],
+        tolerance=lookback,
+        direction="backward",
+    )
+    sel = [
+        *keys,
+        F.col(ts_col).alias("conversion_ts"),
+        F.col("_tt").alias("touch_type"),
+        F.col("_touch_ts").alias("touch_ts"),
+    ]
+    if value_col:
+        sel.append(F.col(value_col).alias("conversion_value"))
+    return out.select(*sel)

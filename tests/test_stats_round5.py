@@ -323,3 +323,44 @@ def test_profile_table_against_duckdb(spark, sf_dir):
     assert abs(prof["user_id"]["est_distinct"] - du) / du < 0.35
     # string column has no numeric stats
     assert prof["event_type"]["mean_val"] is None
+
+
+def test_attribute_conversions_last_touch(spark):
+    from pyspark.sql import functions as F
+
+    from fxspark.ops.windows import attribute_conversions
+
+    rows = [
+        # user 1: click@10, view@50, purchase@60 -> credited to view@50
+        (1, 10, "click", 0.0), (1, 50, "view", 0.0), (1, 60, "purchase", 9.0),
+        # user 1: second purchase@200, last touch view@50 is 150s back ->
+        # outside the 100s lookback -> organic (NULL)
+        (1, 200, "purchase", 5.0),
+        # user 2: touch AFTER the conversion must not attribute
+        (2, 80, "purchase", 3.0), (2, 90, "click", 0.0),
+        # user 3: touch exactly AT the conversion time attributes (<=)
+        (3, 40, "click", 0.0), (3, 40, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, t, v) for u, ts, t, v in rows],
+        "user_id long, sec long, event_type string, value double",
+    ).select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"),
+        "event_type", "value",
+    )
+    out = {
+        (r["user_id"], r["conversion_ts"].timestamp()): r
+        for r in attribute_conversions(
+            df, "user_id", "ts", "event_type",
+            conversion_type="purchase",
+            touch_types=["click", "view"],
+            lookback=F.expr("INTERVAL 100 SECONDS"),
+            value_col="value",
+        ).collect()
+    }
+    assert out[(1, 60.0)]["touch_type"] == "view"
+    assert out[(1, 60.0)]["touch_ts"].timestamp() == 50.0
+    assert out[(1, 60.0)]["conversion_value"] == 9.0
+    assert out[(1, 200.0)]["touch_type"] is None  # organic: beyond lookback
+    assert out[(2, 80.0)]["touch_type"] is None   # later touch never counts
+    assert out[(3, 40.0)]["touch_type"] == "click"  # equal-time matches
