@@ -364,3 +364,51 @@ def test_attribute_conversions_last_touch(spark):
     assert out[(1, 200.0)]["touch_type"] is None  # organic: beyond lookback
     assert out[(2, 80.0)]["touch_type"] is None   # later touch never counts
     assert out[(3, 40.0)]["touch_type"] == "click"  # equal-time matches
+
+
+def test_fs_linkage_scores_hand_computed(spark):
+    import math
+
+    from fxspark.ops.linkage import fs_score_pairs, fs_weights
+
+    # name: strong field (m=.9, u=.1); city: weak field (m=.8, u=.4)
+    aw_n, dw_n = fs_weights(0.9, 0.1)
+    aw_c, dw_c = fs_weights(0.8, 0.4)
+    assert aw_n == pytest.approx(math.log2(9))
+    assert dw_n == pytest.approx(math.log2(0.1 / 0.9))
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "ann", "ann", "oslo", "oslo"),     # agree+agree
+            (2, "ann", "anna", "oslo", "oslo"),    # disagree+agree
+            (3, "ann", "bob", "rome", "oslo"),     # disagree+disagree
+            (4, None, None, "oslo", "oslo"),       # NULL pair = disagreement
+        ],
+        "pid long, name_a string, name_b string, city_a string, city_b string",
+    )
+    out = {
+        r["pid"]: r
+        for r in fs_score_pairs(
+            pairs,
+            {"name": (0.9, 0.1), "city": (0.8, 0.4)},
+            upper=3.0,
+            lower=-3.0,
+        ).collect()
+    }
+    assert out[1]["match_weight"] == pytest.approx(aw_n + aw_c)
+    assert out[1]["decision"] == "match"
+    assert out[2]["match_weight"] == pytest.approx(dw_n + aw_c)
+    assert out[2]["decision"] == "possible"
+    assert out[3]["match_weight"] == pytest.approx(dw_n + dw_c)
+    assert out[3]["decision"] == "no_match"
+    # NULLs are evidence against, not silently equal
+    assert out[4]["match_weight"] == pytest.approx(dw_n + aw_c)
+
+
+def test_fs_weights_rejects_degenerate_probs(spark):
+    from fxspark.ops.linkage import fs_weights
+
+    with pytest.raises(ValueError):
+        fs_weights(0.5, 0.5)
+    with pytest.raises(ValueError):
+        fs_weights(0.2, 0.8)
