@@ -72,3 +72,68 @@ def grouped_ols(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def grouped_mad(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value_col: str,
+    k: float = 1.4826,
+) -> DataFrame:
+    """Per-key robust location/scale: median and MAD (median absolute
+    deviation, scaled by ``k`` ≈ 1.4826 so it estimates σ under
+    normality) — the heavy-tail-safe alternative to the mean/stddev
+    moments ``user_value_outliers`` uses. A single wild value moves the
+    mean and explodes the stddev (masking the very outlier being hunted);
+    the median/MAD pair has a 50% breakdown point, which is why curation
+    pipelines gate on robust z-scores.
+
+    Plan shape: two grouped ``percentile`` aggregations on the SAME key
+    partitioning (medians aren't algebraic, so two passes is the exact
+    price; the approximate single-pass path is ``approx_percentile`` with
+    a mergeable sketch). The deviation join is key-colocated with the
+    first aggregate's shuffle. Returns ``(keys..., n_obs, median, mad)``
+    with ``mad`` already k-scaled.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    med = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("median"),
+    )
+    dev = df.join(med, keys).select(
+        *keys, F.abs(F.col(value_col) - F.col("median")).alias("_ad")
+    )
+    mad = dev.groupBy(*keys).agg(
+        (F.percentile(F.col("_ad"), F.lit(0.5)) * F.lit(k)).alias("mad")
+    )
+    return med.join(mad, keys).select(*keys, "n_obs", "median", "mad")
+
+
+def robust_outliers(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Rows whose robust z-score ``|x − median| / MAD`` exceeds
+    ``threshold`` (3.5 is the classic Iglewicz-Hoaglin cut) — the
+    outlier filter that still works when the outliers themselves have
+    corrupted the moments. Keys with MAD = 0 (over half the values
+    identical) flag any deviation at all, the conventional degenerate-case
+    rule. Stats broadcast back; the scan is map-side after one stats
+    pass."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    stats = grouped_mad(df, keys, value_col)
+    rz = F.when(
+        F.col("mad") > 0.0,
+        F.abs(F.col(value_col) - F.col("median")) / F.col("mad"),
+    ).otherwise(
+        F.when(
+            F.abs(F.col(value_col) - F.col("median")) > 0.0, F.lit(float("inf"))
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        df.join(F.broadcast(stats), keys)
+        .withColumn("robust_z", rz)
+        .filter(F.col("robust_z") > threshold)
+    )

@@ -412,3 +412,56 @@ def test_fs_weights_rejects_degenerate_probs(spark):
         fs_weights(0.5, 0.5)
     with pytest.raises(ValueError):
         fs_weights(0.2, 0.8)
+
+
+def test_grouped_mad_matches_numpy(spark):
+    rng = np.random.RandomState(21)
+    data = {
+        1: np.round(rng.randn(101) * 3 + 10, 4),       # odd n
+        2: np.round(rng.exponential(5, 100), 4),       # even n, heavy tail
+    }
+    rows = [(k, float(v)) for k, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "k int, v double")
+
+    from fxspark.ops.stats import grouped_mad
+
+    got = {r["k"]: r for r in grouped_mad(df, "k", "v").collect()}
+    for k, vs in data.items():
+        med = float(np.median(vs))
+        mad = float(np.median(np.abs(vs - med))) * 1.4826
+        assert got[k]["n_obs"] == len(vs)
+        assert got[k]["median"] == pytest.approx(med, rel=1e-9)
+        assert got[k]["mad"] == pytest.approx(mad, rel=1e-9)
+
+
+def test_robust_outliers_survive_corrupted_moments(spark):
+    # 30 values near 10 plus three ~1e6 spikes: classic stddev inflation —
+    # with k spikes the spike z-score is bounded near sqrt(n/k) ≈ 3.3, so a
+    # z gate at 3.5 MISSES every spike (the outliers corrupt the very
+    # moments hunting them); the robust gate must catch exactly the three.
+    spikes = [1e6, 9.9e5, 1.01e6]
+    vals = [10.0 + 0.1 * i for i in range(30)] + spikes
+    df = spark.createDataFrame([(1, v) for v in vals], "k int, v double")
+
+    import statistics as st
+
+    mu, sd = st.mean(vals), st.stdev(vals)
+    assert all(abs(v - mu) / sd < 3.5 for v in spikes)  # z-gate blind
+
+    from fxspark.ops.stats import robust_outliers
+
+    got = sorted(
+        r["v"] for r in robust_outliers(df, "k", "v", threshold=3.5).collect()
+    )
+    assert got == sorted(spikes)
+
+
+def test_robust_outliers_zero_mad_degenerate(spark):
+    # >50% identical values -> MAD 0 -> any deviation flags, ties don't
+    df = spark.createDataFrame(
+        [(1, 5.0)] * 6 + [(1, 7.0)], "k int, v double"
+    )
+    from fxspark.ops.stats import robust_outliers
+
+    got = [r["v"] for r in robust_outliers(df, "k", "v").collect()]
+    assert got == [7.0]
