@@ -292,3 +292,60 @@ def hashed_features(
         .agg(F.sum("_sign").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def zipf_fit(df, text_col: str, min_count: int = 2):
+    """Zipf exponent of the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) over the frequency table — natural text tracks
+    slope ≈ −1, and deviations are a cheap corpus-health signal (template
+    spam flattens the head, boilerplate dedup failures fatten it; the
+    curation literature reads the exponent exactly this way).
+
+    Plan: token counts are one partial-combined agg; the rank is a window
+    over the DISTINCT-TERM frequency table (vocabulary-sized, orders below
+    the corpus — same domain trick as ``events_key_skew_report``); the fit
+    is five decimal-exact sufficient statistics over cast logarithms (the
+    ``ops/stats.grouped_ols`` discipline with a real-valued x — logs are
+    cast straight to DECIMAL(38,9), absorbing any last-ulp libm
+    disagreement, which is what will make the r6 oracle twin hashable).
+    Rare terms below ``min_count`` are excluded (the rank-1 tail is noise,
+    standard practice for Zipf fits). Returns one row:
+    ``(n_terms, zipf_slope, intercept)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+    )
+    w = Window.orderBy(F.desc("_c"), "_t")
+    ranked = counts.withColumn("_r", F.row_number().over(w))
+    x = F.log(F.col("_r").cast("double")).cast("decimal(38,9)")
+    y = F.log(F.col("_c").cast("double")).cast("decimal(38,9)")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum((x.cast("double") * y.cast("double")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_sxy"),
+        F.sum((x.cast("double") * x.cast("double")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    det = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        det > 0.0,
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / det,
+    )
+    return s.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6).alias(
+            "intercept"
+        ),
+    )

@@ -465,3 +465,36 @@ def test_robust_outliers_zero_mad_degenerate(spark):
 
     got = [r["v"] for r in robust_outliers(df, "k", "v").collect()]
     assert got == [7.0]
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    # plant an exact Zipf corpus: term i (1-based) appears round(1000/i)
+    # times -> ln(freq) ~ ln(1000) - 1.0 * ln(rank); the fit must recover
+    # slope ~ -1 (rounding of counts perturbs it slightly)
+    words = []
+    for i in range(1, 60):
+        words += [f"w{i:03d}"] * max(round(1000 / i), 2)
+    import random
+
+    rng = random.Random(4)
+    rng.shuffle(words)
+    docs = [" ".join(words[i::10]) for i in range(10)]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+
+    from fxspark.ops.text import zipf_fit
+
+    row = zipf_fit(df, "text").collect()[0]
+    assert row["n_terms"] == 59
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=0.05)
+
+    # numpy reference on the same frequency table
+    import numpy as np
+
+    freqs = sorted(
+        (max(round(1000 / i), 2) for i in range(1, 60)), reverse=True
+    )
+    xs = np.log(np.arange(1, 60, dtype=float))
+    ys = np.log(np.array(freqs, dtype=float))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-4)
+    assert row["intercept"] == pytest.approx(intercept, abs=1e-4)
