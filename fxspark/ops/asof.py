@@ -117,6 +117,7 @@ def asof_join(
     tolerance: Column | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    right_tiebreak: Sequence[str] | None = None,
 ) -> DataFrame:
     """As-of join (``pandas.merge_asof`` semantics, distributed).
 
@@ -131,6 +132,12 @@ def asof_join(
     ``tolerance``: optional max staleness interval; matches further than
     ``tolerance`` from ``left.on`` (older for backward, newer for forward)
     are nulled out.
+
+    ``right_tiebreak``: optional right-side columns appended to the window
+    ordering so EQUAL-``on`` right rows resolve deterministically (backward
+    picks the tiebreak-largest, forward the smallest). Without it, equal
+    times fall back to sort-order arbitrariness — fine when ``on`` is
+    unique per key, required when it isn't.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -144,21 +151,29 @@ def asof_join(
     # frame: right before left for the backward running frame, after it for
     # the forward one
     r_side, l_side = (1, 2) if backward else (2, 1)
+    tiebreaks = list(right_tiebreak or [])
     r = right.select(
         *keys,
         F.col(on).alias("_t"),
         F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("_rpay"),
         F.lit(r_side).alias("_side"),
+        *[F.col(c).alias(f"_tb_{i}") for i, c in enumerate(tiebreaks)],
     )
     l = left.select(
         "*",
         F.col(on).alias("_t"),
         F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
         F.lit(l_side).alias("_side"),
+        *[
+            F.lit(None).cast(r.schema[f"_tb_{i}"].dataType).alias(f"_tb_{i}")
+            for i in range(len(tiebreaks))
+        ],
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    base = Window.partitionBy(*keys).orderBy("_t", "_side")
+    base = Window.partitionBy(*keys).orderBy(
+        "_t", "_side", *[f"_tb_{i}" for i in range(len(tiebreaks))]
+    )
     if backward:
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731

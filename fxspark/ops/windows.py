@@ -400,6 +400,7 @@ def attribute_conversions(
     touch_types: list[str],
     lookback: Column,
     value_col: str | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Marketing-style LAST-TOUCH attribution: each conversion event is
     credited to the same key's most recent preceding touch event (of any
@@ -424,11 +425,13 @@ def attribute_conversions(
     )
     # the touch timestamp rides as an explicit payload column, so the
     # as-of join returns it alongside the touch type
+    touch_extra = [tiebreak_col] if tiebreak_col else []
     touches = events.filter(F.col(type_col).isin(touch_types)).select(
         *keys,
         F.col(ts_col),
         F.col(type_col).alias("_tt"),
         F.col(ts_col).alias("_touch_ts"),
+        *touch_extra,
     )
     out = asof_join(
         conversions,
@@ -438,6 +441,9 @@ def attribute_conversions(
         right_payload=["_tt", "_touch_ts"],
         tolerance=lookback,
         direction="backward",
+        # equal-timestamp touches resolve to the tiebreak-largest (e.g.
+        # the higher event_id) instead of sort-order arbitrariness
+        right_tiebreak=touch_extra or None,
     )
     sel = [
         *keys,

@@ -498,3 +498,31 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     slope, intercept = np.polyfit(xs, ys, 1)
     assert row["zipf_slope"] == pytest.approx(slope, abs=1e-4)
     assert row["intercept"] == pytest.approx(intercept, abs=1e-4)
+
+
+def test_attribution_equal_time_touches_deterministic(spark):
+    # two touches at the SAME second as each other: the higher event_id
+    # must win, every run
+    from pyspark.sql import functions as F
+
+    from fxspark.ops.windows import attribute_conversions
+
+    df = spark.createDataFrame(
+        [
+            (1, 30, "click", 100), (1, 30, "view", 101),
+            (1, 40, "purchase", 102),
+        ],
+        "user_id long, sec long, event_type string, event_id long",
+    ).select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"),
+        "event_type", "event_id",
+    )
+    for _ in range(3):
+        (r,) = attribute_conversions(
+            df.repartition(7), "user_id", "ts", "event_type",
+            conversion_type="purchase",
+            touch_types=["click", "view"],
+            lookback=F.expr("INTERVAL 60 SECONDS"),
+            tiebreak_col="event_id",
+        ).collect()
+        assert r["touch_type"] == "view"  # event_id 101 > 100
