@@ -454,3 +454,67 @@ def attribute_conversions(
     if value_col:
         sel.append(F.col(value_col).alias("conversion_value"))
     return out.select(*sel)
+
+
+def attribute_linear(
+    events: DataFrame,
+    keys: str | list[str],
+    id_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_s: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """LINEAR (multi-touch) attribution: every touch in the lookback window
+    before a conversion shares the credit equally — the all-touch
+    complement of ``attribute_conversions``' last-touch rule. Output: one
+    row per (conversion, touch) with ``credit`` = 1/n_touches (and the
+    conversion value split by it when ``value_col`` is given); organic
+    conversions (no touch in window) emit no rows, by convention.
+
+    Plan: the engine's binned interval range join (``ops/asof.range_join``
+    — linear shuffle on (key, time-bin), never a cross product) generates
+    candidate pairs, a one-sided filter keeps preceding touches, and the
+    credit split is a count window over each conversion's touch group
+    (bounded by touches-per-window, the natural group size). Same cost
+    class as the range-join query family.
+    """
+    from pyspark.sql import Window
+
+    from fxspark.ops.asof import range_join
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    conv_cols = [*keys, id_col, ts_col] + ([value_col] if value_col else [])
+    conversions = events.filter(F.col(type_col) == conversion_type).select(
+        [F.col(c) for c in keys]
+        + [
+            F.col(id_col).alias("conversion_id"),
+            F.col(ts_col).alias("conversion_ts"),
+        ]
+        + ([F.col(value_col).alias("conversion_value")] if value_col else [])
+    )
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        *keys,
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(type_col).alias("touch_type"),
+    )
+    pairs = range_join(
+        conversions,
+        touches,
+        "conversion_ts",
+        "touch_ts",
+        tolerance_s=lookback_s,
+        keys=keys,
+    ).filter(F.col("touch_ts") <= F.col("conversion_ts"))
+    w = Window.partitionBy(*keys, "conversion_id")
+    out = pairs.withColumn(
+        "credit", F.lit(1.0) / F.count(F.lit(1)).over(w)
+    )
+    if value_col:
+        out = out.withColumn(
+            "attributed_value", F.col("conversion_value") * F.col("credit")
+        )
+    return out

@@ -526,3 +526,40 @@ def test_attribution_equal_time_touches_deterministic(spark):
             tiebreak_col="event_id",
         ).collect()
         assert r["touch_type"] == "view"  # event_id 101 > 100
+
+
+def test_attribute_linear_splits_credit(spark):
+    from pyspark.sql import functions as F
+
+    from fxspark.ops.windows import attribute_linear
+
+    df = spark.createDataFrame(
+        [
+            # conversion 103 has touches at 10 and 40 within 60s -> 0.5 each
+            (1, 100, 10, "click", 0.0),
+            (1, 101, 40, "view", 0.0),
+            (1, 103, 60, "purchase", 8.0),
+            # touch at 200 is AFTER conversion -> excluded
+            (1, 104, 200, "click", 0.0),
+            # user 2: organic conversion -> no rows
+            (2, 105, 50, "purchase", 3.0),
+        ],
+        "user_id long, event_id long, sec long, event_type string, value double",
+    ).select(
+        "user_id", "event_id", F.timestamp_seconds("sec").alias("ts"),
+        "event_type", "value",
+    )
+    rows = attribute_linear(
+        df, "user_id", "event_id", "ts", "event_type",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_s=60,
+        value_col="value",
+    ).collect()
+    assert len(rows) == 2
+    by_touch = {r["touch_id"]: r for r in rows}
+    assert set(by_touch) == {100, 101}
+    for r in rows:
+        assert r["conversion_id"] == 103
+        assert r["credit"] == pytest.approx(0.5)
+        assert r["attributed_value"] == pytest.approx(4.0)
