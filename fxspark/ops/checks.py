@@ -85,10 +85,14 @@ def profile_table(df: DataFrame, kmv_k: int = 256) -> DataFrame:
     Plan shape: TWO jobs regardless of column count. Job 1 computes every
     column's null/min/max/mean counters simultaneously in one partial/final
     hash agg (no per-column re-scan). Job 2 melts the table map-side into
-    (column, hash) pairs and takes each column's k smallest hashes with one
-    rank window partitioned BY COLUMN — the sketch for all columns in a
-    single pass; the window's per-partition work is one column's sort,
-    bounded and partial-combined by the preceding per-partition distinct.
+    (column, hash) pairs and takes each column's k smallest hashes with a
+    TWO-PHASE rank: first the k smallest DISTINCT hashes per (column, input
+    partition) — a window whose partition count scales with the data, each
+    sorting only one scan-partition's worth of one column — then the final
+    per-column rank over the <= k x numPartitions survivors.  A single
+    window partitioned only by column would funnel every distinct value of
+    a high-cardinality column (a unique id) through one task; the local
+    phase bounds the global phase's input to k per contributing partition.
     Output is columns-sized. Strings profile as null/distinct only;
     numerics add range and a decimal-exact mean.
     """
@@ -140,10 +144,21 @@ def profile_table(df: DataFrame, kmv_k: int = 256) -> DataFrame:
             )
         ).alias("_p")
     ).select("_p.column", "_p.h").filter(F.col("h").isNotNull())
+    # phase 1: k smallest distinct hashes per (column, scan partition) —
+    # dense_rank counts distinct h, so duplicates of a kept value survive
+    # here and collapse in the map-side combine of the distinct below
+    w_local = Window.partitionBy("column", "_pid").orderBy("h")
+    local = (
+        pairs.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_dr", F.dense_rank().over(w_local))
+        .filter(F.col("_dr") <= kmv_k)
+        .select("column", "h")
+        .distinct()
+    )
+    # phase 2: final rank over <= k * numPartitions survivors per column
     w = Window.partitionBy("column").orderBy("h")
     kmin = (
-        pairs.distinct()
-        .withColumn("_rn", F.row_number().over(w))
+        local.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= kmv_k)
         .groupBy("column")
         .agg(F.count(F.lit(1)).alias("_seen"), F.max("h").alias("_kth"))

@@ -93,26 +93,33 @@ def rollup_read(rollup: DataFrame) -> DataFrame:
 _OLS_MOMENTS = ("n_obs", "sx", "sy", "sxy", "sxx")
 
 
-def ols_rollup_table(df: DataFrame, keys, x, y) -> DataFrame:
+def ols_rollup_table(df: DataFrame, keys, x, y, y_scale: int = 6) -> DataFrame:
     """Per-key partial OLS state of one batch: the same five exact-decimal
-    sufficient statistics ``ops.stats.grouped_ols`` aggregates, kept AS
-    DECIMALS (not doubles) so merges are associative to the bit."""
+    sufficient statistics ``ops.stats.grouped_ols`` aggregates at the same
+    ``y_scale``, kept AS DECIMALS (not doubles) so merges are associative
+    to the bit and the maintained fit matches the from-scratch fit at ANY
+    scale, not just the default."""
     xl = x.cast("long")
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(xl.cast("decimal(38,0)")).alias("sx"),
-        F.sum(y.cast("decimal(38,6)")).alias("sy"),
-        F.sum((xl.cast("double") * y).cast("decimal(38,6)")).alias("sxy"),
+        F.sum(y.cast(f"decimal(38,{y_scale})")).alias("sy"),
+        F.sum((xl.cast("double") * y).cast(f"decimal(38,{y_scale})"))
+        .alias("sxy"),
         F.sum((xl * xl).cast("decimal(38,0)")).alias("sxx"),
     )
 
 
 def merge_ols_rollup(
-    existing: DataFrame | None, incoming: DataFrame, keys: Sequence[str]
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    y_scale: int = 6,
 ) -> DataFrame:
     """Merge two OLS states: full-outer on keys, add every moment
-    (absent side = zero). Associative/commutative — batch arrival order
-    cannot change a bit of the stored state."""
+    (absent side = zero, at the state's own ``y_scale``). Associative/
+    commutative — batch arrival order cannot change a bit of the stored
+    state."""
     if existing is None:
         return incoming
     e = existing.select(
@@ -125,8 +132,8 @@ def merge_ols_rollup(
     zero = {
         "n_obs": F.lit(0).cast("long"),
         "sx": F.lit(0).cast("decimal(38,0)"),
-        "sy": F.lit(0).cast("decimal(38,6)"),
-        "sxy": F.lit(0).cast("decimal(38,6)"),
+        "sy": F.lit(0).cast(f"decimal(38,{y_scale})"),
+        "sxy": F.lit(0).cast(f"decimal(38,{y_scale})"),
         "sxx": F.lit(0).cast("decimal(38,0)"),
     }
     return merged.select(

@@ -27,8 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_NEG_INF = -(1 << 62)
-
 
 def skyline2d(
     df: DataFrame,
@@ -46,6 +44,11 @@ def skyline2d(
     bounds = df.agg(
         F.min(x).alias("_xlo"), F.max(x).alias("_xhi")
     )
+    # bucket arithmetic in double: (x - xlo) * n_buckets would wrap in
+    # 64-bit integers once the axis spans > 2^63 / n_buckets, silently
+    # breaking the bucket-monotone-in-x invariant the strictly-cheaper
+    # seed prefix relies on.  Double rounding is monotone non-decreasing,
+    # which is exactly the invariant needed (bkt(a) < bkt(b) => a < b).
     d = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_bkt",
         F.when(
@@ -53,8 +56,8 @@ def skyline2d(
         ).otherwise(
             F.least(
                 F.lit(n_buckets - 1),
-                ((x - F.col("_xlo")) * n_buckets)
-                / (F.col("_xhi") - F.col("_xlo") + 1),
+                ((x - F.col("_xlo")).cast("double") * n_buckets)
+                / (F.col("_xhi").cast("double") - F.col("_xlo") + 1),
             ).cast("int")
         ),
     )
@@ -64,9 +67,12 @@ def skyline2d(
         Window.orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # NULL (not a finite sentinel) marks "no strictly earlier bucket":
+    # greatest() skips NULL operands and the final filter coalesces the
+    # comparison, so no magic constant can collide with real y values
     seeds = per_bucket.select(
         "_bkt",
-        F.coalesce(F.max("_bmax").over(wseed), F.lit(_NEG_INF)).alias("_seed"),
+        F.max("_bmax").over(wseed).alias("_seed"),
     )
 
     win_cheaper = (
@@ -80,13 +86,13 @@ def skyline2d(
         d.join(F.broadcast(seeds), "_bkt")
         .withColumn(
             "_mstrict",
-            F.greatest(
-                F.col("_seed"),
-                F.coalesce(F.max(y).over(win_cheaper), F.lit(_NEG_INF)),
-            ),
+            F.greatest(F.col("_seed"), F.max(y).over(win_cheaper)),
         )
         .withColumn("_mtie", F.max(y).over(win_tie))
     )
     return scored.filter(
-        ~((F.col("_mstrict") >= y) | (F.col("_mtie") > y))
+        ~(
+            F.coalesce(F.col("_mstrict") >= y, F.lit(False))
+            | (F.col("_mtie") > y)
+        )
     ).drop("_bkt", "_xlo", "_xhi", "_seed", "_mstrict", "_mtie")

@@ -54,7 +54,7 @@ def grouped_ols(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(xl.cast("decimal(38,0)")).cast("double").alias("_sx"),
         F.sum(y.cast(f"decimal(38,{y_scale})")).cast("double").alias("_sy"),
-        F.sum((xl.cast("double") * y).cast("decimal(38,6)"))
+        F.sum((xl.cast("double") * y).cast(f"decimal(38,{y_scale})"))
         .cast("double")
         .alias("_sxy"),
         F.sum((xl * xl).cast("decimal(38,0)")).cast("double").alias("_sxx"),

@@ -486,7 +486,6 @@ def attribute_linear(
     from fxspark.ops.asof import range_join
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    conv_cols = [*keys, id_col, ts_col] + ([value_col] if value_col else [])
     conversions = events.filter(F.col(type_col) == conversion_type).select(
         [F.col(c) for c in keys]
         + [

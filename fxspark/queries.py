@@ -6955,14 +6955,21 @@ _L2_SQL = (
 )
 
 
-def _kmeans_seed() -> list[list[float]] | None:
-    """The k-means seed codebook: the 8 lowest-vec_id embeddings, read once
-    at import (the ``_semantic_dedup_oracle`` literal-codebook discipline)
-    so both engines iterate from identical doubles."""
+def _kmeans_seed(sf_dir: str | None = None) -> list[list[float]] | None:
+    """The k-means seed codebook: the 8 lowest-vec_id embeddings of the
+    corpus being clustered (the ``_semantic_dedup_oracle`` literal-codebook
+    discipline) so both engines iterate from identical doubles.  The query
+    resolves the seed from ITS OWN ``sf_dir`` at run time; only the oracle
+    string, generated once at import, falls back to the env-declared
+    ``FXSPARK_ORACLE_SF_DIR`` (default sf0.01 — the driver's gate scale, so
+    the two resolutions agree where the oracle actually runs)."""
     try:
         import pyarrow.parquet as pq
 
-        sf_dir = os.environ.get("FXSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        if sf_dir is None:
+            sf_dir = os.environ.get(
+                "FXSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+            )
         t = pq.read_table(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         ).sort_by("vec_id")
@@ -7039,7 +7046,7 @@ def q_embedding_kmeans_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fxspark.ops.similarity import kmeans_lloyd
 
-    seed = _kmeans_seed()
+    seed = _kmeans_seed(sf_dir)
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     if seed is None:  # no local fixture: derive seed in-engine
         rows = (
