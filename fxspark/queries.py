@@ -2165,12 +2165,19 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable constant-size state — but their estimates are implementation
     randomness, so they can never be differentially verified; declaring the
     hash makes the ESTIMATE ITSELF bit-reproducible by the DuckDB oracle
-    (same pattern as ``events_kmv_distinct``). Scale shape: the per-group
-    k-smallest is pruned in two phases (per-salt top-k, then top-k of the
-    32·k survivors) so no group ever sorts more than 32·k candidate rows;
-    the sample median sorts 25% of each group — the declared-verifiable
-    tier; t-digest remains the beyond path and is error-bound-pinned against
-    this twin in tests/test_ops.py."""
+    (same pattern as ``events_kmv_distinct``). Scale shape: ONE scan and
+    ONE exchange — both hash projections ride the same
+    ``repartition(event_type)``, and every downstream branch (KMV distinct
+    + rank, sample-median windows, exact count) and the final joins run on
+    that partitioning without further shuffles (subset-key clustering is
+    satisfied, so Spark reuses the exchange three times). Parallelism is
+    group-grain, and the per-group work is bounded by the branches' own
+    filters (distinct users for the KMV sort, the 25% sample for the
+    median sort) — the same floor the median branch always had; the
+    arbitrarily-many-distinct-keys tier with bounded per-task sorts is
+    ``events_kmv_distinct``'s TakeOrdered / ``stream_kmv_replay``'s
+    two-phase form. t-digest remains the beyond path and is
+    error-bound-pinned against this twin in tests/test_ops.py."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -2180,28 +2187,27 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         / F.lit(float(2**60))
     )
-    hh = events.select("event_type", h.alias("h")).distinct()
-    salted = hh.withColumn("_salt", F.pmod(F.xxhash64("h"), F.lit(32)))
-    w1 = Window.partitionBy("event_type", "_salt").orderBy("h")
-    cand = (
-        salted.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= 64)
-        .drop("_salt", "_rn")
-    )
-    w2 = Window.partitionBy("event_type").orderBy("h")
-    kmin = cand.withColumn("_rn", F.row_number().over(w2)).filter(
-        F.col("_rn") <= 64
-    )
-    kmv = kmin.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth")
-    )
     hs = (
         F.conv(
             F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
         ).cast("long")
         / F.lit(float(2**60))
     )
-    samp = events.filter(hs < 0.25).select("event_type", "value", "event_id")
+    base = events.select(
+        "event_type", "value", "event_id", h.alias("_hu"), hs.alias("_hs")
+    ).repartition("event_type")
+
+    kdist = base.select("event_type", "_hu").distinct()
+    w2 = Window.partitionBy("event_type").orderBy("_hu")
+    kmv = (
+        kdist.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= 64)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("_hu").alias("kth"))
+    )
+    samp = base.filter(F.col("_hs") < 0.25).select(
+        "event_type", "value", "event_id"
+    )
     wm = Window.partitionBy("event_type").orderBy("value", "event_id")
     wc = Window.partitionBy("event_type")
     med = (
@@ -2215,7 +2221,7 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    c = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    c = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     est = F.round(
         F.when(F.col("n_seen") < 64, F.col("n_seen").cast("double")).otherwise(
             F.lit(63.0) / F.col("kth")
@@ -7060,6 +7066,620 @@ def q_embedding_kmeans_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, c) for i, c in enumerate(seed)], "cell int, cv array<double>"
     )
     return kmeans_lloyd(emb, "vec_id", "embedding", cent0, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave: the round-5 operator backlog wrapped as oracle-twinned
+# queries — attribution (last-touch + linear), Fellegi-Sunter record
+# linkage over blocked pairs, the generic table profiler, maintained OLS,
+# robust-z outliers, Zipf corpus fit, stateful-streaming replay twins, and
+# tokenizer fertility by language.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_attribution",
+    oracle="""
+    SELECT p.user_id, p.ts AS conversion_ts,
+           t.event_type AS touch_type, t.ts AS touch_ts,
+           p.value AS conversion_value
+    FROM events p LEFT JOIN LATERAL (
+      SELECT ts, event_type FROM events t
+      WHERE t.user_id = p.user_id AND t.event_type IN ('click', 'view')
+        AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 1 HOUR
+      ORDER BY t.ts DESC, t.event_id DESC LIMIT 1
+    ) t ON TRUE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution (``ops/windows.attribute_conversions``): each
+    purchase credited to the same user's most recent click/view within the
+    preceding hour, NULL touch = organic. One as-of pass (tagged union +
+    running window — a single (key, time) sort-shuffle, linear in events,
+    the scale shape the oracle's correlated LATERAL cannot have), with the
+    ``event_id`` tiebreak making equal-timestamp touches deterministic —
+    the generalization of the reference's latest-before argmax family
+    (``/root/reference/Fx_1min.py:190-196``) to marketing credit."""
+    from fxspark.ops.windows import attribute_conversions
+
+    events = load_table(spark, sf_dir, "events")
+    return attribute_conversions(
+        events,
+        "user_id",
+        ts_col="ts",
+        type_col="event_type",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback=F.expr("INTERVAL 1 HOUR"),
+        value_col="value",
+        tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        "conversion_ts",
+        "touch_type",
+        "touch_ts",
+        F.col("conversion_value"),
+    )
+
+
+@query(
+    "purchase_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS conversion_id, ts AS conversion_ts,
+             value AS conversion_value
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+      SELECT p.user_id, p.conversion_id, p.conversion_ts,
+             p.conversion_value, t.touch_id, t.touch_ts, t.touch_type
+      FROM p JOIN t USING (user_id)
+      WHERE t.touch_ts <= p.conversion_ts
+        AND t.touch_ts >= p.conversion_ts - INTERVAL 1 HOUR
+    )
+    SELECT user_id, conversion_id, conversion_ts, conversion_value,
+           touch_id, touch_ts, touch_type,
+           1.0 / count(*) OVER (PARTITION BY user_id, conversion_id)
+             AS credit,
+           conversion_value
+             * (1.0 / count(*) OVER (PARTITION BY user_id, conversion_id))
+             AS attributed_value
+    FROM j
+    """,
+)
+def q_purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution (``ops/windows.attribute_linear``):
+    every click/view in the hour before a purchase shares the credit
+    1/n_touches, and the purchase value splits by it. Candidate pairs come
+    from the binned interval range join (``ops/asof.range_join`` — each
+    side bucketed into tolerance-wide time bins, ±1-bin equi-join, exact
+    filter: linear shuffle, never the oracle's theta-join cross product);
+    the split is a count window over each conversion's touch group, bounded
+    by touches-per-hour. Credit is an integer-ratio double (1.0/n), so both
+    engines divide the same exact operands."""
+    from fxspark.ops.windows import attribute_linear
+
+    events = load_table(spark, sf_dir, "events")
+    return attribute_linear(
+        events,
+        "user_id",
+        id_col="event_id",
+        ts_col="ts",
+        type_col="event_type",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_s=3600,
+        value_col="value",
+    ).select(
+        "user_id",
+        "conversion_id",
+        "conversion_ts",
+        "conversion_value",
+        "touch_id",
+        "touch_ts",
+        "touch_type",
+        "credit",
+        "attributed_value",
+    )
+
+
+@query(
+    "user_value_robust_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT e.user_id, abs(e.value - m.med) AS ad
+      FROM events e JOIN m USING (user_id)
+    ), s AS (
+      SELECT d.user_id, m.n_obs, m.med,
+             quantile_cont(d.ad, 0.5) * 1.4826 AS mad
+      FROM d JOIN m USING (user_id) GROUP BY d.user_id, m.n_obs, m.med
+    )
+    SELECT e.user_id, s.n_obs, e.ts, e.event_id, e.value,
+           abs(e.value - s.med) / s.mad AS robust_z
+    FROM events e JOIN s USING (user_id)
+    WHERE s.mad > 0 AND abs(e.value - s.med) / s.mad > 3.5
+    """,
+)
+def q_user_value_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-z outlier gate (``ops/stats.robust_outliers``): events whose
+    |value − per-user median| / (1.4826·MAD) exceeds the Iglewicz-Hoaglin
+    3.5 cut — the heavy-tail-safe sibling of the mean/stddev
+    ``user_value_outliers``, immune to the outliers corrupting the very
+    moments that hunt them (50% breakdown point). Two grouped percentile
+    passes on one key partitioning + a broadcast join back; degenerate
+    MAD = 0 keys are excluded at the query grain so both engines agree
+    without an infinity convention. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share linear interpolation; the driver's 1e-6
+    canonicalization absorbs the sub-ulp libm spread."""
+    from fxspark.ops.stats import robust_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        robust_outliers(events, "user_id", "value", threshold=3.5)
+        .filter(F.col("mad") > 0.0)
+        .select("user_id", "n_obs", "ts", "event_id", "value", "robust_z")
+    )
+
+
+@query(
+    "doc_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS t
+      FROM documents
+    ), c AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t HAVING count(*) >= 2
+    ), r AS (
+      SELECT CAST(ln(CAST(row_number() OVER (ORDER BY c DESC, t) AS DOUBLE))
+                  AS DECIMAL(38,9)) AS x,
+             CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(38,9)) AS y
+      FROM c
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+      FROM r
+    ), f AS (
+      SELECT n_terms, sx, sy,
+             CASE WHEN CAST(n_terms AS DOUBLE) * sxx - sx * sx > 0
+                  THEN (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+             END AS sl
+      FROM s
+    )
+    SELECT n_terms, round(sl, 6) AS zipf_slope,
+           round((sy - sl * sx) / CAST(n_terms AS DOUBLE), 6) AS intercept
+    FROM f
+    """,
+)
+def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus token distribution
+    (``ops/text.zipf_fit``, min_count=2): OLS slope of ln(freq) on ln(rank)
+    over the frequency table. Natural text tracks −1; template spam and
+    failed boilerplate dedup bend it, so the exponent is a one-row corpus
+    health gate. Token counts are one partial-combined agg; the rank window
+    runs over the VOCABULARY-sized frequency table, orders below corpus
+    size; both engines cast their ln() to DECIMAL(38,9) before the
+    five-sum fit, absorbing last-ulp libm disagreement — the declared-
+    randomness discipline applied to logarithms."""
+    from fxspark.ops.text import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", min_count=2)
+
+
+# Fellegi-Sunter field model for the customer linkage query: declared
+# (m, u) per compared field; the log2 weights are computed ONCE here in
+# Python and injected into BOTH engines as double literals (engines
+# disagree in the last ulp of log, identical literals sum identically).
+_FS_FIELDS = {"nation": (0.9, 0.05), "band": (0.85, 0.15), "seg": (0.7, 0.2)}
+
+
+def _fs_oracle() -> str:
+    from fxspark.ops.linkage import fs_weights
+
+    terms = []
+    for f, (m, u) in _FS_FIELDS.items():
+        agree_w, disagree_w = fs_weights(m, u)
+        # bare decimal literals are DECIMAL-typed in DuckDB (decimal
+        # arithmetic rounds differently in the last ulp) — force DOUBLE so
+        # both engines add the identical IEEE values in the same order
+        terms.append(
+            f"CASE WHEN ({f}_a IS NOT DISTINCT FROM {f}_b) "
+            f"AND {f}_a IS NOT NULL THEN CAST({agree_w!r} AS DOUBLE) "
+            f"ELSE CAST({disagree_w!r} AS DOUBLE) END"
+        )
+    score = "CAST(0.0 AS DOUBLE) + " + " + ".join(terms)
+    return f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             c_mktsegment AS seg,
+             substr(c_name, 1, 17) AS blk
+      FROM customer
+    ), pairs AS (
+      SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             a.nation AS nation_a, b.nation AS nation_b,
+             a.band AS band_a, b.band AS band_b,
+             a.seg AS seg_a, b.seg AS seg_b
+      FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    ), scored AS (
+      SELECT custkey_a, custkey_b, {score} AS match_weight
+      FROM pairs
+    )
+    SELECT custkey_a, custkey_b, match_weight,
+           CASE WHEN match_weight >= 4.0 THEN 'match'
+                WHEN match_weight <= -2.0 THEN 'no_match'
+                ELSE 'possible' END AS decision
+    FROM scored
+    """
+
+
+@query("customer_name_linkage", oracle=_fs_oracle())
+def q_customer_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (``ops/linkage.fs_score_pairs``) over BLOCKED customer pairs: candidate
+    pairs share a 17-char name-prefix block (bounded neighborhoods — block
+    size is set by the name format, not corpus size, so the pair stage
+    never goes all-pairs customer² at any scale; the Splink-style
+    block-then-score topology), scored on nation / acctbal-band /
+    mktsegment agreement with declared (m, u) weights injected identically
+    into both engines. Scoring itself is pure map-side arithmetic on the
+    pair frame."""
+    from fxspark.ops.linkage import fs_score_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+
+    def side(tag: str) -> DataFrame:
+        return cust.select(
+            F.col("c_custkey").alias(f"custkey_{tag}"),
+            F.col("c_nationkey").alias(f"nation_{tag}"),
+            F.floor(F.col("c_acctbal") / 1000)
+            .cast("long")
+            .alias(f"band_{tag}"),
+            F.col("c_mktsegment").alias(f"seg_{tag}"),
+            F.substring("c_name", 1, 17).alias("_blk"),
+        )
+
+    pairs = (
+        side("a")
+        .join(side("b"), "_blk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+    )
+    return fs_score_pairs(
+        pairs, _FS_FIELDS, upper=4.0, lower=-2.0
+    ).select("custkey_a", "custkey_b", "match_weight", "decision")
+
+
+@query(
+    "maintained_ols_tertiles",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, count(*) AS n_obs,
+             CAST(sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_X0} AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST((CAST(floor(epoch(ts)) AS BIGINT) - {_X0}) * value
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST((CAST(floor(epoch(ts)) AS BIGINT) - {_X0})
+                           * (CAST(floor(epoch(ts)) AS BIGINT) - {_X0})
+                           AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM events GROUP BY user_id
+    ), f AS (
+      SELECT user_id, n_obs, sx, sy,
+             CASE WHEN n_obs * sxx - sx * sx > 0
+                  THEN (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx)
+             END AS sl
+      FROM s
+    )
+    SELECT user_id, n_obs,
+           round(sl * 86400, 6) AS slope_per_day,
+           round((sy - sl * sx) / n_obs, 6) AS intercept
+    FROM f
+    """,
+)
+def q_maintained_ols_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED per-user OLS trend (``ops/rollup.ols_rollup_*``): the
+    events table split at two fixed dates plays three micro-batches, each
+    reduced to its five exact-decimal sufficient statistics
+    (``ols_rollup_table``), merged pairwise (``merge_ols_rollup`` — keyed
+    full-outer adds, associative to the bit), then fit once at read time.
+    The oracle is ``user_value_trend``'s from-scratch SQL VERBATIM: exact
+    decimal moments merge exactly, so maintaining the fit incrementally —
+    the 100 TB shape that replaces the reference's full-store rescan every
+    tick (``/root/reference/Fx_1min.py:147-217``) — changes no bit of the
+    answer."""
+    from fxspark.ops.rollup import (
+        merge_ols_rollup,
+        ols_rollup_read,
+        ols_rollup_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = [
+        (None, "2024-01-11 00:00:00"),
+        ("2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+        ("2024-01-21 00:00:00", None),
+    ]
+    state = None
+    for lo, hi in bounds:
+        batch = events
+        if lo is not None:
+            batch = batch.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            batch = batch.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        part = ols_rollup_table(
+            batch,
+            ["user_id"],
+            x=F.unix_timestamp("ts") - F.lit(_X0),
+            y=F.col("value"),
+        )
+        state = merge_ols_rollup(state, part, ["user_id"])
+    fit = ols_rollup_read(state, ["user_id"])
+    return fit.select(
+        "user_id",
+        "n_obs",
+        F.round(F.col("slope") * 86400, 6).alias("slope_per_day"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+@query(
+    "stream_cusum_replay",
+    oracle="""
+    WITH c1 AS (
+      SELECT user_id, ts, event_id,
+             sum(CAST((value - 50.0) - 10.0 AS DECIMAL(38,6)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events
+    ), c AS (
+      SELECT user_id, ts, event_id, cum,
+             least(CAST(0 AS DECIMAL(38,6)),
+                   min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)) AS low
+      FROM c1
+    ), s AS (
+      SELECT user_id,
+             CAST(cum AS DOUBLE) - CAST(low AS DOUBLE) AS cusum,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM c
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           max(CASE WHEN rn = 1 THEN cusum END) AS cusum,
+           CAST(sum(CASE WHEN cusum > 120.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alerts
+    FROM s GROUP BY user_id
+    """,
+)
+def q_stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of ``streaming/stateful.stateful_cusum``'s final
+    emission: per user the event count, the closing CUSUM chart value
+    (target 50, slack 10) and how many processed events were in alarm
+    (threshold 120). The streaming operator's O(1) state (running sum +
+    low-water-mark) is prefix-deterministic, so its last micro-batch output
+    equals the batch closed form ``ops/windows.keyed_cusum`` materializes
+    with two stacked windows — an equality pinned across real micro-batches
+    by ``tests/test_streaming_multimodal.py::
+    test_stateful_cusum_across_batches_matches_batch_closed_form``. The
+    deviations are exact decimals, so the chart is bit-stable under any
+    partitioning."""
+    from fxspark.ops.windows import keyed_cusum
+
+    events = load_table(spark, sf_dir, "events")
+    out = keyed_cusum(
+        events,
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        target=F.lit(50.0),
+        slack=10.0,
+        threshold=120.0,
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.max_by(F.col("cusum"), F.struct("ts", "event_id")).alias("cusum"),
+        F.sum(F.col("alert").cast("long")).alias("n_alerts"),
+    )
+
+
+@query(
+    "stream_kmv_replay",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 AS h
+      FROM events
+    ), k AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ), s AS (
+      SELECT event_type, count(*) AS seen, max(h) AS kth
+      FROM k WHERE rn <= 256 GROUP BY event_type
+    ), c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen
+      FROM events GROUP BY event_type
+    )
+    SELECT c.event_type, c.n_seen,
+           CAST(round(CASE WHEN s.seen < 256 THEN s.seen
+                           ELSE 255.0 / s.kth END, 0) AS BIGINT)
+             AS est_distinct
+    FROM c JOIN s USING (event_type)
+    """,
+)
+def q_stream_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of ``streaming/stateful.stateful_kmv_distinct``'s final
+    emission: per event_type, total events seen and the KMV (k=256)
+    distinct estimate over the SAME declared md5 hash the streaming state
+    keeps. The sketch state (k smallest distinct hash fractions) is a pure
+    set function of the prefix — merge order can't change it — so the last
+    micro-batch output equals this batch computation exactly, not just
+    statistically. The k-smallest is two-phase (local distinct rank per
+    scan partition, final rank over bounded survivors — the
+    ``profile_table`` topology), never a single global per-group sort."""
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(2**60))
+    ).alias("h")
+    pairs = events.select(F.col("event_type"), h)
+    w_local = Window.partitionBy("event_type", "_pid").orderBy("h")
+    local = (
+        pairs.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_dr", F.dense_rank().over(w_local))
+        .filter(F.col("_dr") <= 256)
+        .select("event_type", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    s = (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 256)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_seen"), F.max("h").alias("_kth"))
+    )
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_seen")
+    )
+    return counts.join(s, "event_type").select(
+        "event_type",
+        "n_seen",
+        F.round(
+            F.when(F.col("_seen") < 256, F.col("_seen").cast("double"))
+            .otherwise(F.lit(255.0) / F.col("_kth")),
+            0,
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+@query(
+    "lang_token_fertility",
+    oracle="""
+    WITH t AS (
+      SELECT lang, len(string_split(lower(trim(text)), ' ')) AS ntok, n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_chars) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE)
+             AS chars_per_token,
+           CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS tokens_per_doc
+    FROM t GROUP BY lang
+    """,
+)
+def q_lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by document language: chars-per-token and
+    tokens-per-doc per lang — the report that tells a training pipeline how
+    expensively each language tokenizes (CJK text yields far fewer
+    whitespace tokens per char than Latin scripts, so byte budgets and
+    token budgets diverge BY LANGUAGE; mixture planners correct with
+    exactly this table). Pure composition: ``ops/text.token_count`` inside
+    one partial-combined groupBy — integer sums, so the ratios divide
+    identical exact operands in both engines."""
+    from fxspark.ops.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("chars_per_token"),
+        (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"))
+        .alias("tokens_per_doc"),
+    )
+
+
+_PROFILE_COLS = [
+    ("c_custkey", "bigint", True),
+    ("c_name", "string", False),
+    ("c_nationkey", "int", True),
+    ("c_acctbal", "double", True),
+    ("c_mktsegment", "string", False),
+]
+
+
+def _profile_oracle() -> str:
+    """Replay ``ops/checks.profile_table`` over customer: per column the
+    null count, the declared-md5 KMV distinct estimate, and (numerics)
+    min/max/exact-decimal mean. Doubles hash through their string form —
+    c_acctbal stays in the plain-decimal-notation range where Spark and
+    DuckDB render doubles identically (both switch to scientific notation
+    only outside ~[1e-4, 1e16))."""
+    frac = (
+        "CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " / 1152921504606846976.0"
+    )
+    parts = []
+    for c, dt, num in _PROFILE_COLS:
+        est = f"""
+          (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS BIGINT)
+                       ELSE CAST(round(255.0 / max(h), 0) AS BIGINT) END
+           FROM (SELECT h FROM (SELECT DISTINCT {frac.format(c=c)} AS h
+                                FROM customer WHERE {c} IS NOT NULL)
+                 ORDER BY h LIMIT 256))"""
+        if num:
+            mn = f"(SELECT CAST(min({c}) AS DOUBLE) FROM customer)"
+            mx = f"(SELECT CAST(max({c}) AS DOUBLE) FROM customer)"
+            mean = (
+                f"(SELECT CAST(sum(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
+                f" / count({c}) FROM customer)"
+            )
+        else:
+            mn = mx = mean = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+        SELECT '{c}' AS "column", '{dt}' AS dtype,
+               (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+               (SELECT CAST(count(*) - count({c}) AS BIGINT) FROM customer)
+                 AS n_null,
+               {est} AS est_distinct,
+               {mn} AS min_val, {mx} AS max_val, {mean} AS mean_val""")
+    return " UNION ALL ".join(parts)
+
+
+@query("customer_profile", oracle=_profile_oracle())
+def q_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic table profiler (``ops/checks.profile_table``) on the
+    customer dimension: one row per column with null count, KMV distinct
+    ESTIMATE (declared md5 randomness — the approximate number itself is
+    reproducible, so the oracle hash-checks it), and min/max/decimal-exact
+    mean for numerics. Two jobs total regardless of column count: one
+    simultaneous counter agg, one melt + two-phase per-column k-smallest —
+    the schema-discovery pass a warehouse runs before designing
+    partitioning for an unknown 100 TB table."""
+    from fxspark.ops.checks import profile_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return profile_table(cust, kmv_k=256)
 
 
 # ---------------------------------------------------------------------------

@@ -270,3 +270,38 @@ def test_cusum_windows_share_one_exchange(spark, sf_dir):
     window sort — never a per-window re-shuffle."""
     plan = _plan(spark, sf_dir, "user_value_cusum")
     assert plan.count("Exchange") <= 3, plan[:3000]
+
+
+def test_linkage_pairs_bounded_by_block(spark, sf_dir):
+    """The Fellegi-Sunter linkage's pair stage must be an equi-join on the
+    name-prefix block key — never an all-pairs customer² product. Any
+    hash/merge join strategy is fine; what matters is that the join is
+    KEYED (on _blk) so pair count is bounded by block size, and that no
+    nested-loop/cartesian operator appears anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "customer_name_linkage")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "_blk" in plan, plan[:3000]
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan[:3000]
+
+
+def test_attribution_is_single_sort_shuffle(spark, sf_dir):
+    """Last-touch attribution rides the as-of union+window: no join of the
+    conversion side against the touch side at all (the correlated LATERAL
+    shape), just one (key, time)-sorted window pass."""
+    plan = _plan(spark, sf_dir, "purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan, plan[:3000]
+
+
+def test_maintained_ols_partial_aggregates(spark, sf_dir):
+    """The maintained OLS must reduce each tertile batch to keys-sized
+    moment states BEFORE merging: three partial hash aggregates feeding
+    keyed full-outer merges — the events table is never joined directly."""
+    plan = _plan(spark, sf_dir, "maintained_ols_tertiles")
+    assert plan.count("HashAggregate") >= 6, plan[:3000]
+    assert "CartesianProduct" not in plan
