@@ -2165,19 +2165,21 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable constant-size state — but their estimates are implementation
     randomness, so they can never be differentially verified; declaring the
     hash makes the ESTIMATE ITSELF bit-reproducible by the DuckDB oracle
-    (same pattern as ``events_kmv_distinct``). Scale shape: ONE scan and
-    ONE exchange — both hash projections ride the same
-    ``repartition(event_type)``, and every downstream branch (KMV distinct
-    + rank, sample-median windows, exact count) and the final joins run on
-    that partitioning without further shuffles (subset-key clustering is
-    satisfied, so Spark reuses the exchange three times). Parallelism is
-    group-grain, and the per-group work is bounded by the branches' own
-    filters (distinct users for the KMV sort, the 25% sample for the
-    median sort) — the same floor the median branch always had; the
-    arbitrarily-many-distinct-keys tier with bounded per-task sorts is
-    ``events_kmv_distinct``'s TakeOrdered / ``stream_kmv_replay``'s
-    two-phase form. t-digest remains the beyond path and is
-    error-bound-pinned against this twin in tests/test_ops.py."""
+    (same pattern as ``events_kmv_distinct``). Scale shape: the per-group
+    k-smallest is pruned in two phases (per-salt top-k, then top-k of the
+    32·k survivors) so no group ever sorts more than 32·k candidate rows;
+    the sample median sorts 25% of each group — the declared-verifiable
+    tier; t-digest remains the beyond path and is error-bound-pinned
+    against this twin in tests/test_ops.py. Round-6 fusion post-mortem
+    (measured, kept as a negative result): the suggested one-scan rewrite
+    was tried two ways — a shared ``repartition(event_type)`` feeding all
+    three branches (0.80-0.90 s steady at sf0.1: it trades away the map-
+    side partial aggregations, so every branch shuffles raw rows) and a
+    no-salt/dense_rank minimal-stage form (0.9-1.0 s: the raw per-type
+    sort costs more than the distinct it saved) — both LOST to this salted
+    two-phase shape (~0.65 s). The two hash passes share no materializable
+    work (md5 of user_id vs event_id, disjoint columns), so the query is
+    stage-floor-bound at this SF and the bounded-sort topology is kept."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -2187,27 +2189,28 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         / F.lit(float(2**60))
     )
+    hh = events.select("event_type", h.alias("h")).distinct()
+    salted = hh.withColumn("_salt", F.pmod(F.xxhash64("h"), F.lit(32)))
+    w1 = Window.partitionBy("event_type", "_salt").orderBy("h")
+    cand = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 64)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    kmin = cand.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= 64
+    )
+    kmv = kmin.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth")
+    )
     hs = (
         F.conv(
             F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
         ).cast("long")
         / F.lit(float(2**60))
     )
-    base = events.select(
-        "event_type", "value", "event_id", h.alias("_hu"), hs.alias("_hs")
-    ).repartition("event_type")
-
-    kdist = base.select("event_type", "_hu").distinct()
-    w2 = Window.partitionBy("event_type").orderBy("_hu")
-    kmv = (
-        kdist.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= 64)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("_hu").alias("kth"))
-    )
-    samp = base.filter(F.col("_hs") < 0.25).select(
-        "event_type", "value", "event_id"
-    )
+    samp = events.filter(hs < 0.25).select("event_type", "value", "event_id")
     wm = Window.partitionBy("event_type").orderBy("value", "event_id")
     wc = Window.partitionBy("event_type")
     med = (
@@ -2221,7 +2224,7 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    c = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    c = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     est = F.round(
         F.when(F.col("n_seen") < 64, F.col("n_seen").cast("double")).otherwise(
             F.lit(63.0) / F.col("kth")
