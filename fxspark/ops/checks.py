@@ -207,3 +207,28 @@ def profile_table(df: DataFrame, kmv_k: int = 256) -> DataFrame:
         "column string, dtype string, n_rows long, n_null long, "
         "est_distinct long, min_val double, max_val double, mean_val double",
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit: the quasi-identifier combinations whose
+    equivalence class holds FEWER than ``k`` rows — each such combo is a
+    re-identification risk (an attacker who knows those attributes pins a
+    person to under k candidates). Returns one row per risky combo:
+    ``(quasi_cols…, n_rows)``, empty ⇔ the table is k-anonymous under the
+    declared quasi-identifiers.
+
+    One partial-aggregated groupBy + a HAVING filter — auditing a 100 TB
+    release costs a count rollup; the output is bounded by the number of
+    SMALL classes, which is the long tail the release must suppress or
+    generalize anyway. Complements ``observe_checks`` (which rides the
+    write) as the pre-release privacy gate.
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )

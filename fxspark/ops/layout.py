@@ -63,3 +63,70 @@ def zorder_layout(
         .repartitionByRange(n_partitions, "_z")
         .sortWithinPartitions("_z")
     )
+
+
+def largest_remainder_quota(
+    df: DataFrame,
+    keys: list[str],
+    frac: float,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact proportional allocation (largest-remainder / Hamilton method):
+    split a GLOBAL budget of ``round(frac * N)`` rows across the ``keys``
+    strata so every stratum gets ``floor(frac * n_s)`` and the leftover
+    seats go to the largest fractional remainders — the allocation a
+    stratified train/dev split needs when per-stratum rounding must still
+    hit the corpus-level budget EXACTLY (independent per-stratum rounding
+    drifts by up to #strata/2 rows, which breaks fixed-size eval sets).
+
+    Plan: one partial-combined count rollup (corpus-sized scan, strata-
+    sized result), a broadcast scalar for the global budget, and ONE rank
+    window over the STRATA table (domain-sized, orders below the corpus —
+    the same collapse as the skew report). All arithmetic is integer /
+    exact-decimal: frac is applied as a DECIMAL product, so both engines
+    floor identical values and the allocation is hash-exact, never a
+    float-boundary coin flip. Returns ``(keys…, n_rows, quota)`` with
+    ``sum(quota) = round(frac * N)`` by construction (pinned by test).
+    """
+    from pyspark.sql import Window
+
+    dfrac = F.lit(frac).cast(f"decimal(18,{scale})")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("_n"),
+    ).select(
+        "_n",
+        F.floor(F.col("_n") * dfrac + F.lit(0.5).cast("decimal(2,1)"))
+        .cast("long")
+        .alias("_budget"),
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        *keys,
+        "n_rows",
+        F.floor(F.col("n_rows") * dfrac).cast("long").alias("_base"),
+        (
+            (F.col("n_rows") * dfrac)
+            - F.floor(F.col("n_rows") * dfrac).cast(f"decimal(38,{scale})")
+        ).alias("_rem"),
+        "_budget",
+    )
+    # leftover seats = budget - sum(base); stratum gets +1 iff its remainder
+    # rank is within the leftover count
+    w = Window.orderBy(F.desc("_rem"), *[F.col(k) for k in keys])
+    totals = scored.agg(F.sum("_base").alias("_sumbase"))
+    ranked = scored.crossJoin(F.broadcast(totals)).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    return ranked.select(
+        *keys,
+        "n_rows",
+        (
+            F.col("_base")
+            + F.when(
+                F.col("_rk") <= (F.col("_budget") - F.col("_sumbase")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("quota"),
+    )

@@ -517,3 +517,70 @@ def attribute_linear(
             "attributed_value", F.col("conversion_value") * F.col("credit")
         )
     return out
+
+
+def attribute_first_touch(
+    events: DataFrame,
+    keys: str | list[str],
+    id_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_s: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """FIRST-TOUCH attribution: each conversion credited to the EARLIEST
+    touch inside its lookback window — the introduction-gets-the-credit
+    complement of ``attribute_conversions``' last-touch rule. A two-sided
+    window (touch in ``[conv − lookback, conv]``) cannot be one as-of
+    sweep, so candidates come from the binned interval range join
+    (``ops/asof.range_join`` — linear shuffle, never a cross product) and
+    the earliest touch is a ``min_by`` hash aggregate over each
+    conversion's candidate group (partial-combined — no window sort).
+    Conversions with no touch in window keep a NULL touch (organic), via
+    the left join back to the conversion set; equal-timestamp touches
+    resolve by the smaller ``id_col``, deterministically.
+    """
+    from fxspark.ops.asof import range_join
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    conversions = events.filter(F.col(type_col) == conversion_type).select(
+        [F.col(c) for c in keys]
+        + [
+            F.col(id_col).alias("conversion_id"),
+            F.col(ts_col).alias("conversion_ts"),
+        ]
+        + ([F.col(value_col).alias("conversion_value")] if value_col else [])
+    )
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        *keys,
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(type_col).alias("touch_type"),
+    )
+    pairs = range_join(
+        conversions.select(*keys, "conversion_id", "conversion_ts"),
+        touches,
+        "conversion_ts",
+        "touch_ts",
+        tolerance_s=lookback_s,
+        keys=keys,
+    ).filter(F.col("touch_ts") <= F.col("conversion_ts"))
+    first = pairs.groupBy(*keys, "conversion_id").agg(
+        F.min_by(
+            F.struct("touch_ts", "touch_type", "touch_id"),
+            F.struct("touch_ts", "touch_id"),
+        ).alias("_t")
+    )
+    out = conversions.join(first, [*keys, "conversion_id"], "left")
+    sel = [
+        *keys,
+        "conversion_id",
+        "conversion_ts",
+        F.col("_t.touch_ts").alias("touch_ts"),
+        F.col("_t.touch_type").alias("touch_type"),
+    ]
+    if value_col:
+        sel.append(F.col("conversion_value"))
+    return out.select(*sel)

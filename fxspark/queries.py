@@ -7686,6 +7686,362 @@ def q_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 second wave: privacy (k-anonymity audit, declared-noise DP
+# release), first-touch attribution, seasonality profile, join-view delta
+# maintenance, largest-remainder stratified allocation, funnel latencies.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_k_anonymity",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+)
+def q_event_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (``ops/checks.k_anonymity``) of the events table
+    under the quasi-identifier set (event_type, 50-unit value band, day):
+    every combination an attacker could pin to fewer than k=5 rows — the
+    pre-release privacy gate that tells a curation pipeline which cells to
+    suppress or generalize. One partial-aggregated groupBy + HAVING: the
+    audit costs a count rollup at any scale, and the output is bounded by
+    the small-class tail it exists to surface."""
+    from fxspark.ops.checks import k_anonymity
+
+    events = load_table(spark, sf_dir, "events")
+    quasi = events.select(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    return k_anonymity(quasi, ["event_type", "value_band", "day"], k=5)
+
+
+@query(
+    "dp_event_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+      FROM events GROUP BY event_type
+    ), u AS (
+      SELECT event_type, n_true,
+             CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 - 0.5 AS uu
+      FROM c
+    ), g AS (
+      SELECT event_type, n_true, uu,
+             greatest(1.0 - 2.0 * abs(uu), 1e-12) AS gg
+      FROM u
+    )
+    SELECT event_type, n_true,
+           round(CAST(n_true AS DOUBLE)
+                 + (-(2.0) * sign(uu)
+                    * CAST(CAST(ln(gg) AS DECIMAL(38,9)) AS DOUBLE)), 6)
+             AS noisy_count
+    FROM g
+    """,
+)
+def q_dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-SHAPED count release
+    (``ops/privacy.dp_counts``, epsilon=0.5): per-event-type counts +
+    Laplace(1/eps) noise via the inverse CDF, with the uniform draw from
+    the DECLARED md5 family — so the released numbers replay bit-for-bit
+    in the oracle. A production release swaps in a secret seed (one
+    argument) and drops n_true; what this pins differentially is the
+    MECHANISM algebra (sensitivity-1 scale, inverse-CDF shape, the
+    DECIMAL(38,9)-quantized log that absorbs libm ulp spread) — the part
+    of a DP pipeline that silently goes wrong. Cost: one partial-combined
+    count rollup plus map-side arithmetic."""
+    from fxspark.ops.privacy import dp_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return dp_counts(events, "event_type", epsilon=0.5)
+
+
+@query(
+    "purchase_first_touch",
+    oracle="""
+    SELECT p.user_id, p.event_id AS conversion_id, p.ts AS conversion_ts,
+           t.ts AS touch_ts, t.event_type AS touch_type,
+           p.value AS conversion_value
+    FROM events p LEFT JOIN LATERAL (
+      SELECT ts, event_type FROM events t
+      WHERE t.user_id = p.user_id AND t.event_type IN ('click', 'view')
+        AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 1 HOUR
+      ORDER BY t.ts ASC, t.event_id ASC LIMIT 1
+    ) t ON TRUE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_purchase_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution (``ops/windows.attribute_first_touch``):
+    each purchase credited to the EARLIEST click/view in the preceding
+    hour, NULL = organic — the introduction-gets-the-credit complement of
+    ``purchase_attribution``'s last-touch rule. The two-sided window rules
+    out a single as-of sweep, so candidates come from the binned interval
+    range join and the earliest touch is a partial-combined ``min_by``
+    aggregate (no window sort at all); organic conversions re-enter via a
+    key-partitioned left join."""
+    from fxspark.ops.windows import attribute_first_touch
+
+    events = load_table(spark, sf_dir, "events")
+    return attribute_first_touch(
+        events,
+        "user_id",
+        id_col="event_id",
+        ts_col="ts",
+        type_col="event_type",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_s=3600,
+        value_col="value",
+    ).select(
+        "user_id",
+        "conversion_id",
+        "conversion_ts",
+        "touch_ts",
+        "touch_type",
+        "conversion_value",
+    )
+
+
+@query(
+    "user_value_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(isodow(ts) - 1 AS INTEGER) AS dow, value
+      FROM events
+    ), per AS (
+      SELECT user_id, dow, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               AS mean_value
+      FROM d GROUP BY user_id, dow
+    ), tot AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               AS overall_mean
+      FROM d GROUP BY user_id
+    )
+    SELECT p.user_id, p.dow, p.n_obs, p.mean_value,
+           p.mean_value / t.overall_mean AS seasonality_idx
+    FROM per p JOIN tot t USING (user_id)
+    """,
+)
+def q_user_value_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per user: each (user, weekday)'s
+    observation count, exact-decimal mean value, and the seasonality index
+    mean/overall-mean — the deseasonalization table a forecasting or
+    anomaly tier divides through before thresholding (a Sunday dip that
+    happens every Sunday is not an anomaly). Two partial-combined rollups
+    sharing the user-key shuffle + one key-colocated join; weekday is
+    ISO-Monday-based in both engines (Spark ``weekday`` ≡ DuckDB
+    ``isodow − 1``)."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        "user_id", F.weekday("ts").alias("dow"), "value"
+    )
+    per = d.groupBy("user_id", "dow").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value"),
+    )
+    tot = d.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("overall_mean"),
+    )
+    return per.join(tot, "user_id").select(
+        "user_id",
+        "dow",
+        "n_obs",
+        "mean_value",
+        (F.col("mean_value") / F.col("overall_mean")).alias(
+            "seasonality_idx"
+        ),
+    )
+
+
+@query(
+    "orders_delta_join",
+    oracle="""
+    WITH lo AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate < DATE '1995-01-01'
+    ), ld AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+    ), ro AS (
+      SELECT l_orderkey AS o_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem WHERE l_shipdate < DATE '1995-01-01'
+    ), rd AS (
+      SELECT l_orderkey AS o_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+    )
+    SELECT ld.o_orderkey, ld.o_totalprice, ro.l_linenumber,
+           ro.l_extendedprice, 'new_left' AS delta_term
+    FROM ld JOIN ro USING (o_orderkey)
+    UNION ALL
+    SELECT lo.o_orderkey, lo.o_totalprice, rd.l_linenumber,
+           rd.l_extendedprice, 'new_right'
+    FROM lo JOIN rd USING (o_orderkey)
+    UNION ALL
+    SELECT ld.o_orderkey, ld.o_totalprice, rd.l_linenumber,
+           rd.l_extendedprice, 'both_new'
+    FROM ld JOIN rd USING (o_orderkey)
+    """,
+)
+def q_orders_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the orders⋈lineitem JOIN view
+    (``ops/ivm.delta_join``): with both sides split at 1995-01-01 into
+    (old state, insert batch), the view delta is the three disjoint terms
+    ΔL⋈R_old ∪ L_old⋈ΔR ∪ ΔL⋈ΔR — work proportional to the batches, never
+    a re-join of state×state (the reference re-reads its whole store every
+    tick; this is the algebra that replaces that at 100 TB, with the state
+    sides bucketed on the join key). Disjointness-by-construction is what
+    makes the delta itself hash-verifiable; the from-scratch equivalence
+    is pinned in tests/test_round6_ops.py."""
+    from fxspark.ops.ivm import delta_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-01-01").cast("date")
+    l_all = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    r_all = lineitem.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    l_old = l_all.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    l_new = l_all.filter(F.col("o_orderdate") >= cut).drop("o_orderdate")
+    r_old = r_all.filter(F.col("l_shipdate") < cut).drop("l_shipdate")
+    r_new = r_all.filter(F.col("l_shipdate") >= cut).drop("l_shipdate")
+    return delta_join(l_old, r_old, l_new, r_new, ["o_orderkey"])
+
+
+@query(
+    "doc_split_quota",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT CAST(floor(CAST(sum(n_rows) AS BIGINT)
+                        * CAST(0.8 AS DECIMAL(18,6))
+                        + CAST(0.5 AS DECIMAL(2,1))) AS BIGINT) AS budget,
+             CAST(sum(CAST(floor(n_rows * CAST(0.8 AS DECIMAL(18,6)))
+                           AS BIGINT)) AS BIGINT) AS sumbase
+      FROM c
+    ), s AS (
+      SELECT lang, source, n_rows,
+             CAST(floor(n_rows * CAST(0.8 AS DECIMAL(18,6))) AS BIGINT)
+               AS base,
+             row_number() OVER (
+               ORDER BY (n_rows * CAST(0.8 AS DECIMAL(18,6))
+                         - floor(n_rows * CAST(0.8 AS DECIMAL(18,6)))) DESC,
+                        lang, source) AS rk
+      FROM c
+    )
+    SELECT lang, source, n_rows,
+           CAST(base + CASE WHEN rk <= budget - sumbase THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM s, t
+    """,
+)
+def q_doc_split_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) stratified allocation
+    (``ops/layout.largest_remainder_quota``): the per-(lang, source) train
+    quotas that hit the corpus-level 80% budget EXACTLY — independent
+    per-stratum rounding drifts by up to #strata/2 rows, which breaks
+    fixed-size eval sets; this is the allocation a stratified split uses
+    instead. Corpus-sized work is one count rollup; the remainder-rank
+    window runs over the STRATA table only. All arithmetic is exact
+    decimal, so the seat assignment is hash-stable, never a
+    float-boundary coin flip."""
+    from fxspark.ops.layout import largest_remainder_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    return largest_remainder_quota(docs, ["lang", "source"], 0.8)
+
+
+@query(
+    "funnel_latency_stats",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    ), lat AS (
+      SELECT 'signup->click' AS stage_pair,
+             CAST(epoch_us(t2) - epoch_us(t1) AS BIGINT) AS us
+      FROM s1 JOIN s2 USING (user_id)
+      UNION ALL
+      SELECT 'click->purchase',
+             CAST(epoch_us(t3) - epoch_us(t2) AS BIGINT)
+      FROM s2 JOIN s3 USING (user_id)
+    )
+    SELECT stage_pair, CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(CAST(us AS DOUBLE), 0.5) / 1000000.0, 6)
+             AS median_latency_s,
+           round(quantile_cont(CAST(us AS DOUBLE), 0.9) / 1000000.0, 6)
+             AS p90_latency_s
+    FROM lat GROUP BY stage_pair
+    """,
+)
+def q_funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-to-stage funnel LATENCY distribution: on top of
+    ``ops/windows.funnel_stages``' earliest-qualifying-time funnel
+    (signup → click → purchase, strictly increasing), the per-transition
+    user count and median/p90 time-to-convert — the report that turns a
+    conversion funnel into an SLA. Latencies are exact epoch-microsecond
+    integers (no timestamp float trap); the percentiles interpolate the
+    same doubles in both engines."""
+    from fxspark.ops.windows import funnel_stages
+
+    events = load_table(spark, sf_dir, "events")
+    f = funnel_stages(
+        events, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"],
+    )
+    l1 = f.filter(F.col("t_click").isNotNull()).select(
+        F.lit("signup->click").alias("stage_pair"),
+        (F.unix_micros("t_click") - F.unix_micros("t_signup")).alias("us"),
+    )
+    l2 = f.filter(F.col("t_purchase").isNotNull()).select(
+        F.lit("click->purchase").alias("stage_pair"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("us"),
+    )
+    lat = l1.unionByName(l2)
+    return lat.groupBy("stage_pair").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.percentile(F.col("us").cast("double"), F.lit(0.5))
+            / F.lit(1000000.0),
+            6,
+        ).alias("median_latency_s"),
+        F.round(
+            F.percentile(F.col("us").cast("double"), F.lit(0.9))
+            / F.lit(1000000.0),
+            6,
+        ).alias("p90_latency_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
 # The correctness driver oracle-checks the FIRST 50 ``queries()`` entries in

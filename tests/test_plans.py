@@ -305,3 +305,34 @@ def test_maintained_ols_partial_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "maintained_ols_tertiles")
     assert plan.count("HashAggregate") >= 6, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_dp_counts_single_exchange(spark, sf_dir):
+    """The DP release is a count rollup plus map-side noise arithmetic:
+    exactly one exchange, no window, no join."""
+    plan = _plan(spark, sf_dir, "dp_event_counts")
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_delta_join_all_terms_keyed(spark, sf_dir):
+    """Every IVM delta term is a keyed equi-join on the orderkey — no
+    nested loop or cartesian anywhere (the algebra's point is that state
+    never joins state)."""
+    plan = _plan(spark, sf_dir, "orders_delta_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+        >= 3
+    ), plan[:3000]
+
+
+def test_first_touch_no_window_sort(spark, sf_dir):
+    """First-touch resolves via a min_by hash aggregate over range-join
+    candidates — no window operator in the plan at all."""
+    plan = _plan(spark, sf_dir, "purchase_first_touch")
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
