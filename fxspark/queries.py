@@ -8041,6 +8041,87 @@ def q_funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_bpe_merges",
+    oracle="""
+    WITH RECURSIVE w0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             string_split(word, '') AS syms
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+            FROM documents)
+      WHERE word != '' GROUP BY word
+    ),
+    e1 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w0),
+    pc1 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM e1 GROUP BY 1, 2
+    ),
+    m1 AS (SELECT a, b, cnt FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+    r1 AS (
+      SELECT word, freq, syms, CAST(2 AS BIGINT) AS i, [syms[1]] AS acc
+      FROM w0
+      UNION ALL
+      SELECT word, freq, syms, i + 1,
+             CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM m1)
+                       AND syms[i] = (SELECT b FROM m1)
+                  THEN acc[1:len(acc)-1] || [(SELECT a || b FROM m1)]
+                  ELSE acc || [syms[i]] END
+      FROM r1 WHERE i <= len(syms)
+    ),
+    w1 AS (SELECT word, freq, acc AS syms FROM r1 WHERE i = len(syms) + 1),
+    e2 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w1),
+    pc2 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM e2 GROUP BY 1, 2
+    ),
+    m2 AS (SELECT a, b, cnt FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1),
+    r2 AS (
+      SELECT word, freq, syms, CAST(2 AS BIGINT) AS i, [syms[1]] AS acc
+      FROM w1
+      UNION ALL
+      SELECT word, freq, syms, i + 1,
+             CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM m2)
+                       AND syms[i] = (SELECT b FROM m2)
+                  THEN acc[1:len(acc)-1] || [(SELECT a || b FROM m2)]
+                  ELSE acc || [syms[i]] END
+      FROM r2 WHERE i <= len(syms)
+    ),
+    w2 AS (SELECT word, freq, acc AS syms FROM r2 WHERE i = len(syms) + 1),
+    e3 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w2),
+    pc3 AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM e3 GROUP BY 1, 2
+    ),
+    m3 AS (SELECT a, b, cnt FROM pc3 ORDER BY cnt DESC, a, b LIMIT 1)
+    SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,
+           cnt AS pair_count, a || b AS merged FROM m1
+    UNION ALL
+    SELECT 2, a, b, cnt, a || b FROM m2
+    UNION ALL
+    SELECT 3, a, b, cnt, a || b FROM m3
+    """,
+)
+def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge TRAINING (``ops/bpe.bpe_train``): the first
+    three merge rules learned from the corpus — the tokenizer-learning
+    loop itself, not just its application (``doc_bpe_pair_counts`` counts;
+    this trains). The corpus collapses once to the vocabulary-sized
+    word-frequency table; each iteration is a partial-combined pair count,
+    a 1-row TakeOrdered argmax (ties broken lexically — exact integer
+    counts, so the winner is hash-stable), and a per-word left-fold merge,
+    with ``localCheckpoint`` keeping lineage O(1) like PageRank. The
+    oracle replays ALL THREE iterations: pair counts in plain SQL, the
+    leftmost-non-overlapping merge as a stack fold in a RECURSIVE CTE —
+    an iterative ML training loop differentially verified end-to-end
+    (the kmeans/PageRank discipline, now with data-dependent control
+    flow: iteration k's merge pair is a subquery over iteration k-1's
+    state)."""
+    from fxspark.ops.bpe import bpe_train_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_df(docs, "text", 3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

@@ -153,3 +153,79 @@ def test_delta_join_equals_from_scratch_join(spark):
     )
     # disjoint terms: total delta rows == distinct delta rows
     assert delta.count() == delta.distinct().count()
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Reference single-node BPE (Sennrich-style) for the parity test."""
+    state = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_scan(spark):
+    from fxspark.ops.bpe import bpe_train
+
+    docs = [
+        "low low low lower lowest",
+        "newer newer new newest",
+        "low newer wider",
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    freqs: dict[str, int] = {}
+    for t in docs:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    assert bpe_train(df, "text", 6) == _ref_bpe(freqs, 6)
+
+
+def test_bpe_merge_fold_handles_overlaps(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] (leftmost
+    non-overlapping), and a merged symbol must immediately be usable by a
+    LATER merge but never re-trigger the same one."""
+    from pyspark.sql import functions as F
+
+    from fxspark.ops.bpe import _apply_merge
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "a", "a"],), (["b", "a", "a"],)],
+        "syms array<string>",
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            _apply_merge(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert got == [["aa", "aa"], ["aa", "a"], ["b", "aa"]]
+
+
+def test_bpe_early_stop_when_no_pairs(spark):
+    from fxspark.ops.bpe import bpe_train
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    # single-char words have no adjacent pairs at all
+    assert bpe_train(df, "text", 5) == []
