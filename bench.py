@@ -159,6 +159,27 @@ EXTENSION = [
     "part_price_skyline",
     "stream_cdc_replay",
     "embedding_kmeans_iters",
+    # round-6 additions
+    "purchase_attribution",
+    "purchase_attribution_linear",
+    "purchase_first_touch",
+    "user_value_robust_outliers",
+    "doc_zipf_fit",
+    "customer_name_linkage",
+    "maintained_ols_tertiles",
+    "stream_cusum_replay",
+    "stream_kmv_replay",
+    "stream_dedup_replay",
+    "lang_token_fertility",
+    "customer_profile",
+    "event_k_anonymity",
+    "dp_event_counts",
+    "user_value_seasonality",
+    "orders_delta_join",
+    "doc_split_quota",
+    "funnel_latency_stats",
+    "doc_bpe_merges",
+    "source_overlap_kmv",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))

@@ -8122,6 +8122,189 @@ def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_df(docs, "text", 3)
 
 
+@query(
+    "stream_dedup_replay",
+    oracle="""
+    SELECT user_id, event_type, ts, event_id, value
+    FROM (
+      SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of ``streaming/runner.dedup_stream``
+    (``dropDuplicatesWithinWatermark`` — first arrival per natural key
+    wins, state bounded by the watermark horizon): the first event per
+    (user, event_type) in event-time order. The batch twin is a
+    partial-combined ``min_by`` aggregate — equal to the stream whenever a
+    key's duplicates span less than the watermark (the contract the
+    streaming operator declares; beyond it the stream re-emits, which is
+    the documented at-least-once boundary). Mirrors the reference's
+    first-arrival duplicate swallow
+    (``/root/reference/update_exchange_rates.py:101-102``)."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id", "event_type").agg(
+        F.min_by(
+            F.struct("ts", "event_id", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("_f")
+    )
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("_f.ts").alias("ts"),
+        F.col("_f.event_id").alias("event_id"),
+        F.col("_f.value").alias("value"),
+    )
+
+
+@query(
+    "source_overlap_kmv",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT source,
+        CAST(('0x' || substr(md5(lower(trim(text))), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 AS h
+      FROM documents
+    ), srcs AS (SELECT DISTINCT source FROM h),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ), u AS (
+      SELECT p.source_a, p.source_b, h.h,
+             max(CASE WHEN h.source = p.source_a THEN 1 ELSE 0 END)
+               AS in_a,
+             max(CASE WHEN h.source = p.source_b THEN 1 ELSE 0 END)
+               AS in_b
+      FROM pairs p JOIN h
+        ON h.source = p.source_a OR h.source = p.source_b
+      GROUP BY p.source_a, p.source_b, h.h
+    ), r AS (
+      SELECT source_a, source_b, h, in_a, in_b,
+             row_number() OVER (PARTITION BY source_a, source_b
+                                ORDER BY h) AS rn
+      FROM u
+    ), s AS (
+      SELECT source_a, source_b,
+             CAST(count(*) AS BIGINT) AS n_seen,
+             max(h) AS kth,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_common
+      FROM r WHERE rn <= 128 GROUP BY source_a, source_b
+    ), x AS (
+      SELECT d.source_a, d.source_b,
+             CAST(count(*) AS BIGINT) AS true_common
+      FROM (
+        SELECT ha.source AS source_a, hb.source AS source_b
+        FROM h ha JOIN h hb
+          ON ha.h = hb.h AND ha.source < hb.source
+      ) d GROUP BY d.source_a, d.source_b
+    )
+    SELECT s.source_a, s.source_b,
+           round(CAST(n_common AS DOUBLE) / n_seen, 6) AS jaccard_est,
+           CAST(round(CASE WHEN n_seen < 128 THEN n_seen
+                           ELSE 127.0 / kth END, 0) AS BIGINT)
+             AS union_est,
+           CAST(round((CAST(n_common AS DOUBLE) / n_seen)
+                      * CASE WHEN n_seen < 128 THEN n_seen
+                             ELSE 127.0 / kth END, 0) AS BIGINT)
+             AS intersect_est,
+           coalesce(x.true_common, 0) AS true_common
+    FROM s LEFT JOIN x USING (source_a, source_b)
+    """,
+)
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap estimation from MERGED KMV sketches —
+    the theta-sketch set algebra on the declared md5 family: per source
+    pair, the k=128 smallest distinct fingerprint fractions of the UNION
+    give θ (→ union cardinality) and the fraction of those minima present
+    in BOTH sources estimates Jaccard, hence the intersection — how a
+    100 TB warehouse asks "how much does source A duplicate source B"
+    WITHOUT a cross-source join (each source's sketch is k numbers; only
+    sketches meet). The declared hash makes the ESTIMATES bit-reproducible
+    (the ``events_kmv_distinct`` pattern, extended from one sketch to set
+    operations over sketches); the exact common count rides along as the
+    verification column. Source-pair domain is |sources|² — tiny by
+    construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(float(2**60))
+        ).alias("h"),
+    ).distinct()
+    srcs = h.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    u = (
+        pairs.join(
+            h,
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("source_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("source") == F.col("source_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("source_a", "source_b").orderBy("h")
+    s = (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 128)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.max("h").alias("kth"),
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+            ).alias("n_common"),
+        )
+    )
+    x = (
+        h.alias("ha")
+        .join(
+            h.alias("hb"),
+            (F.col("ha.h") == F.col("hb.h"))
+            & (F.col("ha.source") < F.col("hb.source")),
+        )
+        .groupBy(
+            F.col("ha.source").alias("source_a"),
+            F.col("hb.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("true_common"))
+    )
+    union_est = F.when(
+        F.col("n_seen") < 128, F.col("n_seen").cast("double")
+    ).otherwise(F.lit(127.0) / F.col("kth"))
+    jacc = F.col("n_common").cast("double") / F.col("n_seen")
+    return s.join(x, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(union_est, 0).cast("long").alias("union_est"),
+        F.round(jacc * union_est, 0).cast("long").alias("intersect_est"),
+        F.coalesce(F.col("true_common"), F.lit(0)).alias("true_common"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
