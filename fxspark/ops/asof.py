@@ -205,3 +205,109 @@ def asof_join(
         ],
     )
     return out
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] | str,
+    on: str,
+    right_payload: Sequence[str] | None = None,
+    tolerance: Column | None = None,
+    suffix: str = "_near",
+    right_tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Nearest-in-time join: for each left row, the right row (same key)
+    whose ``on`` is CLOSEST in either direction, optionally within
+    ``tolerance`` — ``pandas.merge_asof(direction='nearest')``,
+    distributed. Generalizes the reference's latest-before lookup
+    (``/root/reference/Fx_1min.py:159-188``) to bidirectional proximity.
+
+    Single-pass: tagged union of both sides, ONE (key, time) sort-shuffle,
+    then BOTH directional candidates from the same ordered window — the
+    backward match via ``last(..., ignorenulls)`` over the preceding frame,
+    the forward match via ``first(..., ignorenulls)`` over the following
+    frame. No second sort, no join-back; cost is identical to one as-of
+    join. The winner is picked per row by absolute time distance; an exact
+    tie (including equal-time matches, which surface through the backward
+    frame at distance 0) prefers the BACKWARD match — stated so an oracle
+    can replay it. ``right_tiebreak`` columns resolve equal-``on`` right
+    rows deterministically (backward picks tiebreak-largest, forward the
+    smallest — :func:`asof_join` semantics).
+
+    Returns left columns + ``right_payload`` (renamed ``{c}{suffix}`` on
+    collision) + ``{on}{suffix}`` = matched right timestamp (null when no
+    match is in band).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in keys and c != on]
+    left_cols = left.columns
+    tiebreaks = list(right_tiebreak or [])
+
+    r = right.select(
+        *keys,
+        F.col(on).alias("_t"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_payload]
+        ).alias("_rpay"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_tb_{i}") for i, c in enumerate(tiebreaks)],
+    )
+    l = left.select(
+        "*",
+        F.col(on).alias("_t"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        F.lit(2).alias("_side"),
+        *[
+            F.lit(None).cast(r.schema[f"_tb_{i}"].dataType).alias(f"_tb_{i}")
+            for i in range(len(tiebreaks))
+        ],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "_rt", F.when(F.col("_side") == 1, F.col("_t"))
+    )
+
+    base = Window.partitionBy(*keys).orderBy(
+        "_t", "_side", *[f"_tb_{i}" for i in range(len(tiebreaks))]
+    )
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    m = (
+        unioned.withColumn("_bpay", F.last("_rpay", ignorenulls=True).over(wb))
+        .withColumn("_bt", F.last("_rt", ignorenulls=True).over(wb))
+        .withColumn("_fpay", F.first("_rpay", ignorenulls=True).over(wf))
+        .withColumn("_ft", F.first("_rt", ignorenulls=True).over(wf))
+        .filter(F.col("_side") == 2)
+    )
+    if tolerance is not None:
+        m = m.withColumn(
+            "_bt", F.when(F.col("_bt") >= F.col("_t") - tolerance, F.col("_bt"))
+        ).withColumn(
+            "_ft", F.when(F.col("_ft") <= F.col("_t") + tolerance, F.col("_ft"))
+        )
+    # exact integer micros: a double cast of epoch-with-micros rounds in
+    # the last ulp and could flip a near-tie between directions
+    d_b = F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_bt"))
+    d_f = F.unix_micros(F.col("_ft")) - F.unix_micros(F.col("_t"))
+    m = m.withColumn(
+        "_use_b",
+        F.when(F.col("_bt").isNull(), F.lit(False))
+        .when(F.col("_ft").isNull(), F.col("_bt").isNotNull())
+        .otherwise(d_b <= d_f),  # exact tie -> backward
+    )
+    chosen = F.when(F.col("_use_b"), F.col("_bpay")).otherwise(
+        F.when(F.col("_ft").isNotNull(), F.col("_fpay"))
+    )
+    return m.select(
+        *left_cols,
+        *[
+            chosen.getField(c).alias(
+                c if c not in left_cols else f"{c}{suffix}"
+            )
+            for c in right_payload
+        ],
+        F.when(F.col("_use_b"), F.col("_bt"))
+        .otherwise(F.col("_ft"))
+        .alias(f"{on}{suffix}"),
+    )

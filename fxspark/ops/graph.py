@@ -85,3 +85,55 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distance, ``max_hops`` synchronous frontier
+    expansions — the reachability twin of :func:`pagerank`'s iterative
+    shape (the reference has no graph operators; its closest analogue is
+    the repeated full-store re-join at ``/root/reference/Fx_1min.py:147``,
+    which this replaces with frontier-proportional work).
+
+    ``seeds`` is a one-column frame of start nodes (column name = ``src``'s
+    name is NOT required; the first column is taken). Iteration ``i`` joins
+    the CURRENT frontier (nodes first reached at distance ``i``) against
+    the edge list and anti-joins the visited set — so per-iteration cost is
+    |frontier| × avg-degree, never |V|². The edge list is localCheckpointed
+    once and stays partitioned on ``src`` across iterations (exchange
+    reuse); only the frontier/visited frames (≤ |V| rows) move. Distances
+    are exact integers — hash-safe against an unrolled or recursive-CTE SQL
+    replay.
+
+    Returns (node, hops) for every node reachable within ``max_hops``
+    (seeds at 0). Unreached nodes are absent.
+    """
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).distinct().localCheckpoint()
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for i in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["_src"] == frontier["node"])
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -52,3 +52,64 @@ def delta_join(
         TERM_COL, F.lit("both_new")
     )
     return t1.unionByName(t2).unionByName(t3)
+
+
+def delta_agg(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    sign_col: str | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Z-set (signed multiset) maintenance of a grouped SUM/COUNT view:
+    fold a batch of inserts (+1) and retractions (−1) into the stored
+    per-key state without re-reading the base table — the aggregate-side
+    complement of :func:`delta_join`, and the general form of the
+    reference's per-tick ``ON DUPLICATE KEY UPDATE`` accumulation
+    (``/root/reference/Fx_1min.py:106-109``).
+
+    ``state`` holds one row per key with ``count_col`` and one running sum
+    per ``sum_cols`` entry (pass an empty frame with that schema to
+    bootstrap). ``delta`` holds raw rows; ``sign_col`` (±1 long) marks
+    retractions, absent = all inserts. Sums are maintained in
+    DECIMAL(38,6) so maintained-vs-recomputed equality is exact, not
+    approximate — the same declared-exactness contract as
+    ``ops/rollup.ols_rollup_*``. Keys whose maintained count reaches 0
+    are dropped (true Z-set semantics: fully-retracted groups vanish,
+    matching a from-scratch recompute).
+
+    Both the fold-in agg and the merge are partial-aggregated map-side and
+    shuffle once on ``keys``; at 100 TB the stored state stays bucketed on
+    ``keys`` so the merge is a co-located join of batch-sized deltas.
+    """
+    keys = list(keys)
+    sign = (
+        F.col(sign_col).cast("long") if sign_col else F.lit(1).cast("long")
+    )
+    folded = delta.groupBy(*keys).agg(
+        F.sum(sign).alias(count_col),
+        *[
+            F.sum(sign.cast("decimal(38,6)") * F.col(c).cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias(c)
+            for c in sum_cols
+        ],
+    )
+    merged = (
+        state.select(
+            *keys,
+            F.col(count_col).cast("long").alias(count_col),
+            *[F.col(c).cast("decimal(38,6)").alias(c) for c in sum_cols],
+        )
+        .unionByName(folded)
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[
+                F.sum(F.col(c)).cast("decimal(38,6)").alias(c)
+                for c in sum_cols
+            ],
+        )
+    )
+    return merged.filter(F.col(count_col) != 0)

@@ -101,3 +101,39 @@ def dedup_latest(
     sharing ``keys``, keep the one with the greatest ``order_by``.
     """
     return latest_per_key_agg(df, keys, order_by)
+
+
+def k_smallest_per_key(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    k: int,
+) -> DataFrame:
+    """The ``k`` smallest rows per key by ``order_by``, computed with a
+    TWO-PHASE rank so no single task ever sorts a whole key's rows: phase 1
+    ranks within (key, scan-partition) — each task sorts only its own
+    partition's slice — and keeps ``k`` survivors per slice; phase 2 ranks
+    the ≤ k×numPartitions survivors per key. A single global window
+    partitioned by a low-cardinality key (e.g. top-k per event_type over
+    10¹² events) would funnel everything through one task; this caps the
+    final sort at k×numPartitions rows regardless of data size. Same
+    topology as ``ops/checks.profile_table``'s KMV phase, generalized.
+
+    Ties beyond position ``k`` are cut by ``row_number`` over the full
+    ``order_by`` — include a unique column to make the cut deterministic.
+    """
+    keys = _cols(keys)
+    order = _cols(order_by)
+    w_local = Window.partitionBy(*keys, "_pid").orderBy(*order)
+    local = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn_l", F.row_number().over(w_local))
+        .filter(F.col("_rn_l") <= k)
+        .drop("_pid", "_rn_l")
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -13,7 +13,7 @@ scalar subquery; Catalyst plans the same thing for the SQL form.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -584,3 +584,43 @@ def attribute_first_touch(
     if value_col:
         sel.append(F.col("conversion_value"))
     return out.select(*sel)
+
+
+def activity_streaks(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    ts_col: str,
+) -> DataFrame:
+    """Gaps-and-islands per key at day grain: collapse each key's activity
+    to distinct active days, then group CONSECUTIVE days into streaks with
+    the classic ``day − dense_rank`` constant-per-island trick. The
+    reference's recency checks (``/root/reference/Fx_1min.py:174-178``:
+    "is the latest event younger than 30 s") generalize here to "how long
+    has this key been continuously active".
+
+    Plan shape: one hash-agg to distinct (key, day) — map-side combined, so
+    the window that follows sorts ACTIVE DAYS per key (≤ days in range,
+    thousands at most), never raw events; at 100 TB the event→day collapse
+    is the whole cost and it is shuffle-minimal. Returns one row per key:
+    ``n_active_days``, ``n_streaks``, ``longest_streak`` (days),
+    ``longest_streak_start`` (the FIRST such start if several streaks tie,
+    stated for oracle replay).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    days = df.select(
+        *keys, F.to_date(ts_col).alias("_day")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("_day")
+    islands = days.withColumn(
+        "_grp", F.date_sub(F.col("_day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy(*keys, "_grp").agg(
+        F.count(F.lit(1)).alias("_len"), F.min("_day").alias("_start")
+    )
+    return streaks.groupBy(*keys).agg(
+        F.sum("_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("_len").alias("longest_streak"),
+        F.min_by(F.col("_start"), F.struct(F.negate(F.col("_len")), F.col("_start")))
+        .alias("longest_streak_start"),
+    )

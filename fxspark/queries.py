@@ -8306,6 +8306,664 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 third wave: bidirectional nearest join, gaps-and-islands, running
+# cumulative distinct, bounded reservoir sampling, robust/trimmed stats,
+# collocation PMI, distributional KL drift, iterative BFS, Z-set aggregate
+# maintenance, and corpus coverage curves.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_nearest_touch",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           t.touch_id, t.touch_type, t.touch_ts
+    FROM events p LEFT JOIN LATERAL (
+      SELECT e.event_id AS touch_id, e.event_type AS touch_type,
+             e.ts AS touch_ts
+      FROM events e
+      WHERE e.user_id = p.user_id AND e.event_type IN ('click', 'view')
+        AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 30 * 60 * 1000000
+      ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)) ASC,
+               (e.ts <= p.ts) DESC,
+               CASE WHEN e.ts <= p.ts THEN -e.event_id
+                    ELSE e.event_id END ASC
+      LIMIT 1
+    ) t ON TRUE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_purchase_nearest_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time attribution: for each purchase the CLOSEST click or
+    view in EITHER direction within ±30 min (``ops/asof.nearest_join`` —
+    ``merge_asof(direction='nearest')``, distributed). One (user, time)
+    sort-shuffle produces both directional candidates from the same
+    ordered window; the winner is the smaller exact-micros distance, ties
+    prefer the backward match and equal-time right rows resolve by
+    largest/smallest event_id per the as-of tiebreak contract — all of
+    which the LATERAL oracle restates ordinally. Generalizes the
+    reference's latest-before lookup (``Fx_1min.py:159-188``) to
+    bidirectional proximity."""
+    from fxspark.ops.asof import nearest_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    res = nearest_join(
+        purchases,
+        touches,
+        keys="user_id",
+        on="ts",
+        right_payload=["touch_id", "touch_type"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+        right_tiebreak=["touch_id"],
+    )
+    return res.select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        "touch_id",
+        "touch_type",
+        F.col("ts_near").alias("touch_ts"),
+    )
+
+
+@query(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), rn AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, grp, count(*) AS slen, min(day) AS sstart
+      FROM rn GROUP BY user_id, grp
+    ), agg AS (
+      SELECT user_id,
+             CAST(sum(slen) AS BIGINT) AS n_active_days,
+             CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(max(slen) AS BIGINT) AS longest_streak
+      FROM streaks GROUP BY user_id
+    ), pick AS (
+      SELECT user_id, sstart,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY slen DESC, sstart) AS r
+      FROM streaks
+    )
+    SELECT a.user_id, a.n_active_days, a.n_streaks, a.longest_streak,
+           CAST(p.sstart AS TIMESTAMP) AS longest_streak_start
+    FROM agg a JOIN pick p ON a.user_id = p.user_id AND p.r = 1
+    """,
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per user at day grain
+    (``ops/windows.activity_streaks``): consecutive active days collapse
+    into streaks via the ``day − row_number`` constant-per-island trick;
+    output is each user's total active days, streak count, longest streak
+    and its (first, on ties) start date. The event→distinct-day hash-agg
+    runs first, so the per-user window sorts days, never raw events —
+    shuffle-minimal at 100 TB. Generalizes the reference's 30-s recency
+    check (``Fx_1min.py:174-178``) to continuous-activity analysis."""
+    from fxspark.ops.windows import activity_streaks
+
+    events = load_table(spark, sf_dir, "events")
+    return activity_streaks(events, "user_id", "ts").select(
+        "user_id",
+        "n_active_days",
+        "n_streaks",
+        "longest_streak",
+        # midnight TIMESTAMP, not DATE: both engines then hand the
+        # comparator the same datetime64 dtype
+        F.col("longest_streak_start").cast("timestamp").alias(
+            "longest_streak_start"
+        ),
+    )
+
+
+@query(
+    "daily_new_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), act AS (
+      SELECT day, count(*) AS active_users FROM du GROUP BY day
+    ), fs AS (
+      SELECT user_id, min(day) AS day FROM du GROUP BY user_id
+    ), d AS (
+      SELECT day, count(*) AS new_users FROM fs GROUP BY day
+    )
+    SELECT CAST(a.day AS TIMESTAMP) AS day,
+           CAST(a.active_users AS BIGINT) AS active_users,
+           CAST(coalesce(d.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(d.new_users, 0)) OVER (
+             ORDER BY a.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM act a LEFT JOIN d ON a.day = d.day
+    """,
+)
+def q_daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative distinct users by day WITHOUT per-day
+    COUNT(DISTINCT) recomputation: each user collapses to a first-seen day
+    (hash-agg, map-side combined), days aggregate to new-user counts, and
+    the cumulative sum runs over DAY-GRAIN rows only. The naive form — one
+    COUNT(DISTINCT user) per day over all history — is O(days × users)
+    and re-shuffles the fact table per day; this is one pass. The final
+    ordered window is a single partition, but its input is calendar-
+    bounded (≤ a few thousand rows for a decade of days), stated
+    explicitly — never data-sized."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    act = du.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        act.join(daily, "day", "left")
+        .withColumn("new_users", F.coalesce(F.col("new_users"), F.lit(0)))
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "active_users",
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+    )
+
+
+@query(
+    "events_reservoir_sample",
+    oracle="""
+    SELECT event_type, event_id, user_id, value, h AS sample_hash
+    FROM (
+      SELECT event_type, event_id, user_id, value,
+             md5(CAST(event_id AS VARCHAR)) AS h,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 20
+    """,
+)
+def q_events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-stratum sample with DECLARED randomness: rank rows by
+    md5(event_id) and keep each event_type's 20 smallest — distribution-
+    equivalent to reservoir sampling but reproducible, so the sample
+    itself is oracle-verifiable (the ``events_kmv_distinct`` treatment
+    applied to row sampling). The rank is computed with the TWO-PHASE
+    ``ops/latest.k_smallest_per_key`` topology: event_type has ~5 values,
+    so a single global window would pull every row of a stratum through
+    one task at 100 TB; phase 1 keeps 20 per (stratum, scan partition),
+    phase 2 sorts ≤ 20 × numPartitions survivors."""
+    from fxspark.ops.latest import k_smallest_per_key
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type", "event_id", "user_id", "value"
+    ).withColumn("sample_hash", F.md5(F.col("event_id").cast("string")))
+    return k_smallest_per_key(
+        ev, "event_type", ["sample_hash", "event_id"], 20
+    ).select("event_type", "event_id", "user_id", "value", "sample_hash")
+
+
+@query(
+    "user_value_trimmed_mean",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY value, event_id) AS ra,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id DESC
+             ) AS rd,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*) AS raw_mean,
+           CAST(sum(CASE WHEN ra > n // 10 AND rd > n // 10
+                         THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+             / sum(CASE WHEN ra > n // 10 AND rd > n // 10
+                        THEN 1 ELSE 0 END) AS trimmed_mean
+    FROM r GROUP BY user_id
+    """,
+)
+def q_user_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 % trimmed mean per user: rank each user's values from both ends
+    (deterministic ``(value, event_id)`` order), drop ⌊n/10⌋ rows per
+    side, average the rest — the robust location estimate that ignores
+    tail spikes without the quantile interpolation trap. Sums are
+    decimal-exact before the final double division, so both engines
+    divide identical operands. One shuffle on user_id; per-user sort is
+    bounded by the per-key event count like every ``user_value_*``
+    window."""
+    events = load_table(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id")
+    r = events.select(
+        "user_id",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    keep = (F.col("ra") > F.floor(F.col("n") / 10)) & (
+        F.col("rd") > F.floor(F.col("n") / 10)
+    )
+    dec = F.col("value").cast("decimal(38,6)")
+    return r.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_obs"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("raw_mean"),
+        (
+            F.sum(F.when(keep, dec)).cast("double")
+            / F.sum(F.when(keep, F.lit(1)).otherwise(F.lit(0)))
+        ).alias("trimmed_mean"),
+    )
+
+
+@query(
+    "token_pmi_pairs",
+    oracle="""
+    WITH td AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ), dfreq AS (
+      SELECT token, count(*) AS df FROM td GROUP BY token
+    ), top AS (
+      SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 150
+    ), tdf AS (
+      SELECT td.doc_id, td.token FROM td JOIN top ON td.token = top.token
+    ), p AS (
+      SELECT a.token AS token_a, b.token AS token_b, count(*) AS c_ab
+      FROM tdf a JOIN tdf b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT p.token_a, p.token_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+           CAST(ta.df AS BIGINT) AS df_a, CAST(tb.df AS BIGINT) AS df_b,
+           CAST(CAST(ln(CAST(p.c_ab AS DOUBLE) * n.n_docs / (ta.df * tb.df))
+                AS DECIMAL(38,9)) AS DOUBLE) AS pmi
+    FROM p
+    CROSS JOIN n
+    JOIN top ta ON p.token_a = ta.token
+    JOIN top tb ON p.token_b = tb.token
+    """,
+)
+def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token co-occurrence at document
+    grain — the collocation statistic a curation pipeline uses to find
+    multi-word expressions and template boilerplate. Candidate-bounded by
+    construction: only the top-150 tokens by document frequency (rank
+    deterministic on (df desc, token)) enter the doc-keyed self-join, so
+    each document contributes ≤ C(150,2) pairs regardless of corpus size,
+    and the vocabulary ranking itself uses the two-phase bounded top-k —
+    no global sort of a corpus-sized vocabulary. PMI's ln lands in
+    DECIMAL(38,9) (the ``doc_zipf_fit`` treatment) so last-ulp libm
+    differences cannot reach the hash."""
+    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    td = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    dfreq = td.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    top = k_smallest_per_key(
+        dfreq.withColumn("_g", F.lit(1)).withColumn(
+            "_negdf", -F.col("df")
+        ),
+        "_g",
+        ["_negdf", "token"],
+        150,
+    ).select("token", "df")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tdf = td.join(F.broadcast(top.select("token")), "token")
+    a = tdf.select(
+        F.col("doc_id"), F.col("token").alias("token_a")
+    )
+    b = tdf.select(
+        F.col("doc_id"), F.col("token").alias("token_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ta = top.select(
+        F.col("token").alias("token_a"), F.col("df").alias("df_a")
+    )
+    tb = top.select(
+        F.col("token").alias("token_b"), F.col("df").alias("df_b")
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(ta), "token_a")
+        .join(F.broadcast(tb), "token_b")
+    )
+    pmi = F.log(
+        F.col("c_ab").cast("double")
+        * F.col("n_docs")
+        / (F.col("df_a") * F.col("df_b"))
+    )
+    return out.select(
+        "token_a",
+        "token_b",
+        "c_ab",
+        "df_a",
+        "df_b",
+        pmi.cast("decimal(38,9)").cast("double").alias("pmi"),
+    )
+
+
+@query(
+    "source_token_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ), cc AS (
+      SELECT token, count(*) AS cv FROM tok GROUP BY token
+    ), top AS (
+      SELECT token, cv FROM cc ORDER BY cv DESC, token LIMIT 200
+    ), tot AS (SELECT sum(cv) AS tv FROM top),
+    sv AS (
+      SELECT tok.source, tok.token, count(*) AS c
+      FROM tok JOIN top ON tok.token = top.token
+      GROUP BY tok.source, tok.token
+    ), st AS (
+      SELECT source, sum(c) AS ts FROM sv GROUP BY source
+    ), grid AS (
+      SELECT st.source, st.ts, top.token, top.cv, tot.tv,
+             coalesce(sv.c, 0) AS c
+      FROM st CROSS JOIN top CROSS JOIN tot
+      LEFT JOIN sv ON sv.source = st.source AND sv.token = top.token
+    )
+    SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(
+             (CAST(c + 1 AS DOUBLE) / CAST(ts + 200 AS DOUBLE))
+             * ln((CAST(c + 1 AS DOUBLE) / CAST(ts + 200 AS DOUBLE))
+                  / (CAST(cv + 1 AS DOUBLE) / CAST(tv + 200 AS DOUBLE)))
+             AS DECIMAL(38,9))) AS DOUBLE) AS kl_divergence
+    FROM grid GROUP BY source
+    """,
+)
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(source ‖ corpus) over the shared
+    top-200-token vocabulary with add-one smoothing — the mixture-quality
+    diagnostic that flags a source whose unigram distribution diverges
+    from the corpus (template spam, wrong language, boilerplate). The
+    vocabulary is bounded top-k (two-phase rank), the (source × vocab)
+    grid is |sources|×200 rows — broadcast-sized state, corpus stays
+    map-side — and every KL term is double-computed in a pinned operand
+    order then truncated to DECIMAL(38,9) before the exact sum, so libm's
+    last ulp never reaches the hash."""
+    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    cc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cv"))
+    top = k_smallest_per_key(
+        cc.withColumn("_g", F.lit(1)).withColumn("_negcv", -F.col("cv")),
+        "_g",
+        ["_negcv", "token"],
+        200,
+    ).select("token", "cv")
+    tot = top.agg(F.sum("cv").alias("tv"))
+    sv = tok.join(F.broadcast(top.select("token")), "token").groupBy(
+        "source", "token"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    st = sv.groupBy("source").agg(F.sum("c").alias("ts"))
+    grid = (
+        st.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(tot))
+        .join(sv, ["source", "token"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    p = (F.col("c") + 1).cast("double") / (F.col("ts") + 200).cast("double")
+    q = (F.col("cv") + 1).cast("double") / (F.col("tv") + 200).cast("double")
+    term = (p * F.log(p / q)).cast("decimal(38,9)")
+    return grid.groupBy("source").agg(
+        F.max("ts").cast("long").alias("n_tokens"),
+        F.sum(term).cast("double").alias("kl_divergence"),
+    )
+
+
+_BFS_ITER = """
+    f{i} AS (
+      SELECT DISTINCT e.dst AS node, {i} AS hops
+      FROM edges e JOIN f{prev} ON e.src = f{prev}.node
+      WHERE e.dst NOT IN (SELECT node FROM v{prev})
+    ), v{i} AS (
+      SELECT node FROM v{prev} UNION ALL SELECT node FROM f{i}
+    )"""
+
+
+@query(
+    "part_copurchase_bfs",
+    oracle="""
+    WITH e0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ), f0 AS (
+      SELECT min(l_partkey) AS node, 0 AS hops FROM lineitem
+    ), v0 AS (SELECT node FROM f0),
+    """
+    + ",".join(_BFS_ITER.format(i=i, prev=i - 1) for i in range(1, 4))
+    + """
+    SELECT node AS part, CAST(hops AS INTEGER) AS hops FROM (
+      SELECT * FROM f0 UNION ALL SELECT * FROM f1
+      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+    )
+    """,
+)
+def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability over the part co-purchase graph: BFS hop
+    distance from the lowest part key, where parts are adjacent when some
+    order contains both (``ops/graph.bfs_hops``, 3 synchronous frontier
+    expansions) — the "customers who bought X also bought..." neighborhood
+    expansion. Edge generation is the order-keyed self-join (bounded
+    pairs per order — orders hold a handful of lineitems, never
+    quadratic); per iteration the CURRENT frontier joins the checkpointed
+    edge list and anti-joins the visited set, so work is
+    frontier × degree, never |V|²; lineage stays O(1) via localCheckpoint.
+    Distances are exact integers — the oracle replays the same frontier
+    algebra as unrolled SQL."""
+    from fxspark.ops.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    e0 = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = li.agg(F.min("l_partkey").alias("node"))
+    return bfs_hops(edges, seeds, max_hops=3).select(
+        F.col("node").alias("part"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
+@query(
+    "orders_delta_agg_replay",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT (o.o_orderdate < TIMESTAMP '1995-07-01'
+               AND o.o_orderstatus = 'F')
+    GROUP BY n.n_name
+    """,
+)
+def q_orders_delta_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-set maintenance of a revenue-by-nation aggregate view
+    (``ops/ivm.delta_agg``): the stored state is built from pre-1995-07
+    orders, then ONE batch folds in the later orders as inserts (+1) AND
+    retracts the old fulfilled ('F') orders (−1) — signed-multiset
+    algebra, never a base-table re-read. Counts/sums maintain in exact
+    DECIMAL(38,6), fully-retracted keys drop, so the maintained view is
+    bit-equal to the oracle's from-scratch recompute over the net row
+    set. The aggregate-side complement of ``orders_delta_join``'s
+    join-view maintenance; replaces the reference's per-tick full-store
+    re-aggregation (``Fx_1min.py:147-217``) with batch-proportional
+    work."""
+    from fxspark.ops.ivm import delta_agg
+
+    split = F.lit("1995-07-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    with_nation = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderstatus",
+    )
+    old = with_nation.filter(F.col("o_orderdate") < split)
+    state = old.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("o_totalprice"),
+    )
+    delta = (
+        with_nation.filter(F.col("o_orderdate") >= split)
+        .withColumn("sign", F.lit(1))
+        .unionByName(
+            old.filter(F.col("o_orderstatus") == "F").withColumn(
+                "sign", F.lit(-1)
+            )
+        )
+    )
+    view = delta_agg(
+        state,
+        delta,
+        keys=["nation"],
+        sum_cols=["o_totalprice"],
+        sign_col="sign",
+        count_col="n_orders",
+    )
+    return view.select(
+        "nation",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("o_totalprice").cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "doc_token_coverage",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, count(*) AS cnt FROM t GROUP BY token
+    ), tot AS (SELECT count(*) AS total FROM t),
+    top AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM c ORDER BY cnt DESC, token LIMIT 500
+    )
+    SELECT rank, token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_tokens,
+           CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / tot.total
+             AS cum_share
+    FROM top CROSS JOIN tot
+    """,
+)
+def q_doc_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token occurrences
+    the top-k vocabulary covers, for k = 1…500 — the table that sizes a
+    tokenizer vocabulary (the knee of this curve IS the vocab-size
+    decision). The corpus-sized vocabulary never sorts globally: the
+    top-500 cut uses the two-phase bounded rank, and only those 500 rows
+    enter the cumulative window. The share divides an exact cumulative
+    BIGINT by the exact corpus total, double-cast in pinned order."""
+    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    c = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    top = k_smallest_per_key(
+        c.withColumn("_g", F.lit(1)).withColumn("_negc", -F.col("cnt")),
+        "_g",
+        ["_negc", "token"],
+        500,
+    ).select("token", "cnt")
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "cnt",
+            F.sum("cnt").over(wc).cast("long").alias("cum_tokens"),
+            (F.sum("cnt").over(wc).cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
 # The correctness driver oracle-checks the FIRST 50 ``queries()`` entries in
