@@ -8963,6 +8963,176 @@ def q_doc_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_top_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             count(*) AS n
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: sessionize (30-min gap), render each
+    session as its ordered event-type sequence, rank the 20 most common
+    paths — the funnel-discovery complement of ``event_funnel_stages``
+    (which checks ONE declared path; this finds which paths exist). The
+    per-session sequence is a ``collect_list`` of (ts, event_id, type)
+    structs sorted in-row — bounded by session length, deterministic via
+    the unique event_id even under equal timestamps (session ASSIGNMENT is
+    tie-robust by construction: an equal-ts row never opens a new
+    session). Path counting is a hash-agg on the path string; the global
+    top-20 is TakeOrdered, never a full sort."""
+    from fxspark.ops.windows import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        events, "user_id", "ts", F.expr("INTERVAL 30 MINUTES")
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"), F.col("event_id"), F.col("event_type")
+                        )
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "events_histogram_quantiles",
+    oracle="""
+    WITH stats AS (
+      SELECT min(value) AS mn, max(value) AS mx,
+             (max(value) - min(value)) / 64 AS width
+      FROM events
+    ), binned AS (
+      SELECT e.event_type,
+             CAST(least(63, floor((e.value - s.mn) / s.width)) AS INTEGER)
+               AS bin
+      FROM events e CROSS JOIN stats s
+    ), bc AS (
+      SELECT event_type, bin, count(*) AS cnt
+      FROM binned GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM bc
+    ), qb AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             min(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS b50,
+             min(CASE WHEN cum * 100 >= 90 * n THEN bin END) AS b90,
+             min(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS b99
+      FROM cum GROUP BY event_type
+    )
+    SELECT q.event_type, q.n,
+           s.mn + CAST(q.b50 + 1 AS DOUBLE) * s.width AS p50_est,
+           s.mn + CAST(q.b90 + 1 AS DOUBLE) * s.width AS p90_est,
+           s.mn + CAST(q.b99 + 1 AS DOUBLE) * s.width AS p99_est
+    FROM qb q CROSS JOIN stats s
+    """,
+)
+def q_events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile estimation: a 64-bin equi-width histogram per
+    event_type (bins from the global value range), quantile = upper edge
+    of the first bin whose cumulative count crosses the rank — the
+    fixed-bin sketch whose per-partition counts merge associatively, vs
+    the exact ``percentile`` aggregate (``order_value_percentiles``)
+    which must see every value. At 100 TB the histogram is the one that
+    streams: 64 longs per (type, partition), map-side combined; the
+    cumulative pass runs over ≤ 64 rows per type. Every estimate is
+    derived with exact integer rank predicates (cum·100 ≥ q·n) and
+    pinned-order double edge arithmetic — no interpolation, no
+    engine-specific percentile variant in the hash path."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        ((F.max("value") - F.min("value")) / 64).alias("width"),
+    )
+    binned = events.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        F.least(
+            F.lit(63),
+            F.floor((F.col("value") - F.col("mn")) / F.col("width")),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    bc = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wb = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("event_type")
+    cum = bc.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qb = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("cum") * 100 >= 50 * F.col("n"), F.col("bin"))
+        ).alias("b50"),
+        F.min(
+            F.when(F.col("cum") * 100 >= 90 * F.col("n"), F.col("bin"))
+        ).alias("b90"),
+        F.min(
+            F.when(F.col("cum") * 100 >= 99 * F.col("n"), F.col("bin"))
+        ).alias("b99"),
+    )
+    return qb.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        "n",
+        (F.col("mn") + (F.col("b50") + 1).cast("double") * F.col("width"))
+        .alias("p50_est"),
+        (F.col("mn") + (F.col("b90") + 1).cast("double") * F.col("width"))
+        .alias("p90_est"),
+        (F.col("mn") + (F.col("b99") + 1).cast("double") * F.col("width"))
+        .alias("p99_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
