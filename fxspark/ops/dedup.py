@@ -238,6 +238,69 @@ def jaccard_pairs_prefix(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 2,
+    max_shingle_freq: int | None = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric containment scoring: pairs where one document's shingle
+    set is largely CONTAINED in the other's — ``|A∩B| / min(|A|,|B|)`` —
+    the detector for partial copies, quotations, and sub-document
+    inclusion that symmetric Jaccard misses (a paragraph pasted into a
+    10× longer page has low resemblance but containment ≈ 1).
+
+    Candidates come from the shingle inverted index with a document-
+    frequency cap (``max_shingle_freq``): ultra-common shingles carry no
+    identification signal and their posting lists are what makes an
+    inverted-index self-join quadratic, so they are dropped from
+    CANDIDATE GENERATION AND SCORING alike (declared semantics — the
+    containment is over the rare-shingle universe, replayable in SQL).
+    Pairs must share ``min_shared`` surviving shingles before scoring.
+    Same single-shuffle topology as :func:`jaccard_pairs`.
+    """
+    sets_ = _shingle_sets(df, id_col, text_col, n)
+    inv = sets_.select("_id", F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+        inv = (
+            inv.join(freq, "_s")
+            .filter(F.col("_df") <= max_shingle_freq)
+            .drop("_df")
+        )
+    sz = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    inv = inv.join(sz, "_id")
+    a = inv.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_s"
+    )
+    b = inv.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_s"
+    )
+    inter = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    cont = F.col("shared") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            "shared",
+            "containment",
+        )
+    )
+
+
 def ngram_overlap(
     train: DataFrame,
     bench: DataFrame,

@@ -9133,6 +9133,345 @@ def q_events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_shingle_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t)-1)])) AS s
+      FROM toks WHERE len(t) >= 3
+    ), rare AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) <= 50
+    ), inv AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id
+    ), pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           CAST(p.shared AS BIGINT) AS shared,
+           round(CAST(p.shared AS DOUBLE) / least(sa.sz, sb.sz), 6)
+             AS containment
+    FROM pair p
+    JOIN sz sa ON p.id_a = sa.doc_id
+    JOIN sz sb ON p.id_b = sb.doc_id
+    WHERE round(CAST(p.shared AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.5
+    """,
+)
+def q_doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup detection
+    (``ops/dedup.containment_pairs``): pairs where one document's rare-
+    shingle set is ≥50 % contained in the other — the partial-copy /
+    quotation detector symmetric Jaccard misses (a paragraph pasted into
+    a 10× longer page has low resemblance but high containment). The
+    inverted index drops shingles with document frequency > 50 (declared:
+    stop-shingles carry no identification signal and their posting lists
+    are what makes the self-join quadratic), so the pair stage is
+    candidate-bounded; the oracle replays the same rare-shingle
+    universe."""
+    from fxspark.ops.dedup import containment_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return containment_pairs(
+        docs, "doc_id", "text", n=3, min_shared=2,
+        max_shingle_freq=50, threshold=0.5,
+    ).select(
+        F.col("id_a"), F.col("id_b"),
+        F.col("sz_a").cast("long").alias("sz_a"),
+        F.col("sz_b").cast("long").alias("sz_b"),
+        F.col("shared").cast("long").alias("shared"),
+        "containment",
+    )
+
+
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(c.mon AS TIMESTAMP) AS month, c.n_orders, c.revenue,
+           round((c.revenue - p.revenue) / p.revenue, 6) AS mom_growth,
+           round((c.revenue - y.revenue) / y.revenue, 6) AS yoy_growth
+    FROM m c
+    LEFT JOIN m p ON p.mon = c.mon - INTERVAL 1 MONTH
+    LEFT JOIN m y ON y.mon = c.mon - INTERVAL 12 MONTH
+    """,
+)
+def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the BI
+    staple, built calendar-safely: growth joins the month rollup to
+    itself on explicit month arithmetic (``add_months``), so a missing
+    month yields NULL growth instead of silently comparing against the
+    wrong lag row (the ``lag(1)``-over-months form breaks on gaps).
+    Corpus-sized work is one hash rollup; the growth joins run on
+    month-grain rows (calendar-bounded). Decimal-exact revenue sums are
+    double-cast BEFORE the subtraction — DECIMAL(38,6)−DECIMAL(38,6)
+    needs 39 digits and silently demotes to float in DuckDB, so both
+    engines subtract the same doubles instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("mon")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    c = m.alias("c")
+    p = m.select(
+        F.add_months("mon", 1).alias("mon_p"),
+        F.col("revenue").alias("rev_p"),
+    )
+    y = m.select(
+        F.add_months("mon", 12).alias("mon_y"),
+        F.col("revenue").alias("rev_y"),
+    )
+    return (
+        c.join(p, F.col("mon") == F.col("mon_p"), "left")
+        .join(y, F.col("mon") == F.col("mon_y"), "left")
+        .select(
+            F.col("mon").cast("timestamp").alias("month"),
+            "n_orders",
+            "revenue",
+            F.round(
+                (F.col("revenue") - F.col("rev_p")) / F.col("rev_p"), 6
+            ).alias("mom_growth"),
+            F.round(
+                (F.col("revenue") - F.col("rev_y")) / F.col("rev_y"), 6
+            ).alias("yoy_growth"),
+        )
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_custkey,
+             date_diff('day', CAST(max(o.o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             count(*) AS n_orders,
+             sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS monetary
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ), scored AS (
+      SELECT c_custkey, recency_days, n_orders, monetary,
+             6 - ntile(5) OVER (ORDER BY recency_days, c_custkey) AS r,
+             ntile(5) OVER (ORDER BY n_orders, c_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary, c_custkey) AS m
+      FROM base
+    )
+    SELECT CAST(r AS INTEGER) AS r_score, CAST(f AS INTEGER) AS f_score,
+           CAST(m AS INTEGER) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(recency_days AS DECIMAL(38,0))) AS DOUBLE)
+             / count(*) AS avg_recency_days,
+           CAST(sum(monetary) AS DOUBLE) / count(*) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: score every customer 1-5 on Recency / Frequency /
+    Monetary quintiles (deterministic ntile — the order carries the
+    custkey tiebreak, so equal values split identically in both engines)
+    and report each of the ≤125 segments' size and averages — the
+    marketing-warehouse workhorse. The per-customer rollup shares one
+    custkey shuffle; the quintile windows sort the CUSTOMER-grain frame
+    (the ``customer_decile_bands`` posture — at true scale the quintile
+    boundaries would come from percentiles + map-side binning instead,
+    trading exact tie placement for distribution)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    maxd = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("_maxd")
+    )
+    base = (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"]
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("_lastd"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn("recency_days", F.datediff("_maxd", "_lastd"))
+    )
+    scored = base.select(
+        "c_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        (
+            6 - F.ntile(5).over(
+                Window.orderBy("recency_days", "c_custkey")
+            )
+        ).alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("n_orders", "c_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "c_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.col("recency_days").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_recency_days"),
+        (F.sum("monetary").cast("double") / F.count(F.lit(1))).alias(
+            "avg_monetary"
+        ),
+    )
+
+
+@query(
+    "lineitem_discount_elasticity",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS x,
+             l_extendedprice * (1 - l_discount) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, count(*) AS n_obs,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM r GROUP BY l_returnflag
+    ), f AS (
+      SELECT l_returnflag, n_obs, sx, sy,
+             CASE WHEN n_obs * sxx - sx * sx > 0
+                  THEN (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx)
+             END AS sl
+      FROM s
+    )
+    SELECT l_returnflag, CAST(n_obs AS BIGINT) AS n_obs,
+           round(sl, 6) AS slope_per_pct,
+           round((sy - sl * sx) / n_obs, 6) AS intercept
+    FROM f
+    """,
+)
+def q_lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-vs-discount regression per return flag
+    (``ops/stats.grouped_ols`` on TPC-H facts): slope of line revenue
+    against the discount percentage — the pricing-analytics read of
+    whether discounts correlate with larger line values. Demonstrates the
+    OLS operator on an integer regressor that is NOT time (discount
+    points 0-10): five exact-decimal sufficient statistics in one
+    partial-combined groupBy, same shuffle as a plain rollup."""
+    from fxspark.ops.stats import grouped_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fit = grouped_ols(
+        li,
+        "l_returnflag",
+        x=F.round(F.col("l_discount") * 100, 0),
+        y=F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    )
+    return fit.select(
+        "l_returnflag",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("slope", 6).alias("slope_per_pct"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+@query(
+    "embedding_knn_label_agreement",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, {_dbl('embedding')} AS emb FROM embeddings
+    ), p AS (
+      SELECT vec_id AS qid, label AS plabel, emb AS qv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
+    ), scored AS (
+      SELECT p.qid, p.plabel, e.vec_id, e.label,
+             {_COS_SQL.format(a='e.emb', b='p.qv')} AS cos
+      FROM e CROSS JOIN p WHERE e.vec_id <> p.qid
+    ), top AS (
+      SELECT qid, plabel, label,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rk
+      FROM scored
+    ), sel AS (
+      SELECT qid, plabel,
+             sum(CASE WHEN label = plabel THEN 1 ELSE 0 END) AS m
+      FROM top WHERE rk <= 5 GROUP BY 1, 2
+    )
+    SELECT CAST(plabel AS INTEGER) AS label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(m) AS BIGINT) AS n_matches,
+           CAST(sum(m) AS DOUBLE) / (5 * count(*)) AS agreement
+    FROM sel GROUP BY plabel
+    """,
+)
+def q_embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: k-NN label agreement@5 on a DECLARED
+    64-vector probe sample (md5-smallest vec_ids — the reservoir-sample
+    treatment, so the eval set is reproducible and the oracle replays
+    it). For each probe, do its 5 nearest neighbors share its label? —
+    the standard sanity metric before trusting an embedding column for
+    semantic dedup or ANN retrieval. The probe set is broadcast
+    (``ops/similarity.knn_join``), so the corpus never shuffles:
+    eval cost is |probes| × corpus map-side, constant in corpus count
+    for a fixed probe budget; the probe CUT itself is the two-phase
+    bounded rank."""
+    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.similarity import knn_join
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    probes = k_smallest_per_key(
+        emb.withColumn("_g", F.lit(1)).withColumn(
+            "_h", F.md5(F.col("vec_id").cast("string"))
+        ),
+        "_g",
+        ["_h", "vec_id"],
+        64,
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("plabel"),
+        "embedding",
+    )
+    knn = knn_join(
+        probes.select("qid", "embedding"), emb, k=5, exclude_same_id=True
+    )
+    labeled = knn.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).join(F.broadcast(probes.select("qid", "plabel")), "qid")
+    sel = labeled.groupBy("qid", "plabel").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("plabel"), 1).otherwise(0)
+        ).alias("m")
+    )
+    return sel.groupBy(F.col("plabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("m").cast("long").alias("n_matches"),
+        (
+            F.sum("m").cast("double") / (5 * F.count(F.lit(1)))
+        ).alias("agreement"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
