@@ -9472,6 +9472,129 @@ def q_embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "user_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0, 6)
+             AS median_gap_s,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.95) / 1000000.0, 6)
+             AS p95_gap_s,
+           round(max(gap_us) / 1000000.0, 6) AS max_gap_s
+    FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type: the time since the
+    same user's PREVIOUS event (any type), as exact epoch-microsecond
+    integers from one lag window — the measurement that SIZES the
+    sessionization gap (`session_stats`' 30-min parameter) and a
+    streaming watermark delay: pick the gap quantile you are willing to
+    bridge, everything longer is a new session / late data. One key
+    shuffle; percentiles interpolate identical doubles in both
+    engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(
+            F.expr("percentile(CAST(gap_us AS DOUBLE), 0.5)") / 1000000.0, 6
+        ).alias("median_gap_s"),
+        F.round(
+            F.expr("percentile(CAST(gap_us AS DOUBLE), 0.95)") / 1000000.0, 6
+        ).alias("p95_gap_s"),
+        F.round(F.max("gap_us") / 1000000.0, 6).alias("max_gap_s"),
+    )
+
+
+@query(
+    "shingle_novelty_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id // 25 AS batch,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t)-1)])) AS s
+      FROM toks WHERE len(t) >= 3
+    ), occ AS (
+      SELECT doc_id // 25 AS batch, count(*) AS n_docs,
+             sum(len(string_split(lower(trim(text)), ' '))) AS n_tokens
+      FROM documents GROUP BY 1
+    ), first AS (
+      SELECT s, min(batch) AS fb FROM sh GROUP BY s
+    ), newt AS (
+      SELECT fb AS batch, count(*) AS new_shingles FROM first GROUP BY fb
+    )
+    SELECT o.batch,
+           CAST(o.n_docs AS BIGINT) AS n_docs,
+           CAST(o.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(n.new_shingles, 0) AS BIGINT) AS new_shingles,
+           CAST(sum(coalesce(n.new_shingles, 0)) OVER (
+             ORDER BY o.batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS shingle_vocab
+    FROM occ o LEFT JOIN newt n ON o.batch = n.batch
+    """,
+)
+def q_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law novelty curve over token TRIGRAMS: split the corpus into
+    25-document batches (by doc_id — declared order), count each batch's
+    never-seen-before shingles (first-seen batch per shingle — the
+    ``daily_new_users`` collapse applied to the shingle space) and the
+    cumulative shingle vocabulary — the flattening test that tells a
+    curation pipeline when additional corpus stops contributing novel
+    n-gram structure (and exposes template/synthetic text, whose curve
+    goes flat early). Corpus-sized work is two hash-aggs (distinct
+    (batch, shingle), first-seen min); the cumulative window runs over
+    BATCH-grain rows only."""
+    from fxspark.ops.dedup import shingles
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        F.expr("doc_id div 25").alias("batch"),
+        F.explode(shingles(F.col("text"), 3)).alias("s"),
+    ).distinct()
+    occ = docs.groupBy(F.expr("doc_id div 25").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    first = sh.groupBy("s").agg(F.min("batch").alias("fb"))
+    newt = first.groupBy(F.col("fb").alias("batch")).agg(
+        F.count(F.lit(1)).alias("new_shingles")
+    )
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        occ.join(newt, "batch", "left")
+        .withColumn(
+            "new_shingles", F.coalesce(F.col("new_shingles"), F.lit(0))
+        )
+        .select(
+            "batch",
+            "n_docs",
+            "n_tokens",
+            F.col("new_shingles").cast("long").alias("new_shingles"),
+            F.sum("new_shingles").over(w).cast("long").alias("shingle_vocab"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
