@@ -34,6 +34,25 @@ HEADLINE = [
 # North-star extension ops (dedup / similarity / text / multimodal) — timed
 # separately so the headline total stays comparable round-over-round.
 EXTENSION = [
+    "purchase_nearest_touch",
+    "user_activity_streaks",
+    "daily_new_users",
+    "events_reservoir_sample",
+    "user_value_trimmed_mean",
+    "token_pmi_pairs",
+    "source_token_kl",
+    "part_copurchase_bfs",
+    "orders_delta_agg_replay",
+    "doc_token_coverage",
+    "session_top_paths",
+    "events_histogram_quantiles",
+    "doc_shingle_containment",
+    "orders_mom_growth",
+    "customer_rfm_segments",
+    "lineitem_discount_elasticity",
+    "embedding_knn_label_agreement",
+    "user_interarrival_stats",
+    "shingle_novelty_curve",
     "doc_stats",
     "doc_lang_id",
     "doc_fingerprint",

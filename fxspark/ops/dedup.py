@@ -262,7 +262,12 @@ def containment_pairs(
     Pairs must share ``min_shared`` surviving shingles before scoring.
     Same single-shuffle topology as :func:`jaccard_pairs`.
     """
-    sets_ = _shingle_sets(df, id_col, text_col, n)
+    # Materialize the DOC-grain shingle arrays before exploding: the
+    # shingling HOFs (tokenize + per-position concat) are the expensive
+    # map work, and the frequency cap below would otherwise re-execute
+    # them for the build and probe sides (measured 2.5x on the sf0.1
+    # fixture). The checkpointed frame is one small row per document.
+    sets_ = _shingle_sets(df, id_col, text_col, n).localCheckpoint()
     inv = sets_.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         freq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
@@ -271,20 +276,24 @@ def containment_pairs(
             .filter(F.col("_df") <= max_shingle_freq)
             .drop("_df")
         )
+    # The capped index feeds BOTH join sides and the size rollup.
+    inv = inv.localCheckpoint()
     sz = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    inv = inv.join(sz, "_id")
-    a = inv.select(
-        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_s"
-    )
-    b = inv.select(
-        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_s"
-    )
+    # The pair join carries ONLY ids: set sizes attach to the (much
+    # smaller) pair-count table afterwards, so the shingle-keyed shuffle
+    # moves two longs per posting instead of four.
+    a = inv.select(F.col("_id").alias("id_a"), "_s")
+    b = inv.select(F.col("_id").alias("id_b"), "_s")
     inter = (
         a.join(b, "_s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
+        .join(sz.select(F.col("_id").alias("id_a"),
+                        F.col("_sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("_id").alias("id_b"),
+                        F.col("_sz").alias("sz_b")), "id_b")
     )
     cont = F.col("shared") / F.least(F.col("sz_a"), F.col("sz_b"))
     return (

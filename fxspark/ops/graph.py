@@ -134,6 +134,10 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # visited stays a plain union of already-checkpointed frontiers:
+        # its lineage is a k-way union of materialized frames (k = hops so
+        # far), so re-checkpointing it each iteration would only add a
+        # materialization job without shortening any recompute path.
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited

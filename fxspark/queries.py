@@ -8814,11 +8814,10 @@ def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
     )
-    e0 = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+    # no .distinct() here: bfs_hops dedups its edge input once before
+    # checkpointing, so a second distinct would just add a full shuffle
+    e0 = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select(
+        "src", "dst"
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
