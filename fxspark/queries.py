@@ -9594,6 +9594,208 @@ def q_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_value_autocorr",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS v
+      FROM events
+    ), p AS (
+      SELECT user_id, v AS y,
+             lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+      FROM q
+    ), s AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM p WHERE x IS NOT NULL GROUP BY user_id HAVING count(*) >= 10
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS lag1_autocorr
+    FROM s
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def q_user_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series — the
+    mean-reversion / momentum diagnostic (near 0: values are i.i.d.
+    noise; positive: trending; negative: oscillating), and the
+    single-series companion of ``user_value_correlation``'s cross-series
+    Pearson. Consecutive pairs come from one lag window per user;
+    values are quantized to DECIMAL(18,6) so every product is an exact
+    DECIMAL(37,12) and every sum exact — the final Pearson expression
+    divides identical doubles in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(38,6)").cast("decimal(18,6)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = events.select(
+        "user_id", v.alias("y"), F.lag(v).over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    ).filter(F.col("n") >= 10)
+    n = F.col("n").cast("double")
+    det_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    det_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(det_x) * F.sqrt(det_y)
+    )
+    return s.filter((det_x > 0) & (det_y > 0)).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(corr, 6).alias("lag1_autocorr"),
+    )
+
+
+@query(
+    "events_value_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(value AS VARCHAR), '[1-9]')
+                  AS INTEGER) AS digit
+      FROM events WHERE value > 0
+    ), c AS (
+      SELECT digit, count(*) AS n FROM d
+      WHERE digit IS NOT NULL GROUP BY digit
+    ), t AS (SELECT sum(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / t.total AS obs_share,
+           CASE digit
+             WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+             WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+             WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
+             WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+             WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+             WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+             WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+             WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+             WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE)
+           END AS benford_share
+    FROM c CROSS JOIN t
+    """,
+)
+def q_events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic screen: the first-significant-digit
+    distribution of positive values vs the log10(1+1/d) expectation —
+    the classic fabricated-data / unit-mixing detector for a numeric
+    fact column. The digit is extracted from the value's STRING form
+    (first [1-9] — correct for plain and scientific notation alike,
+    avoiding the floor(log10) ulp trap at powers of ten); expected
+    shares are python-computed literals injected into BOTH engines
+    (the Fellegi-Sunter injected-weights discipline). One map-side
+    projection + a 9-row aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    ben = {1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992, 4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322, 7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514}
+    d = events.filter(F.col("value") > 0).select(
+        F.regexp_extract(F.col("value").cast("string"), "[1-9]", 0)
+        .cast("int")
+        .alias("digit")
+    ).filter(F.col("digit").isNotNull())
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    expected = F.lit(None).cast("double")
+    for dg, share in sorted(ben.items(), reverse=True):
+        expected = F.when(F.col("digit") == dg, F.lit(share)).otherwise(
+            expected
+        )
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("total")).alias("obs_share"),
+        expected.alias("benford_share"),
+    )
+
+
+@query(
+    "supplier_nation_herfindahl",
+    oracle="""
+    WITH sr AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,6))) AS rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ), nr AS (
+      SELECT s_nationkey, count(*) AS n_suppliers, sum(rev) AS nrev
+      FROM sr GROUP BY s_nationkey
+    ), shares AS (
+      SELECT sr.s_nationkey,
+             CAST(sr.rev AS DOUBLE) / CAST(nr.nrev AS DOUBLE) AS share
+      FROM sr JOIN nr USING (s_nationkey)
+    )
+    SELECT n.n_name AS nation,
+           CAST(max(nr.n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(s.share * s.share AS DECIMAL(38,9)))
+                AS DOUBLE) AS hhi,
+           round(max(s.share), 6) AS top_share
+    FROM shares s
+    JOIN nr ON s.s_nationkey = nr.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_supplier_nation_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: the Herfindahl-
+    Hirschman index (sum of squared revenue shares) plus the top
+    supplier's share — the market-structure read that flags nations
+    where one supplier dominates (procurement risk). Revenue rolls up
+    decimal-exact; each share divides identical exact operands, and the
+    squared-share terms are truncated to DECIMAL(38,9) before the exact
+    sum so the HHI is order-independent. Two key-partitioned rollups +
+    a broadcast nation join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(38,6)")
+    sr = (
+        li.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    nr = sr.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").alias("nrev"),
+    )
+    shares = sr.join(nr, "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        (F.col("rev").cast("double") / F.col("nrev").cast("double"))
+        .alias("share"),
+    )
+    return (
+        shares.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.sum(
+                (F.col("share") * F.col("share")).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
