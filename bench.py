@@ -34,6 +34,9 @@ HEADLINE = [
 # North-star extension ops (dedup / similarity / text / multimodal) — timed
 # separately so the headline total stays comparable round-over-round.
 EXTENSION = [
+    "user_value_autocorr",
+    "events_value_benford",
+    "supplier_nation_herfindahl",
     "purchase_nearest_touch",
     "user_activity_streaks",
     "daily_new_users",

@@ -336,3 +336,52 @@ def test_first_touch_no_window_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "purchase_first_touch")
     assert "Window" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_nearest_touch_single_exchange_single_window(spark, sf_dir):
+    """nearest_join's docstring promise: BOTH directional picks come from
+    the SAME sorted window — one exchange, one sort, one Window operator.
+    A second sort or exchange means the single-pass design regressed to
+    the two-asof composition."""
+    plan = _plan(spark, sf_dir, "purchase_nearest_touch")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("+- Window") + plan.count(":- Window") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_reservoir_sample_two_phase_rank(spark, sf_dir):
+    """k_smallest_per_key phase 1 must rank within (key, scan partition)
+    — the window spec carries SPARK_PARTITION_ID — so no task ever sorts
+    a whole stratum."""
+    plan = _plan(spark, sf_dir, "events_reservoir_sample")
+    assert "SPARK_PARTITION_ID" in plan.upper() or "_pid" in plan, plan
+
+
+def test_containment_pair_shuffle_carries_ids_only(spark, sf_dir):
+    """The shingle-keyed pair join must move (id, shingle) postings only;
+    set sizes attach AFTER the pair aggregation (the round-6 perf fix).
+    A SortMergeJoin input projecting _sz would mean the wide-shuffle
+    regression came back."""
+    plan = _plan(spark, sf_dir, "doc_shingle_containment")
+    import re
+
+    # find every join keyed on the shingle column, whatever join strategy
+    # AQE picked at this scale (broadcast at sf0.001, SMJ at scale)
+    segs = [
+        seg
+        for seg in re.split(
+            r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan
+        )[1:]
+        if seg.lstrip().startswith("[_s#")
+    ]
+    assert segs, "expected a shingle-keyed join"
+    for seg in segs:
+        assert "_sz" not in seg[:600], seg[:600]
+
+
+def test_histogram_quantiles_broadcasts_range_stats(spark, sf_dir):
+    """The global min/max frame must broadcast to the binning projection
+    (map-side binning), never shuffle the fact table against it."""
+    plan = _plan(spark, sf_dir, "events_histogram_quantiles")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
