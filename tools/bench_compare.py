@@ -1,0 +1,62 @@
+"""Compare bench records and flag drift OUTSIDE the measured noise band.
+
+Single-rep extension timings on this host swing ±30-50% run-to-run (GC /
+page-cache / JVM-warm-up — see NOTES_r7.md "Bench discipline"), so a naive
+old-vs-new ratio flags noise every round. This tool takes ANY number of
+records (e.g. the current BENCH_FULL_LOCAL.json plus committed versions via
+`git show <ref>:BENCH_FULL_LOCAL.json > /tmp/old.json`), uses the per-query
+MEDIAN across records as the stable signal, and flags only queries whose
+newest reading exceeds both the cross-record median by `--band` (default
+1.5x) AND an absolute floor (default 0.5 s) — sub-floor entries are
+stage-floor-bound and never meaningfully regress.
+
+Usage:
+    python tools/bench_compare.py new.json old1.json [old2.json ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        d = json.load(fh)
+    out = dict(d.get("queries", {}))
+    out.update(d.get("extensions", {}))
+    return {k: v for k, v in out.items() if isinstance(v, (int, float)) and v > 0}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("new")
+    ap.add_argument("old", nargs="+")
+    ap.add_argument("--band", type=float, default=1.5)
+    ap.add_argument("--floor", type=float, default=0.5)
+    args = ap.parse_args()
+
+    new = load(args.new)
+    olds = [load(p) for p in args.old]
+    flagged, improved = [], []
+    for q, v in sorted(new.items()):
+        hist = [o[q] for o in olds if q in o]
+        if not hist:
+            continue
+        ref = statistics.median(hist)
+        if v > max(ref * args.band, args.floor):
+            flagged.append((v / ref, q, ref, v))
+        elif ref > args.floor and v < ref / args.band:
+            improved.append((ref / v, q, ref, v))
+
+    for label, rows in (("REGRESSED", flagged), ("IMPROVED", improved)):
+        print(f"{label}: {len(rows)}")
+        for r, q, ref, v in sorted(rows, reverse=True):
+            print(f"  {r:5.2f}x  {q:40s} median(old)={ref:6.2f}s now={v:6.2f}s")
+    if not flagged:
+        print("no drift outside the noise band")
+
+
+if __name__ == "__main__":
+    main()
