@@ -34,6 +34,11 @@ HEADLINE = [
 # North-star extension ops (dedup / similarity / text / multimodal) — timed
 # separately so the headline total stays comparable round-over-round.
 EXTENSION = [
+    "doc_language_confusion",
+    "event_transition_eval",
+    "embedding_label_outliers",
+    "embedding_quantized_recall",
+    "doc_top_sentence",
     "user_value_autocorr",
     "events_value_benford",
     "supplier_nation_herfindahl",

@@ -9796,6 +9796,454 @@ def q_supplier_nation_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "doc_language_confusion",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS en,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht'], x))) AS de,
+        len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS fr,
+        len(list_filter(toks, x -> list_contains(['el','los','que','y','es'], x))) AS es
+      FROM t
+    ), pred AS (
+      SELECT lang AS actual_lang,
+        CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+             WHEN es > greatest(en, de, fr) THEN 'es'
+             WHEN fr > greatest(en, de) THEN 'fr'
+             WHEN de > en THEN 'de'
+             ELSE 'en' END AS pred_lang
+      FROM s
+    ), cell AS (
+      SELECT actual_lang, pred_lang, count(*) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT actual_lang, pred_lang, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY actual_lang) AS share_of_actual
+    FROM cell
+    """,
+)
+def q_doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the engine's OWN language
+    identifier: `ops/text.lang_id` predictions against the table's
+    ground-truth ``lang``, as (actual, predicted, count, share-of-actual)
+    cells — the per-class recall diagonal read. Evaluating a built-in
+    operator against labels inside the engine is the pattern every
+    curation pipeline needs before trusting a heuristic gate at 100 TB;
+    the matrix itself is a hash-agg plus a language-cardinality-bounded
+    share window."""
+    from fxspark.ops.text import lang_id
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pred = docs.select(
+        F.col("lang").alias("actual_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+    cell = pred.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("actual_lang")
+    return cell.select(
+        "actual_lang",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias(
+            "share_of_actual"
+        ),
+    )
+
+
+@query(
+    "event_transition_eval",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), pairs AS (
+      SELECT user_id, rn, n, event_type AS dst,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS src
+      FROM r
+    ), train AS (
+      SELECT src, dst FROM pairs
+      WHERE src IS NOT NULL AND rn * 10 <= 8 * n
+    ), model AS (
+      SELECT src, dst AS pred FROM (
+        SELECT src, dst, row_number() OVER (
+          PARTITION BY src ORDER BY count(*) DESC, dst) AS rk
+        FROM train GROUP BY src, dst
+      ) WHERE rk = 1
+    ), test AS (
+      SELECT src, dst FROM pairs
+      WHERE src IS NOT NULL AND (rn - 1) * 10 > 8 * n
+    )
+    SELECT t.src, CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.dst = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(sum(CASE WHEN t.dst = m.pred THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS accuracy
+    FROM test t JOIN model m ON t.src = m.src
+    GROUP BY t.src
+    """,
+)
+def q_event_transition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtested next-event prediction: train a first-order Markov
+    argmax model (most frequent successor per event type, deterministic
+    tiebreak) on each user's FIRST 80 % of events and score it on pairs
+    fully inside the LAST 20 % — the train/test temporal-split
+    discipline applied to ``event_transition_matrix``, with exact
+    integer rank predicates (rn·10 ≤ 8·n) so the split is engine-
+    identical. The model is states²-bounded (broadcast); both phases
+    share the per-user sequence shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    r = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pairs = r.select(
+        "rn",
+        "n",
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("rn")
+        ).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    train = pairs.filter(F.col("rn") * 10 <= 8 * F.col("n"))
+    wm = Window.partitionBy("src").orderBy(
+        F.col("cnt").desc(), "dst"
+    )
+    model = (
+        train.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("src", F.col("dst").alias("pred"))
+    )
+    test = pairs.filter((F.col("rn") - 1) * 10 > 8 * F.col("n"))
+    hit = F.when(F.col("dst") == F.col("pred"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(model), "src")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+@query(
+    "embedding_label_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, g.i AS pos,
+             CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,10)) AS val
+      FROM embeddings, generate_series(1, 64) g(i)
+    ), cent AS (
+      SELECT label, pos, CAST(sum(val) AS DOUBLE) / count(*) AS c
+      FROM ex GROUP BY label, pos
+    ), dist AS (
+      SELECT ex.vec_id, ex.label,
+             sqrt(CAST(sum(CAST(round((CAST(ex.val AS DOUBLE) - cent.c)
+                                      * (CAST(ex.val AS DOUBLE) - cent.c),
+                                      12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS d
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      GROUP BY ex.vec_id, ex.label
+    ), q AS (
+      SELECT vec_id, label, d,
+             CAST(CAST(d AS DECIMAL(18,9)) AS DOUBLE) AS dq
+      FROM dist
+    ), s AS (
+      SELECT label, count(*) AS n,
+             CAST(sum(CAST(d AS DECIMAL(18,9))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(d AS DECIMAL(18,9))
+                      * CAST(d AS DECIMAL(18,9))) AS DOUBLE) AS sdd
+      FROM q GROUP BY label
+    )
+    SELECT q.vec_id, q.label, round(q.d, 6) AS dist,
+           round((q.dq - s.sd / s.n)
+                 / sqrt(s.sdd / s.n - (s.sd / s.n) * (s.sd / s.n)), 6)
+             AS z
+    FROM q JOIN s ON q.label = s.label
+    WHERE s.sdd / s.n - (s.sd / s.n) * (s.sd / s.n) > 0
+      AND (q.dq - s.sd / s.n)
+            / sqrt(s.sdd / s.n - (s.sd / s.n) * (s.sd / s.n)) > 2
+    """,
+)
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label outliers — vectors unusually FAR from their
+    own label's centroid (z-score of centroid distance > 2 within the
+    label): the mislabeled-or-noisy-example pruning gate a training-data
+    pipeline runs before fitting on labeled embeddings. Centroids are
+    the exact-decimal (label, dim) partial-sum exchange from
+    ``label_centroid_stats``; squared deviations are quantized to
+    DECIMAL(38,12) before the per-vector sum, and the distance moments
+    to DECIMAL(18,9) before the per-label sums — every double division
+    then has identical operands in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val").cast("double").cast("decimal(30,10)").alias("val"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    dev = F.col("val").cast("double") - F.col("c")
+    dist = (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum(F.round(dev * dev, 12).cast("decimal(38,12)"))
+                .cast("double")
+            ).alias("d")
+        )
+    )
+    dq = F.col("d").cast("decimal(18,9)")
+    q = dist.select(
+        "vec_id", "label", "d", dq.cast("double").alias("dq")
+    )
+    s = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).cast("double").alias("sd"),
+        F.sum(dq * dq).cast("double").alias("sdd"),
+    )
+    mean = F.col("sd") / F.col("n")
+    var = F.col("sdd") / F.col("n") - mean * mean
+    z = (F.col("dq") - mean) / F.sqrt(var)
+    return (
+        q.join(F.broadcast(s), "label")
+        .filter((var > 0) & (z > 2))
+        .select(
+            "vec_id",
+            "label",
+            F.round("d", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+@query(
+    "embedding_quantized_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             list_apply(emb,
+               x -> greatest(-127, least(127, round(x * 127))) / 127.0)
+               AS dq
+      FROM e
+    ), p AS (
+      SELECT e.vec_id AS qid, e.emb AS qv, qz.dq AS qvq
+      FROM e JOIN qz ON e.vec_id = qz.vec_id
+      ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id LIMIT 16
+    ), truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, e.vec_id,
+               row_number() OVER (PARTITION BY p.qid ORDER BY
+                 {_COS_SQL.format(a='e.emb', b='p.qv')} DESC, e.vec_id)
+                 AS rk
+        FROM e CROSS JOIN p WHERE e.vec_id <> p.qid
+      ) WHERE rk <= 5
+    ), approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, qz.vec_id,
+               row_number() OVER (PARTITION BY p.qid ORDER BY
+                 {_COS_SQL.format(a='qz.dq', b='p.qvq')} DESC, qz.vec_id)
+                 AS rk
+        FROM qz CROSS JOIN p WHERE qz.vec_id <> p.qid
+      ) WHERE rk <= 5
+    )
+    SELECT t.qid, CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
+           CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM truth t LEFT JOIN approx a
+      ON t.qid = a.qid AND t.vec_id = a.vec_id
+    GROUP BY t.qid
+    """,
+)
+def q_embedding_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8 scalar quantization against full-precision
+    ground truth, on a DECLARED 16-probe md5 sample — the eval that
+    answers "how much retrieval quality does 4× vector compression
+    cost" BEFORE shipping a quantized index. Both rankings run as
+    broadcast-probe kNN joins (corpus never shuffles); the probe cut is
+    the two-phase bounded rank, and quantized values are exact 1/127
+    multiples so both engines rank identical doubles."""
+    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.similarity import cosine, dequantize_vec, quantize_vec
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("dq", dequantize_vec(quantize_vec(F.col("emb"))))
+    p = k_smallest_per_key(
+        e.withColumn("_g", F.lit(1)).withColumn(
+            "_h", F.md5(F.col("vec_id").cast("string"))
+        ),
+        "_g",
+        ["_h", "vec_id"],
+        16,
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qv"),
+        F.col("dq").alias("qvq"),
+    )
+
+    def topk(side: str, probe: str):
+        scored = e.crossJoin(F.broadcast(p)).filter(
+            F.col("vec_id") != F.col("qid")
+        ).select(
+            "qid",
+            "vec_id",
+            cosine(F.col(side), F.col(probe)).alias("cos"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), "vec_id"
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("qid", "vec_id")
+        )
+
+    truth = topk("emb", "qv")
+    approx = topk("dq", "qvq")
+    hit = approx.withColumn("_hit", F.lit(1))
+    return (
+        truth.join(hit, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("_hit").alias("n_overlap"),
+            (F.count("_hit").cast("double") / 5).alias("recall_at_5"),
+        )
+    )
+
+
+@query(
+    "doc_top_sentence",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lower(trim(text)) AS txt FROM documents
+    ), sent0 AS (
+      SELECT doc_id,
+             unnest(string_split(txt, '. ')) AS sentence,
+             unnest(range(1, len(string_split(txt, '. ')) + 1))
+               AS position
+      FROM t
+    ), stok AS (
+      SELECT doc_id, position, sentence,
+             string_split(sentence, ' ') AS toks
+      FROM sent0 WHERE len(string_split(sentence, ' ')) >= 3
+    ), df AS (
+      SELECT token, count(*) AS dfreq FROM (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(txt, ' ')) AS token
+        FROM t
+      ) GROUP BY token
+    ), tokrows AS (
+      SELECT doc_id, position, sentence, len(toks) AS slen,
+             unnest(toks) AS token
+      FROM stok
+    ), scored AS (
+      SELECT s.doc_id, s.position, s.sentence,
+             CAST(sum(CAST(1.0 / df.dfreq AS DECIMAL(18,9))) AS DOUBLE)
+               / s.slen AS score
+      FROM tokrows s JOIN df ON s.token = df.token
+      GROUP BY s.doc_id, s.position, s.sentence, s.slen
+    )
+    SELECT doc_id, position, sentence, round(score, 6) AS score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, position) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def q_doc_top_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive one-sentence summarization: split each document on
+    '. ', score sentences by mean token RARITY (1/document-frequency —
+    the transcendental-free idf surrogate, each weight quantized to
+    DECIMAL(18,9) before the exact sum), keep the top sentence per doc
+    (earliest on ties). The corpus-level document-frequency table is
+    the only shuffle-heavy piece and it is vocabulary-sized; sentences
+    explode map-side. This is the document-condensation primitive for
+    preview/snippet generation over a 100 TB corpus."""
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("txt")
+    )
+    sent = t.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("txt"), "\\. ")).alias(
+            "pos0", "sentence"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("position"),
+        "sentence",
+        F.split(F.col("sentence"), " ").alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    dfreq = (
+        t.select(
+            "doc_id", F.explode(F.split(F.col("txt"), " ")).alias("token")
+        )
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+    stok = sent.select(
+        "doc_id",
+        "position",
+        "sentence",
+        F.size("toks").alias("slen"),
+        F.explode("toks").alias("token"),
+    )
+    scored = (
+        stok.join(dfreq, "token")
+        .groupBy("doc_id", "position", "sentence", "slen")
+        .agg(
+            (
+                F.sum(
+                    (F.lit(1.0) / F.col("dfreq")).cast("decimal(18,9)")
+                ).cast("double")
+                / F.col("slen")
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "position"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "position", "sentence", F.round("score", 6).alias("score"))
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
