@@ -137,3 +137,37 @@ def k_smallest_per_key(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def k_smallest_global(
+    df: DataFrame,
+    order_by: Sequence[str] | str,
+    k: int,
+) -> DataFrame:
+    """Global (un-keyed) bounded top-k: :func:`k_smallest_per_key` with a
+    constant grouping key, hidden so call sites don't hand-roll the
+    ``lit(1)`` wrapper. Same two-phase topology — the global sort sees
+    ≤ k×numPartitions survivors, never the corpus."""
+    out = k_smallest_per_key(
+        df.withColumn("_g", F.lit(1)), "_g", order_by, k
+    )
+    return out.drop("_g")
+
+
+def k_largest_global(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    tiebreak: Sequence[str] | str,
+) -> DataFrame:
+    """The k rows with the LARGEST ``value_col`` (numeric), ties resolved
+    by ``tiebreak`` ascending — the descending twin of
+    :func:`k_smallest_global`, expressed by negating the value so the
+    two-phase ascending rank applies unchanged. Negation (not a
+    ``desc()`` order) because the two-phase helper takes plain column
+    names; the temp column never escapes."""
+    tb = _cols(tiebreak)
+    out = k_smallest_global(
+        df.withColumn("_neg", -F.col(value_col)), ["_neg", *tb], k
+    )
+    return out.drop("_neg")

@@ -13,6 +13,8 @@ scalar subquery; Catalyst plans the same thing for the SQL form.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +44,7 @@ def sessionize(
     keys: str | list[str],
     ts_col: str,
     gap: Column,
+    tiebreak: Sequence[str] | None = None,
 ) -> DataFrame:
     """Gap-based session assignment (the batch analog of streaming session
     windows): a new session starts when the time since the previous event of
@@ -49,11 +52,16 @@ def sessionize(
 
     Adds ``session_id`` (0-based per key). Single shuffle+sort on the key;
     the two stacked windows share one exchange/sort (same partitioning).
+    ``tiebreak``: extra order columns so EQUAL-``ts`` rows sort (and
+    therefore sessionize) deterministically — without it, a duplicated
+    first timestamp per key leaves which tied row opens the session to
+    sort-order arbitrariness (boundary ties are safe either way: a
+    zero gap never opens a session).
     """
     from pyspark.sql import Window
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    w = Window.partitionBy(*keys).orderBy(ts_col)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *(tiebreak or []))
     prev_ts = F.lag(ts_col).over(w)
     is_new = F.when(
         prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap), F.lit(1)

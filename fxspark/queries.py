@@ -269,7 +269,7 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_stats",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
@@ -277,7 +277,7 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
       FROM flagged
     )
@@ -289,7 +289,10 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch analog of streaming session windows)."""
     events = load_table(spark, sf_dir, "events")
-    sess = sessionize(events, "user_id", "ts", F.expr("INTERVAL 30 MINUTES"))
+    sess = sessionize(
+        events, "user_id", "ts", F.expr("INTERVAL 30 MINUTES"),
+        tiebreak=["event_id"],
+    )
     return sess.groupBy("user_id").agg(
         F.countDistinct("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
@@ -904,7 +907,7 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, lang,
-      CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+      CASE WHEN en IS NULL OR greatest(en, de, fr, es) = 0 THEN 'unknown'
            WHEN es > greatest(en, de, fr) THEN 'es'
            WHEN fr > greatest(en, de) THEN 'fr'
            WHEN de > en THEN 'de'
@@ -8628,7 +8631,7 @@ def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort of a corpus-sized vocabulary. PMI's ln lands in
     DECIMAL(38,9) (the ``doc_zipf_fit`` treatment) so last-ulp libm
     differences cannot reach the hash."""
-    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.latest import k_largest_global
     from fxspark.ops.text import tokens
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -8636,14 +8639,9 @@ def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     ).distinct()
     dfreq = td.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    top = k_smallest_per_key(
-        dfreq.withColumn("_g", F.lit(1)).withColumn(
-            "_negdf", -F.col("df")
-        ),
-        "_g",
-        ["_negdf", "token"],
-        150,
-    ).select("token", "df")
+    top = k_largest_global(dfreq, "df", 150, "token").select(
+        "token", "df"
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tdf = td.join(F.broadcast(top.select("token")), "token")
     a = tdf.select(
@@ -8727,24 +8725,25 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side — and every KL term is double-computed in a pinned operand
     order then truncated to DECIMAL(38,9) before the exact sum, so libm's
     last ulp never reaches the hash."""
-    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.latest import k_largest_global
     from fxspark.ops.text import tokens
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("token")
     )
-    cc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cv"))
-    top = k_smallest_per_key(
-        cc.withColumn("_g", F.lit(1)).withColumn("_negcv", -F.col("cv")),
-        "_g",
-        ["_negcv", "token"],
-        200,
-    ).select("token", "cv")
+    # ONE corpus tokenize pass: the (source, token) rollup feeds both the
+    # global counts (a second, source-collapsing agg over the small frame)
+    # and the per-source counts — `tok` is never re-executed
+    sv0 = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint()
+    cc = sv0.groupBy("token").agg(F.sum("c").cast("long").alias("cv"))
+    top = k_largest_global(cc, "cv", 200, "token").select("token", "cv")
     tot = top.agg(F.sum("cv").alias("tv"))
-    sv = tok.join(F.broadcast(top.select("token")), "token").groupBy(
-        "source", "token"
-    ).agg(F.count(F.lit(1)).alias("c"))
+    sv = sv0.join(F.broadcast(top.select("token")), "token").select(
+        "source", "token", "c"
+    )
     st = sv.groupBy("source").agg(F.sum("c").alias("ts"))
     grid = (
         st.crossJoin(F.broadcast(top))
@@ -8933,19 +8932,17 @@ def q_doc_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-500 cut uses the two-phase bounded rank, and only those 500 rows
     enter the cumulative window. The share divides an exact cumulative
     BIGINT by the exact corpus total, double-cast in pinned order."""
-    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.latest import k_largest_global
     from fxspark.ops.text import tokens
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
     c = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = tok.agg(F.count(F.lit(1)).alias("total"))
-    top = k_smallest_per_key(
-        c.withColumn("_g", F.lit(1)).withColumn("_negc", -F.col("cnt")),
-        "_g",
-        ["_negc", "token"],
-        500,
-    ).select("token", "cnt")
+    # total from the vocabulary-sized counts frame: deriving it from `tok`
+    # would re-execute the corpus tokenize+explode (different exchange, no
+    # reuse) — same cost class as the containment_pairs 2.5x re-execution
+    tot = c.agg(F.sum("cnt").alias("total"))
+    top = k_largest_global(c, "cnt", 500, "token").select("token", "cnt")
     w = Window.orderBy(F.col("cnt").desc(), "token")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -8974,7 +8971,7 @@ def q_doc_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, event_id, event_type,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
       FROM flagged
     ), paths AS (
@@ -9004,7 +9001,8 @@ def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     sess = sessionize(
-        events, "user_id", "ts", F.expr("INTERVAL 30 MINUTES")
+        events, "user_id", "ts", F.expr("INTERVAL 30 MINUTES"),
+        tiebreak=["event_id"],
     )
     paths = sess.groupBy("user_id", "session_id").agg(
         F.array_join(
@@ -9435,15 +9433,12 @@ def q_embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     eval cost is |probes| × corpus map-side, constant in corpus count
     for a fixed probe budget; the probe CUT itself is the two-phase
     bounded rank."""
-    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.latest import k_smallest_global
     from fxspark.ops.similarity import knn_join
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    probes = k_smallest_per_key(
-        emb.withColumn("_g", F.lit(1)).withColumn(
-            "_h", F.md5(F.col("vec_id").cast("string"))
-        ),
-        "_g",
+    probes = k_smallest_global(
+        emb.withColumn("_h", F.md5(F.col("vec_id").cast("string"))),
         ["_h", "vec_id"],
         64,
     ).select(
@@ -9811,7 +9806,7 @@ def q_supplier_nation_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ), pred AS (
       SELECT lang AS actual_lang,
-        CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+        CASE WHEN en IS NULL OR greatest(en, de, fr, es) = 0 THEN 'unknown'
              WHEN es > greatest(en, de, fr) THEN 'es'
              WHEN fr > greatest(en, de) THEN 'fr'
              WHEN de > en THEN 'de'
@@ -9993,7 +9988,7 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,12) before the per-vector sum, and the distance moments
     to DECIMAL(18,9) before the per-label sums — every double division
     then has identical operands in both engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     ex = emb.select(
         "vec_id",
         "label",
@@ -10089,7 +10084,7 @@ def q_embedding_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-probe kNN joins (corpus never shuffles); the probe cut is
     the two-phase bounded rank, and quantized values are exact 1/127
     multiples so both engines rank identical doubles."""
-    from fxspark.ops.latest import k_smallest_per_key
+    from fxspark.ops.latest import k_smallest_global
     from fxspark.ops.similarity import cosine, dequantize_vec, quantize_vec
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
@@ -10097,11 +10092,8 @@ def q_embedding_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
     ).withColumn("dq", dequantize_vec(quantize_vec(F.col("emb"))))
-    p = k_smallest_per_key(
-        e.withColumn("_g", F.lit(1)).withColumn(
-            "_h", F.md5(F.col("vec_id").cast("string"))
-        ),
-        "_g",
+    p = k_smallest_global(
+        e.withColumn("_h", F.md5(F.col("vec_id").cast("string"))),
         ["_h", "vec_id"],
         16,
     ).select(
