@@ -8732,12 +8732,16 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("token")
     )
-    # ONE corpus tokenize pass: the (source, token) rollup feeds both the
-    # global counts (a second, source-collapsing agg over the small frame)
-    # and the per-source counts — `tok` is never re-executed
+    # ONE corpus pass: the (source, token) rollup feeds the global counts
+    # (source-collapsing agg over the small grouped frame) and, via the
+    # top join, the per-source counts. Same-JVM A/B at sf0.1 (4 reps
+    # each): this shape 1.40 s vs 1.77 s for the double-explode form and
+    # 1.51 s with a localCheckpoint of the rollup — share the rollup,
+    # do NOT materialize it (the checkpoint job costs more than the
+    # recompute it avoids at this scale).
     sv0 = tok.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint()
+    )
     cc = sv0.groupBy("token").agg(F.sum("c").cast("long").alias("cv"))
     top = k_largest_global(cc, "cv", 200, "token").select("token", "cv")
     tot = top.agg(F.sum("cv").alias("tv"))
