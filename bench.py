@@ -6,7 +6,10 @@ Prints ONE JSON line:
      "unit": "sec", "queries": {name: median_sec, ...}, "sf": <float>}
 
 Execution is forced with a noop sink (full compute, no driver materialization
-cost), median of REPS warm runs after one warm-up.
+cost). Headline timing is median of REPS runs taken AFTER (a) one untimed
+sweep of the whole headline list (absorbs JVM/JIT ramp session-wide) and
+(b) a per-query warm-up. A fixed calibration micro-query is timed before and
+after the headline loop; >40% drift marks the record load-contaminated.
 """
 
 from __future__ import annotations
@@ -209,7 +212,7 @@ EXTENSION = [
     "source_overlap_kmv",
 ]
 
-REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "3"))
+REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))
 EXT_REPS = int(os.environ.get("FXSPARK_BENCH_EXT_REPS", "1"))
 
 FX_ROWS = int(os.environ.get("FXSPARK_BENCH_FX_ROWS", "1000000"))
@@ -282,9 +285,57 @@ def main() -> None:
             sink[name] = -1.0
             print(f"# {name}: ERROR {str(ex)[:200]}", file=sys.stderr)
 
+    def calibration_probe() -> float:
+        """Fixed synthetic micro-query (no I/O, one shuffle) timed as a load
+        canary: median of 3 post-warm-up runs. Compared before/after the
+        headline loop — >40% drift means the host was loaded or the JVM was
+        still ramping during the capture, and the record says so."""
+        from pyspark.sql import functions as PF
+
+        def probe_run():
+            spark.range(2_000_000).select(
+                PF.pmod(PF.col("id") * 2654435761, PF.lit(1000)).alias("k"),
+                PF.col("id").alias("v"),
+            ).groupBy("k").agg(PF.sum("v").alias("s")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        probe_run()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter(); probe_run()
+            runs.append(time.perf_counter() - t0)
+        return round(statistics.median(runs), 4)
+
+    # Session-level warm-up (VERDICT r6 task 1): the per-query warm-up below
+    # can't absorb JVM/JIT/classloader ramp — the driver's r6 capture read the
+    # first-executed queries at 2-3.5x their idle medians. One untimed sweep
+    # of the whole headline list loads every code path (scan, hash-agg, sort,
+    # window, join, codegen) before any clock starts.
+    for name in [n for n in HEADLINE if n in QUERIES]:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001
+            pass  # the timed loop records the failure properly
+    print("# session warm-up sweep done", file=sys.stderr)
+
+    calib_before = calibration_probe()
+    print(f"# calibration before: {calib_before:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in [n for n in HEADLINE if n in QUERIES]:
         timed(name, REPS, timings)
+
+    calib_after = calibration_probe()
+    drift = abs(calib_after - calib_before) / max(min(calib_before, calib_after), 1e-9)
+    load_contaminated = drift > 0.40
+    print(
+        f"# calibration after: {calib_after:.3f}s (drift {drift:.0%}"
+        f"{', LOAD-CONTAMINATED' if load_contaminated else ''})",
+        file=sys.stderr,
+    )
 
     ext_timings: dict[str, float] = {}
     for name in [n for n in EXTENSION if n in QUERIES]:
@@ -529,6 +580,14 @@ def main() -> None:
         "extensions": ext_timings,
         "extensions_total": round(sum(ext_timings.values()), 4),
         "sf": sf,
+        "capture": {
+            "warmup_sweep": True,
+            "headline_reps": REPS,
+            "calibration_before_s": calib_before,
+            "calibration_after_s": calib_after,
+            "calibration_drift": round(drift, 3),
+            "load_contaminated": load_contaminated,
+        },
     }
     # Full record (per-extension timings) goes to a file + stderr; the FINAL
     # stdout line stays compact so the driver's captured tail always parses
@@ -540,7 +599,7 @@ def main() -> None:
     print("# full record: BENCH_FULL_LOCAL.json", file=sys.stderr)
     print(json.dumps({k: full[k] for k in
                       ("metric", "value", "unit", "queries",
-                       "extensions_total", "sf")}))
+                       "extensions_total", "sf", "capture")}))
 
 
 if __name__ == "__main__":

@@ -238,6 +238,12 @@ def nearest_join(
     Returns left columns + ``right_payload`` (renamed ``{c}{suffix}`` on
     collision) + ``{on}{suffix}`` = matched right timestamp (null when no
     match is in band).
+
+    Right rows with NULL ``on`` are dropped: they carry a non-null payload
+    but a null matched-time, so the two ``last()`` scans over the backward
+    frame could pick DIFFERENT rows (payload from the null-time row, ``_rt``
+    from an earlier real one) — and null ``_t`` rows would sort first in the
+    shared window anyway (ADVICE r6).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if right_payload is None:
@@ -245,6 +251,7 @@ def nearest_join(
     left_cols = left.columns
     tiebreaks = list(right_tiebreak or [])
 
+    right = right.filter(F.col(on).isNotNull())
     r = right.select(
         *keys,
         F.col(on).alias("_t"),

@@ -79,6 +79,12 @@ def delta_agg(
     are dropped (true Z-set semantics: fully-retracted groups vanish,
     matching a from-scratch recompute).
 
+    CALLER OBLIGATION: retractions must mirror previously-inserted rows
+    (same key AND same values). A retraction batch that zeroes a key's
+    count while leaving residual sums is state corruption that this fold
+    cannot detect — the key is dropped, sums and all (ADVICE r6). Replay
+    twins pin the honest path by hashing maintained-vs-scratch equality.
+
     Both the fold-in agg and the merge are partial-aggregated map-side and
     shuffle once on ``keys``; at 100 TB the stored state stays bucketed on
     ``keys`` so the merge is a co-located join of batch-sized deltas.

@@ -121,9 +121,16 @@ def k_smallest_per_key(
 
     Ties beyond position ``k`` are cut by ``row_number`` over the full
     ``order_by`` — include a unique column to make the cut deterministic.
+
+    Rows with a NULL in any ``order_by`` column are dropped first: NULLs
+    sort FIRST in Spark ascending order, so they would be selected as
+    "smallest" — and as "largest" too via the negation trick (``-NULL``
+    stays NULL), which is never the intended top-k (ADVICE r6).
     """
     keys = _cols(keys)
     order = _cols(order_by)
+    for c in order:
+        df = df.filter(F.col(c).isNotNull())
     w_local = Window.partitionBy(*keys, "_pid").orderBy(*order)
     local = (
         df.withColumn("_pid", F.spark_partition_id())

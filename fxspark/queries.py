@@ -1830,49 +1830,46 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,4))) AS sp
       FROM orders GROUP BY o_custkey
     ),
-    ranked AS (
-      SELECT o_custkey, sp,
-             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-             percent_rank() OVER w AS pr,
-             cume_dist() OVER w AS cd
-      FROM spend WINDOW w AS (ORDER BY sp DESC, o_custkey)
+    st AS (SELECT count(*) AS c FROM spend),
+    r AS (SELECT sp, row_number() OVER (ORDER BY sp) AS rn FROM spend),
+    b AS (
+      SELECT r.sp AS bv
+      FROM r JOIN (SELECT i, (c * i + 3) // 4 AS k
+                   FROM st, (SELECT unnest(range(1, 4)) AS i)) t
+        ON r.rn = t.k
+    ),
+    binned AS (
+      SELECT s.sp,
+             CAST(4 - (SELECT count(*) FROM b WHERE b.bv < s.sp) AS INTEGER)
+               AS quartile
+      FROM spend s
     )
     SELECT quartile, count(*) AS n_customers,
            CAST(min(sp) AS DOUBLE) AS min_spend,
-           CAST(max(sp) AS DOUBLE) AS max_spend,
-           min(pr) AS min_pr, max(pr) AS max_pr, max(cd) AS max_cd
-    FROM ranked GROUP BY quartile
+           CAST(max(sp) AS DOUBLE) AS max_spend
+    FROM binned GROUP BY quartile
     """,
 )
 def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution windows (ntile / percent_rank / cume_dist) over
-    per-customer lifetime spend, folded to one row per quartile. The global
-    ORDER BY window is a single-partition sort — fine for a per-key
-    aggregate output (one row per customer), and the quartile summary
-    collapses it immediately. 100 TB path: replace ntile with
-    approx_percentile cutpoints + a range join (no global sort); declared
-    exact here so the differential stays a hash match. percent_rank and
-    cume_dist are rank/count rationals — identical doubles in both engines."""
-    from pyspark.sql import Window
+    """Per-customer lifetime spend folded to one row per quartile, binned by
+    ``ops/quantile.quantile_bins`` — the SCALE form of ``ntile(4) OVER
+    (ORDER BY sp DESC)``: exact rank-``ceil(c*i/4)`` boundaries located via
+    a coarse histogram (no global sort), broadcast, binned map-side.
+    Declared tie semantics: equal spends share a quartile (value-
+    deterministic), where ntile would split them by tiebreak; the oracle
+    computes the identical rank-based boundaries so the differential is a
+    hash match. Quartile 1 = top spenders."""
+    from fxspark.ops.quantile import quantile_bins
 
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("sp")
-    )
-    w = Window.orderBy(F.col("sp").desc(), F.col("o_custkey"))
-    ranked = spend.select(
-        "sp",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-    )
-    return ranked.groupBy("quartile").agg(
+    ).localCheckpoint(eager=False)
+    binned = quantile_bins(spend, "sp", 4, "quartile", descending=True)
+    return binned.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.min("sp").cast("double").alias("min_spend"),
         F.max("sp").cast("double").alias("max_spend"),
-        F.min("pr").alias("min_pr"),
-        F.max("pr").alias("max_pr"),
-        F.max("cd").alias("max_cd"),
     )
 
 
@@ -3472,37 +3469,40 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS spend
       FROM orders GROUP BY o_custkey
+    ),
+    st AS (SELECT count(*) AS c FROM spend),
+    r AS (SELECT spend, row_number() OVER (ORDER BY spend) AS rn FROM spend),
+    b AS (
+      SELECT r.spend AS bv
+      FROM r JOIN (SELECT i, (c * i + 9) // 10 AS k
+                   FROM st, (SELECT unnest(range(1, 10)) AS i)) t
+        ON r.rn = t.k
     )
-    SELECT o_custkey, spend, decile, pr, cd FROM (
-      SELECT o_custkey, spend,
-             ntile(10) OVER w AS decile,
-             round(percent_rank() OVER w, 6) AS pr,
-             round(cume_dist() OVER w, 6) AS cd
-      FROM spend WINDOW w AS (ORDER BY spend DESC, o_custkey)
+    SELECT o_custkey, spend, decile FROM (
+      SELECT s.o_custkey, s.spend,
+             CAST(10 - (SELECT count(*) FROM b WHERE b.bv < s.spend)
+                  AS INTEGER) AS decile
+      FROM spend s
     ) WHERE decile IN (1, 10)
     """,
 )
 def q_customer_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ranking-function family: customers bucketed into spend deciles
-    (ntile) with percent_rank and cume_dist, keeping the top and bottom
-    bands. The unpartitioned window is a deliberate single-sort plan — at
-    100 TB the same semantics would come from approx_percentile cutpoints
-    joined back (documented in SCALE.md), but the declared operator here is
-    the exact SQL ranking family."""
-    from pyspark.sql import Window
+    """Customers bucketed into spend deciles (1 = top spenders), keeping the
+    top and bottom bands — binned by ``ops/quantile.quantile_bins``, the
+    scale form this query's previous global-ntile docstring promised: exact
+    rank boundaries via coarse-histogram localization, broadcast, map-side
+    binning, no unpartitioned window anywhere in the plan. Declared tie
+    semantics: equal spends share a decile (value-deterministic)."""
+    from fxspark.ops.quantile import quantile_bins
 
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         exact_sum(F.col("o_totalprice"), 4).alias("spend")
+    ).localCheckpoint(eager=False)
+    binned = quantile_bins(spend, "spend", 10, "decile", descending=True)
+    return binned.select("o_custkey", "spend", "decile").filter(
+        F.col("decile").isin(1, 10)
     )
-    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
-    ranked = spend.select(
-        "o_custkey", "spend",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-    )
-    return ranked.filter(F.col("decile").isin(1, 10))
 
 
 @query(
@@ -9268,15 +9268,30 @@ def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS monetary
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       GROUP BY c.c_custkey
-    ), scored AS (
+    ),
+    st AS (SELECT count(*) AS c FROM base),
+    tk AS (SELECT i, (c * i + 4) // 5 AS k
+           FROM st, (SELECT unnest(range(1, 5)) AS i)),
+    rr AS (SELECT recency_days AS v,
+                  row_number() OVER (ORDER BY recency_days) AS rn FROM base),
+    rb AS (SELECT rr.v AS bv FROM rr JOIN tk ON rr.rn = tk.k),
+    fr AS (SELECT n_orders AS v,
+                  row_number() OVER (ORDER BY n_orders) AS rn FROM base),
+    fb AS (SELECT fr.v AS bv FROM fr JOIN tk ON fr.rn = tk.k),
+    mr AS (SELECT monetary AS v,
+                  row_number() OVER (ORDER BY monetary) AS rn FROM base),
+    mb AS (SELECT mr.v AS bv FROM mr JOIN tk ON mr.rn = tk.k),
+    scored AS (
       SELECT c_custkey, recency_days, n_orders, monetary,
-             6 - ntile(5) OVER (ORDER BY recency_days, c_custkey) AS r,
-             ntile(5) OVER (ORDER BY n_orders, c_custkey) AS f,
-             ntile(5) OVER (ORDER BY monetary, c_custkey) AS m
-      FROM base
+             CAST(5 - (SELECT count(*) FROM rb
+                       WHERE rb.bv < b.recency_days) AS INTEGER) AS r,
+             CAST(1 + (SELECT count(*) FROM fb
+                       WHERE fb.bv < b.n_orders) AS INTEGER) AS f,
+             CAST(1 + (SELECT count(*) FROM mb
+                       WHERE mb.bv < b.monetary) AS INTEGER) AS m
+      FROM base b
     )
-    SELECT CAST(r AS INTEGER) AS r_score, CAST(f AS INTEGER) AS f_score,
-           CAST(m AS INTEGER) AS m_score,
+    SELECT r AS r_score, f AS f_score, m AS m_score,
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(CAST(recency_days AS DECIMAL(38,0))) AS DOUBLE)
              / count(*) AS avg_recency_days,
@@ -9286,14 +9301,18 @@ def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: score every customer 1-5 on Recency / Frequency /
-    Monetary quintiles (deterministic ntile — the order carries the
-    custkey tiebreak, so equal values split identically in both engines)
-    and report each of the ≤125 segments' size and averages — the
-    marketing-warehouse workhorse. The per-customer rollup shares one
-    custkey shuffle; the quintile windows sort the CUSTOMER-grain frame
-    (the ``customer_decile_bands`` posture — at true scale the quintile
-    boundaries would come from percentiles + map-side binning instead,
-    trading exact tie placement for distribution)."""
+    Monetary quintiles and report each of the ≤125 segments' size and
+    averages — the marketing-warehouse workhorse, now through
+    ``ops/quantile.quantile_bins`` (the scale form the previous global-
+    ntile version's docstring promised): exact rank-``ceil(c*i/5)``
+    boundaries per dimension, located via coarse histograms, broadcast,
+    binned map-side — no unpartitioned window. Declared tie semantics:
+    equal values share a quintile (value-deterministic, no tiebreak
+    column). The customer-grain base is lazily localCheckpointed so the
+    three dimensions' boundary scans reuse one computed frame instead of
+    re-running the join."""
+    from fxspark.ops.quantile import quantile_bins_multi
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     maxd = orders.agg(
@@ -9313,23 +9332,20 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(maxd))
         .withColumn("recency_days", F.datediff("_maxd", "_lastd"))
+        .select("c_custkey", "recency_days", "n_orders", "monetary")
+        .localCheckpoint(eager=False)
     )
-    scored = base.select(
-        "c_custkey",
-        "recency_days",
-        "n_orders",
-        "monetary",
-        (
-            6 - F.ntile(5).over(
-                Window.orderBy("recency_days", "c_custkey")
-            )
-        ).alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("n_orders", "c_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary", "c_custkey"))
-        .alias("m_score"),
+    # r_score: recent (low recency_days) = 5 — exactly descending labels.
+    # One fused boundary pass for all three dimensions; every dimension is
+    # exactly representable in decimal(38,6) (int days, long counts,
+    # decimal(38,6) monetary), so the shared cast loses nothing.
+    scored = quantile_bins_multi(
+        base,
+        [
+            ("recency_days", 5, "r_score", True),
+            ("n_orders", 5, "f_score", False),
+            ("monetary", 5, "m_score", False),
+        ],
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -1,6 +1,6 @@
 """Global plan lint: invariants every registered query's PHYSICAL plan must
-hold, checked wholesale rather than per-query. These are the two absolute
-bans the 100 TB design rests on — individual topology assertions live in
+hold, checked wholesale rather than per-query. These are the absolute bans
+the 100 TB design rests on — individual topology assertions live in
 test_plans.py; this guarantees no future registration quietly violates the
 floor rules.
 
@@ -11,6 +11,12 @@ floor rules.
 - No ``BatchEvalPython`` (row-at-a-time Python UDF): Python is allowed only
   behind Arrow (``ArrowEvalPython`` / mapInPandas / grouped-agg pandas),
   never per-row.
+- No UNPARTITIONED Window over an unbounded-grain frame: a global
+  ``Window.orderBy(...)`` serializes its whole input through one task — the
+  classic per-entity-scoring scale trap (VERDICT r6 item 2). Queries whose
+  global windows run over frames that are BOUNDED BY CONSTRUCTION (coarse
+  histograms, bucket summaries, day/batch grain, two-phase top-k survivor
+  sets) are allowlisted with their bound; anything else fails the build.
 """
 
 from __future__ import annotations
@@ -19,12 +25,106 @@ from fxspark.queries import QUERIES
 
 BANNED = ("CartesianProduct", "BatchEvalPython")
 
+# Queries allowed to carry an unpartitioned Window, each with the reason its
+# window input is bounded by construction (NOT by data luck). Adding a name
+# here requires stating the bound.
+GLOBAL_WINDOW_OK = {
+    # ops/quantile.quantile_bins histogram prefix-sum: <= coarse_buckets
+    # (1024) rows by construction.
+    "customer_spend_quartiles": "quantile coarse-histogram grain <= 1024",
+    "customer_decile_bands": "quantile coarse-histogram grain <= 1024",
+    # ops/skyline bucket-summary seed prefix: <= n_buckets rows.
+    "part_price_skyline": "skyline bucket-summary grain <= n_buckets",
+    # Gini rank window over COUNT-OF-COUNTS (distinct per-key frequency
+    # values — orders of magnitude below key count, see its docstring).
+    "events_key_skew_report": "count-of-counts grain",
+    # Zipf rank over the token vocabulary (vocab grain; two-phase form
+    # documented in SCALE.md if vocabulary ever rivals corpus size).
+    "doc_zipf_fit": "vocabulary grain",
+    "doc_token_coverage": "vocabulary grain + two-phase top-k survivors",
+    # Largest-remainder allocation over split x group combinations.
+    "doc_split_quota": "split x group-combination grain",
+    # Calendar-day grain.
+    "daily_new_users": "day grain",
+    # ops/latest two-phase global top-k phase 2: <= k x numPartitions
+    # survivors regardless of data size (phase 1 is partition-local).
+    "token_pmi_pairs": "two-phase top-k survivors <= k x numPartitions",
+    "source_token_kl": "two-phase top-k survivors <= k x numPartitions",
+    # Bounded probe-sample evaluation frames (<= 64 queries x k).
+    "embedding_knn_label_agreement": "probe-sample grain <= 64 x k",
+    "embedding_quantized_recall": "probe-sample grain <= 64 x k",
+    # Replay-batch grain (a handful of micro-batches).
+    "shingle_novelty_curve": "batch grain",
+}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split `[a], [b], [c]` into top-level bracket groups (functions in the
+    first group may nest brackets — e.g. array indexing — so plain regex
+    splitting is unsafe)."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes with no partition spec. A Window line reads
+    ``Window [funcs], [partition], [order]`` (3 groups) when partitioned;
+    2 groups is either unpartitioned-with-order (order specs always carry
+    ASC/DESC) or partitioned-without-order (fine)."""
+    hits = []
+    for line in plan.splitlines():
+        t = line.strip().lstrip("+-: *")
+        if not t.startswith("Window "):
+            continue
+        groups = _top_level_groups(t[len("Window "):])
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            hits.append(groups[1][:80])
+    return hits
+
 
 def test_every_query_plan_respects_global_bans(spark, sf_dir):
     violations: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         hits = [t for t in BANNED if t in plan]
+        gw = _unpartitioned_windows(plan)
+        if gw and name not in GLOBAL_WINDOW_OK:
+            hits.append(f"unpartitioned Window: {gw}")
         if hits:
             violations[name] = hits
     assert not violations, violations
+
+
+def test_global_window_allowlist_has_no_stale_entries(spark, sf_dir):
+    """Every allowlisted name must still (a) be registered and (b) actually
+    carry an unpartitioned window — otherwise the entry is dead weight that
+    would silently re-admit a future global sort."""
+    stale = []
+    for name in GLOBAL_WINDOW_OK:
+        if name not in QUERIES:
+            stale.append(f"{name}: not registered")
+            continue
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if not _unpartitioned_windows(plan):
+            stale.append(f"{name}: no unpartitioned window in plan")
+    assert not stale, stale

@@ -1,0 +1,103 @@
+"""Round-7 operator tests: exact quantile binning (the ntile scale form)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fxspark.ops.quantile import quantile_bins, quantile_bins_multi
+
+
+def _expected_bins(values, n, descending=False):
+    """Brute-force declared semantics: boundary b_i = value at ascending
+    rank ceil(c*i/n); bucket = 1 + #{b_i < x}; descending relabels."""
+    xs = sorted(v for v in values if v is not None)
+    c = len(xs)
+    bounds = [xs[-(-c * i // n) - 1] for i in range(1, n)] if c else []
+    out = {}
+    for v in values:
+        if v is None:
+            continue
+        b = 1 + sum(1 for bd in bounds if bd < v)
+        out.setdefault(v, n + 1 - b if descending else b)
+    return out
+
+
+def _spark_bins(spark, values, n, descending=False, coarse=8):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, v int"
+    )
+    got = quantile_bins(
+        df, "v", n, "b", descending=descending, coarse_buckets=coarse
+    ).collect()
+    return {r["v"]: r["b"] for r in got if r["v"] is not None}, got
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_quantile_bins_matches_declared_semantics(spark, descending):
+    # ties straddling boundaries, duplicates, negative values
+    values = [5, 1, 3, 3, 3, 8, 8, 2, -4, 7, 7, 0, 9, 9, 9, 9, 6]
+    got, _ = _spark_bins(spark, values, 4, descending=descending)
+    assert got == _expected_bins(values, 4, descending=descending)
+
+
+def test_quantile_bins_small_coarse_and_tiny_frames(spark):
+    # coarse_buckets smaller than n forces several targets per bucket
+    values = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+    got, _ = _spark_bins(spark, values, 5, coarse=2)
+    assert got == _expected_bins(values, 5)
+    # fewer rows than buckets: duplicate boundary ranks collapse buckets
+    values = [1, 2]
+    got, _ = _spark_bins(spark, values, 5)
+    assert got == _expected_bins(values, 5)
+
+
+def test_quantile_bins_nulls_and_constant_column(spark):
+    # NULL value -> NULL bucket, excluded from boundary ranks
+    values = [1, None, 2, 3, None, 4]
+    binmap, rows = _spark_bins(spark, values, 2)
+    assert binmap == _expected_bins(values, 2)
+    assert all(r["b"] is None for r in rows if r["v"] is None)
+    # all-equal column: every row shares bucket 1 (declared tie semantics)
+    got, _ = _spark_bins(spark, [7, 7, 7, 7], 4)
+    assert got == {7: 1}
+
+
+def test_quantile_bins_multi_agrees_with_single(spark):
+    rows = [
+        (i, i % 13, (i * 7) % 29, float(i * i % 97))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id int, a int, b int, m double")
+    df = df.withColumn("m", F.col("m").cast("decimal(38,6)"))
+    multi = quantile_bins_multi(
+        df,
+        [("a", 5, "qa", True), ("b", 4, "qb", False), ("m", 3, "qm", False)],
+        coarse_buckets=16,
+    )
+    single = quantile_bins(
+        df, "a", 5, "qa", descending=True, coarse_buckets=16
+    )
+    single = quantile_bins(
+        single, "b", 4, "qb", coarse_buckets=16, boundary_frame=df
+    )
+    single = quantile_bins(
+        single, "m", 3, "qm", coarse_buckets=16, boundary_frame=df
+    )
+    m = {r["id"]: (r["qa"], r["qb"], r["qm"]) for r in multi.collect()}
+    s = {r["id"]: (r["qa"], r["qb"], r["qm"]) for r in single.collect()}
+    assert m == s
+
+
+def test_quantile_bins_bucket_populations_near_even(spark):
+    # no ties: populations must match ntile's exact split
+    values = list(range(103))
+    got, rows = _spark_bins(spark, values, 5, coarse=16)
+    sizes = {}
+    for r in rows:
+        sizes[r["b"]] = sizes.get(r["b"], 0) + 1
+    # ceil/floor split: 103 = 21+21+21+20+20
+    assert sorted(sizes.values(), reverse=True) == [21, 21, 21, 20, 20]
+    assert set(sizes) == {1, 2, 3, 4, 5}
