@@ -210,6 +210,13 @@ EXTENSION = [
     "funnel_latency_stats",
     "doc_bpe_merges",
     "source_overlap_kmv",
+    # round-7 additions
+    "stream_histogram_replay",
+    "orders_delta_join_ticks",
+    "events_value_topk",
+    "nation_revenue_ranking",
+    "region_customer_spend_quartiles",
+    "lineitem_volume_price_quartiles",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

@@ -149,6 +149,225 @@ def quantile_bins(
     )
 
 
+def quantile_bins_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    n: int,
+    out_col: str,
+    descending: bool = False,
+    coarse_buckets: int = 1024,
+) -> DataFrame:
+    """Per-GROUP exact quantile bucket (1..n) of ``col`` — the scale form
+    of ``ntile(n) OVER (PARTITION BY group ORDER BY x)`` for the
+    few-large-groups shape where the partitioned window is NOT safe: with
+    5 regions over 10⁹ customers each region's whole frame serializes
+    through one window task. Here every stage stays keyed: per-group
+    (min, max, count), per-(group, bucket) histogram, prefix-summed by a
+    window over <= coarse_buckets rows PER GROUP, exact extraction ranked
+    inside (group, boundary-bucket) slices, boundaries carried back as one
+    array row per group through a keyed join (no crossJoin, no driver
+    collect). Same declared tie semantics as :func:`quantile_bins`.
+    """
+    g = list(group_cols)
+    x = F.col(col)
+    vals = df.filter(x.isNotNull()).select(*g, x.alias("_qv"))
+
+    stats = vals.groupBy(*g).agg(
+        F.min("_qv").cast("double").alias("_qlo"),
+        F.max("_qv").cast("double").alias("_qhi"),
+        F.count(F.lit(1)).alias("_qc"),
+    )
+    xd = F.col("_qv").cast("double")
+    bkt = F.when(F.col("_qhi") == F.col("_qlo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(coarse_buckets - 1),
+            F.floor(
+                (xd - F.col("_qlo"))
+                * coarse_buckets
+                / (F.col("_qhi") - F.col("_qlo"))
+            ),
+        ).cast("int")
+    )
+    vb = vals.join(stats, g).select(*g, "_qv", bkt.alias("_qbkt"))
+
+    hist = vb.groupBy(*g, "_qbkt").agg(F.count(F.lit(1)).alias("_qn"))
+    wb = (
+        Window.partitionBy(*g)
+        .orderBy("_qbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        *g,
+        "_qbkt",
+        "_qn",
+        F.coalesce(F.sum("_qn").over(wb), F.lit(0)).alias("_qcb"),
+    )
+
+    tgt = stats.select(
+        *g,
+        "_qc",
+        F.explode(F.sequence(F.lit(1), F.lit(n - 1))).alias("_qi"),
+    ).select(
+        *g,
+        "_qi",
+        F.expr(f"(_qc * _qi + {n - 1}) div {n}").alias("_qk"),
+    )
+    located = tgt.alias("t").join(
+        cum.alias("h"),
+        [F.col(f"t.{c}") == F.col(f"h.{c}") for c in g]
+        + [
+            F.col("h._qcb") < F.col("t._qk"),
+            F.col("h._qcb") + F.col("h._qn") >= F.col("t._qk"),
+        ],
+    ).select(
+        *[F.col(f"t.{c}").alias(c) for c in g],
+        F.col("t._qi").alias("_qi"),
+        F.col("h._qbkt").alias("_qbkt"),
+        (F.col("t._qk") - F.col("h._qcb")).alias("_qlr"),
+    )
+
+    cand = vb.join(located, [*g, "_qbkt"])
+    wr = Window.partitionBy(*g, "_qbkt", "_qi").orderBy("_qv")
+    bnd = (
+        cand.withColumn("_qrn", F.row_number().over(wr))
+        .filter(F.col("_qrn") == F.col("_qlr"))
+        .select(*g, "_qi", F.col("_qv").alias("_qb"))
+    )
+    barr = bnd.groupBy(*g).agg(
+        F.sort_array(F.collect_list(F.struct("_qi", "_qb"))).alias("_qs")
+    ).select(*g, F.transform("_qs", lambda s: s["_qb"]).alias("_qbs"))
+
+    asc_bucket = F.lit(1) + F.aggregate(
+        F.col("_qbs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(x > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    bucket = F.lit(n + 1) - asc_bucket if descending else asc_bucket
+    # left join: a group whose rows are all NULL-valued has no boundary row
+    return (
+        df.join(barr, g, "left")
+        .withColumn(
+            out_col,
+            F.when(
+                x.isNull() | F.col("_qbs").isNull(),
+                F.lit(None).cast("int"),
+            ).otherwise(bucket.cast("int")),
+        )
+        .drop("_qbs")
+    )
+
+
+def quantile_bins_weighted(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    n: int,
+    out_col: str,
+    descending: bool = False,
+    coarse_buckets: int = 1024,
+) -> DataFrame:
+    """Weighted exact quantile bucket (1..n) of ``col``: boundary ``b_i``
+    is the SMALLEST value whose cumulative weight (over values <= it)
+    reaches ``ceil(W * i / n)``, ``W`` = total weight — the
+    volume-weighted read of "median price" and friends. Weights must be
+    POSITIVE integers (cast to long; declare units accordingly): integer
+    rank arithmetic is what keeps the boundary cross-engine exact.
+
+    Same coarse-histogram topology as :func:`quantile_bins` with weight
+    sums in place of counts; the extraction stage collapses candidate
+    buckets to DISTINCT values first, so intra-tie row order never touches
+    the crossing point. NULL value or weight rows are excluded from the
+    boundary mass and bin to NULL.
+    """
+    x = F.col(col)
+    w = F.col(weight_col)
+    vals = (
+        df.filter(x.isNotNull() & w.isNotNull())
+        .select(x.alias("_qv"), w.cast("long").alias("_qw"))
+    )
+
+    stats = vals.agg(
+        F.min("_qv").cast("double").alias("_qlo"),
+        F.max("_qv").cast("double").alias("_qhi"),
+        F.sum("_qw").alias("_qc"),
+    )
+    xd = F.col("_qv").cast("double")
+    bkt = F.when(F.col("_qhi") == F.col("_qlo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(coarse_buckets - 1),
+            F.floor(
+                (xd - F.col("_qlo"))
+                * coarse_buckets
+                / (F.col("_qhi") - F.col("_qlo"))
+            ),
+        ).cast("int")
+    )
+    vb = vals.crossJoin(F.broadcast(stats)).select(
+        "_qv", "_qw", bkt.alias("_qbkt")
+    )
+
+    hist = vb.groupBy("_qbkt").agg(F.sum("_qw").alias("_qn"))
+    wb = Window.orderBy("_qbkt").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded-grain global window: <= coarse_buckets rows by construction
+    cum = hist.select(
+        "_qbkt",
+        "_qn",
+        F.coalesce(F.sum("_qn").over(wb), F.lit(0)).alias("_qcb"),
+    )
+
+    tgt = stats.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n - 1))).alias("_qi"),
+        F.col("_qc"),
+    ).select(
+        "_qi",
+        F.expr(f"(_qc * _qi + {n - 1}) div {n}").alias("_qk"),
+    )
+    located = tgt.join(
+        F.broadcast(cum),
+        (F.col("_qcb") < F.col("_qk"))
+        & (F.col("_qcb") + F.col("_qn") >= F.col("_qk")),
+    ).select("_qi", "_qbkt", (F.col("_qk") - F.col("_qcb")).alias("_qlr"))
+
+    # distinct values first: the crossing point is a function of the
+    # per-value weight mass, never of row order inside a tie
+    cand = vb.join(F.broadcast(located), "_qbkt")
+    dv = cand.groupBy("_qbkt", "_qi", "_qlr", "_qv").agg(
+        F.sum("_qw").alias("_wv")
+    )
+    wcum = (
+        Window.partitionBy("_qbkt", "_qi")
+        .orderBy("_qv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bnd = (
+        dv.withColumn("_cw", F.sum("_wv").over(wcum))
+        .filter(F.col("_cw") >= F.col("_qlr"))
+        .groupBy("_qi")
+        .agg(F.min("_qv").alias("_qb"))
+    )
+    barr = bnd.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("_qi", "_qb"))).alias("_qs")
+    ).select(F.transform("_qs", lambda s: s["_qb"]).alias("_qbs"))
+
+    asc_bucket = F.lit(1) + F.aggregate(
+        F.col("_qbs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(x > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    bucket = F.lit(n + 1) - asc_bucket if descending else asc_bucket
+    return (
+        df.crossJoin(F.broadcast(barr))
+        .withColumn(
+            out_col,
+            F.when(
+                x.isNull() | w.isNull(), F.lit(None).cast("int")
+            ).otherwise(bucket.cast("int")),
+        )
+        .drop("_qbs")
+    )
+
+
 def quantile_bins_multi(
     df: DataFrame,
     specs: list[tuple[str, int, str, bool]],

@@ -10256,6 +10256,365 @@ def q_doc_top_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "stream_histogram_replay",
+    oracle="""
+    WITH stats AS (
+      SELECT min(value) AS mn, (max(value) - min(value)) / 64 AS width
+      FROM events
+    )
+    SELECT e.event_type,
+           CAST(least(63, floor((e.value - s.mn) / s.width)) AS INTEGER)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events e CROSS JOIN stats s
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_histogram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of ``streaming/stateful.stateful_histogram``'s final
+    emission: per event_type the full 64-bin fixed-edge bin vector over
+    ``value`` — the bin counters ``events_histogram_quantiles`` derives its
+    quantiles from, maintained as O(n_bins) streaming state. Bin counts are
+    a pure function of the prefix (order-free integer adds), so the last
+    micro-batch emission equals this batch groupBy exactly when the
+    declared edges equal the batch min/width — pinned across real
+    micro-batches in tests/test_streaming_multimodal.py. Same exact edge
+    arithmetic as the quantile query (min/width doubles, floor, clamp 63)."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.agg(
+        F.min("value").alias("mn"),
+        ((F.max("value") - F.min("value")) / 64).alias("width"),
+    )
+    return (
+        events.crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            F.least(
+                F.lit(63),
+                F.floor((F.col("value") - F.col("mn")) / F.col("width")),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "orders_delta_join_ticks",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate < DATE '1996-09-01' THEN 0
+                  WHEN o_orderdate < DATE '1998-05-01' THEN 1
+                  WHEN o_orderdate < DATE '2000-01-01' THEN 2
+                  ELSE 3 END AS tko
+      FROM orders
+    ), l AS (
+      SELECT l_orderkey AS o_orderkey, l_extendedprice,
+             CASE WHEN l_shipdate < DATE '1996-09-01' THEN 0
+                  WHEN l_shipdate < DATE '1998-05-01' THEN 1
+                  WHEN l_shipdate < DATE '2000-01-01' THEN 2
+                  ELSE 3 END AS tkr
+      FROM lineitem
+    )
+    SELECT CAST(greatest(o.tko, l.tkr) AS INTEGER) AS tick,
+           CASE WHEN o.tko = l.tkr AND o.tko = 0 THEN 'initial'
+                WHEN o.tko = l.tkr THEN 'both_new'
+                WHEN o.tko > l.tkr THEN 'new_left'
+                ELSE 'new_right' END AS delta_term,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             AS sum_price
+    FROM o JOIN l USING (o_orderkey)
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_delta_join_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TICK incremental maintenance of the orders⋈lineitem view
+    (``ops/ivm.delta_join`` beyond the single-tick ``orders_delta_join``):
+    both sides split into an initial state plus three yearly insert
+    batches; each tick's view delta is the three disjoint terms against
+    the then-current state, the deltas fold into the state, and the
+    accumulated (initial ∪ Δ₁ ∪ Δ₂ ∪ Δ₃) view is rolled up per (tick,
+    term). The oracle is the CLOSED FORM of that loop: every joined pair
+    materializes at tick max(tick_left, tick_right) with a term decided
+    by which side is newer — equality of the iterative algebra with this
+    relabeled full join is exactly the IVM correctness statement. Each
+    tick's work is batch×state, never state×state."""
+    from fxspark.ops.ivm import delta_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cuts = ["1996-09-01", "1998-05-01", "2000-01-01"]
+
+    def tick_of(col: F.Column) -> F.Column:
+        t = F.when(col < F.lit(cuts[0]).cast("date"), F.lit(0))
+        for i, c in enumerate(cuts[1:], start=1):
+            t = t.when(col < F.lit(c).cast("date"), F.lit(i))
+        return t.otherwise(F.lit(len(cuts)))
+
+    l_all = orders.select(
+        "o_orderkey", tick_of(F.col("o_orderdate")).alias("_tk")
+    )
+    r_all = lineitem.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        tick_of(F.col("l_shipdate")).alias("_tk"),
+    )
+    lp = [l_all.filter(F.col("_tk") == t).drop("_tk") for t in range(4)]
+    rp = [r_all.filter(F.col("_tk") == t).drop("_tk") for t in range(4)]
+    state_l, state_r = lp[0], rp[0]
+    acc = (
+        state_l.join(state_r, "o_orderkey")
+        .withColumn("delta_term", F.lit("initial"))
+        .withColumn("tick", F.lit(0))
+    )
+    for t in (1, 2, 3):
+        d = delta_join(
+            state_l, state_r, lp[t], rp[t], ["o_orderkey"]
+        ).withColumn("tick", F.lit(t))
+        acc = acc.unionByName(d)
+        state_l = state_l.unionByName(lp[t])
+        state_r = state_r.unionByName(rp[t])
+    return acc.groupBy("tick", "delta_term").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum(F.col("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+@query(
+    "events_value_topk",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+)
+def q_events_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global bounded top-k: the 100 highest-value events corpus-wide via
+    ``ops/latest.k_largest_global`` — the TWO-PHASE rank (partition-local
+    top-k, then a final rank over ≤ k×numPartitions survivors) that
+    replaces the single-task global sort a plain ``ORDER BY ... LIMIT``
+    window would serialize through. Ties at the cut resolved by event_id
+    ascending, declared on both engines."""
+    from fxspark.ops.latest import k_largest_global
+
+    events = load_table(spark, sf_dir, "events")
+    return k_largest_global(
+        events.select("user_id", "event_id", "ts", "event_type", "value"),
+        "value",
+        100,
+        "event_id",
+    )
+
+
+@query(
+    "nation_revenue_ranking",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, revenue,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM rev WINDOW w AS (ORDER BY revenue DESC, nation)
+    """,
+)
+def q_nation_revenue_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact SQL ranking family (ntile / percent_rank / cume_dist) on
+    a frame where a global window is the RIGHT plan: lifetime revenue per
+    nation — a 25-row rollup (nation grain is bounded by the dimension
+    table). This is the pattern pair to ``customer_spend_quartiles``:
+    rank-family windows belong on already-aggregated bounded-grain frames;
+    per-entity unbounded frames take the ``ops/quantile`` boundary form.
+    The corpus-sized work is one hash rollup; the window sees 25 rows.
+    percent_rank and cume_dist are rank/count rationals — identical
+    doubles in both engines."""
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "nation")
+    return rev.select(
+        "nation",
+        "revenue",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "region_customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT r.r_name AS region, o.o_custkey,
+             sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS sp
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, o.o_custkey
+    ),
+    st AS (SELECT region, count(*) AS c FROM spend GROUP BY region),
+    rk AS (SELECT region, sp,
+                  row_number() OVER (PARTITION BY region ORDER BY sp) AS rn
+           FROM spend),
+    b AS (
+      SELECT rk.region, rk.sp AS bv
+      FROM rk JOIN (SELECT region, i, (c * i + 3) // 4 AS k
+                    FROM st, (SELECT unnest(range(1, 4)) AS i)) t
+        ON rk.region = t.region AND rk.rn = t.k
+    ),
+    binned AS (
+      SELECT s.region, s.sp,
+             CAST(4 - (SELECT count(*) FROM b
+                       WHERE b.region = s.region AND b.bv < s.sp)
+                  AS INTEGER) AS quartile
+      FROM spend s
+    )
+    SELECT region, quartile, count(*) AS n_customers,
+           CAST(min(sp) AS DOUBLE) AS min_spend,
+           CAST(max(sp) AS DOUBLE) AS max_spend
+    FROM binned GROUP BY region, quartile
+    """,
+)
+def q_region_customer_spend_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-REGION customer spend quartiles via
+    ``ops/quantile.quantile_bins_grouped`` — the few-large-groups shape
+    where the textbook ``ntile OVER (PARTITION BY region)`` is a scale
+    trap: 5 regions over a billion customers serialize each region's
+    whole frame through one window task. The grouped boundary form keeps
+    every stage keyed — per-(region, bucket) histogram, per-region
+    <=1024-row prefix window, extraction ranked inside boundary-bucket
+    slices — so parallelism never drops to the group count. Quartile 1 =
+    top spenders; declared tie semantics as in ``customer_spend_quartiles``."""
+    from fxspark.ops.quantile import quantile_bins_grouped
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    spend = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("o_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("sp")
+        )
+        .localCheckpoint(eager=False)
+    )
+    binned = quantile_bins_grouped(
+        spend, ["region"], "sp", 4, "quartile", descending=True
+    )
+    return binned.groupBy("region", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("sp").cast("double").alias("min_spend"),
+        F.max("sp").cast("double").alias("max_spend"),
+    )
+
+
+@query(
+    "lineitem_volume_price_quartiles",
+    oracle="""
+    WITH src AS (
+      SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    st AS (SELECT sum(w) AS tw FROM src),
+    dv AS (SELECT v, sum(w) AS wv FROM src GROUP BY v),
+    cw AS (SELECT v, sum(wv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS cum FROM dv),
+    b AS (
+      SELECT t.i, min(c.v) AS bv
+      FROM (SELECT i, (tw * i + 3) // 4 AS k
+            FROM st, (SELECT unnest(range(1, 4)) AS i)) t
+      JOIN cw c ON c.cum >= t.k
+      GROUP BY t.i
+    ),
+    binned AS (
+      SELECT s.v, s.w,
+             CAST(4 - (SELECT count(*) FROM b WHERE b.bv < s.v)
+                  AS INTEGER) AS quartile
+      FROM src s
+    )
+    SELECT quartile, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(w) AS BIGINT) AS total_qty,
+           CAST(min(v) AS DOUBLE) AS min_price,
+           CAST(max(v) AS DOUBLE) AS max_price
+    FROM binned GROUP BY quartile
+    """,
+)
+def q_lineitem_volume_price_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VOLUME-WEIGHTED price quartiles over raw lineitem rows
+    (``ops/quantile.quantile_bins_weighted``): each boundary is the
+    smallest price whose cumulative SHIPPED QUANTITY reaches a quarter of
+    total volume — "what price band moves half the units", which plain
+    row-count quartiles misstate whenever cheap lines ship big volumes.
+    Fact-grain input (not a per-key aggregate): this is the quantile
+    family member that must never see a global sort, and doesn't — weight
+    histograms localize the crossing, extraction collapses to distinct
+    values inside boundary buckets (tie-order-free by construction).
+    Quartile 1 = most expensive band."""
+    from fxspark.ops.quantile import quantile_bins_weighted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("w"),
+    )
+    binned = quantile_bins_weighted(
+        src, "v", "w", 4, "quartile", descending=True
+    )
+    return binned.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("w").cast("long")).alias("total_qty"),
+        F.min("v").cast("double").alias("min_price"),
+        F.max("v").cast("double").alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

@@ -197,3 +197,62 @@ def stateful_kmv_distinct(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+HIST_OUT_SCHEMA = "event_type string, bin int, cnt long"
+HIST_STATE_SCHEMA = "counts array<long>"
+
+
+def stateful_histogram(
+    events: DataFrame,
+    lo: float,
+    width: float,
+    n_bins: int = 64,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming fixed-bin histogram per group — the bounded-state stream
+    twin of ``events_histogram_quantiles``'s bin counters: state is one
+    array of ``n_bins`` longs per group (constant forever), each batch adds
+    its values' bin counts (``bin = min(n_bins-1, floor((v - lo)/width))``,
+    the batch query's exact edge arithmetic). Bin edges are DECLARED
+    up-front (from historical data or a spec) — the one thing a stream
+    cannot learn retroactively; parity with the batch bin counts over the
+    same prefix holds whenever ``lo``/``width`` equal the batch min/width.
+
+    Emits the group's full bin vector each micro-batch (one row per
+    non-empty bin), so any quantile the batch side derives from cumulative
+    counts is derivable from the last emission.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import math
+
+        import pandas as pd
+
+        (counts,) = state.get if state.exists else ([0] * n_bins,)
+        counts = list(counts)
+        for pdf in pdfs:
+            for v in pdf[value_col].astype(float):
+                b = min(n_bins - 1, int(math.floor((v - lo) / width)))
+                counts[b] += 1
+        state.update((counts,))
+        yield pd.DataFrame(
+            [
+                {group_col: key[0], "bin": b, "cnt": c}
+                for b, c in enumerate(counts)
+                if c > 0
+            ]
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        update,
+        HIST_OUT_SCHEMA,
+        HIST_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

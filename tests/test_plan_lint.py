@@ -33,6 +33,7 @@ GLOBAL_WINDOW_OK = {
     # (1024) rows by construction.
     "customer_spend_quartiles": "quantile coarse-histogram grain <= 1024",
     "customer_decile_bands": "quantile coarse-histogram grain <= 1024",
+    "lineitem_volume_price_quartiles": "quantile coarse-histogram grain <= 1024",
     # ops/skyline bucket-summary seed prefix: <= n_buckets rows.
     "part_price_skyline": "skyline bucket-summary grain <= n_buckets",
     # Gini rank window over COUNT-OF-COUNTS (distinct per-key frequency
@@ -50,11 +51,15 @@ GLOBAL_WINDOW_OK = {
     # survivors regardless of data size (phase 1 is partition-local).
     "token_pmi_pairs": "two-phase top-k survivors <= k x numPartitions",
     "source_token_kl": "two-phase top-k survivors <= k x numPartitions",
+    "events_value_topk": "two-phase top-k survivors <= k x numPartitions",
     # Bounded probe-sample evaluation frames (<= 64 queries x k).
     "embedding_knn_label_agreement": "probe-sample grain <= 64 x k",
     "embedding_quantized_recall": "probe-sample grain <= 64 x k",
     # Replay-batch grain (a handful of micro-batches).
     "shingle_novelty_curve": "batch grain",
+    # Nation-dimension grain (25 rows) — the deliberate teaching pair to
+    # the quantile scale form: rank-family windows on bounded rollups.
+    "nation_revenue_ranking": "nation grain (25 rows)",
 }
 
 

@@ -101,3 +101,69 @@ def test_quantile_bins_bucket_populations_near_even(spark):
     # ceil/floor split: 103 = 21+21+21+20+20
     assert sorted(sizes.values(), reverse=True) == [21, 21, 21, 20, 20]
     assert set(sizes) == {1, 2, 3, 4, 5}
+
+
+def test_quantile_bins_grouped_matches_declared_semantics(spark):
+    from fxspark.ops.quantile import quantile_bins_grouped
+
+    rows = []
+    vals = {
+        "a": [5, 1, 3, 3, 8, 8, 2, 7, 7, 0, 9],
+        "b": [10, 20, 20, 20, 30],
+        "c": [4],  # single-row group
+    }
+    i = 0
+    for g, vs in vals.items():
+        for v in vs:
+            rows.append((i, g, v))
+            i += 1
+    rows.append((i, "d", None))  # all-NULL group -> NULL bucket
+    df = spark.createDataFrame(rows, "id int, g string, v int")
+    got = quantile_bins_grouped(
+        df, ["g"], "v", 4, "b", coarse_buckets=4
+    ).collect()
+    for g, vs in vals.items():
+        want = _expected_bins(vs, 4)
+        got_g = {r["v"]: r["b"] for r in got if r["g"] == g}
+        assert got_g == want, (g, got_g, want)
+    assert [r["b"] for r in got if r["g"] == "d"] == [None]
+
+
+def test_quantile_bins_weighted_matches_brute_force(spark):
+    from fxspark.ops.quantile import quantile_bins_weighted
+
+    # value -> weight pairs with ties and a heavy cheap value
+    pairs = [(1, 50), (2, 5), (2, 5), (3, 10), (7, 10), (9, 20)]
+    df = spark.createDataFrame(
+        [(i, v, w) for i, (v, w) in enumerate(pairs)],
+        "id int, v int, w int",
+    )
+    n = 4
+    tw = sum(w for _, w in pairs)
+    # brute force: boundary_i = min v with cumweight(<= v) >= ceil(tw*i/n)
+    from collections import defaultdict
+
+    wv = defaultdict(int)
+    for v, w in pairs:
+        wv[v] += w
+    bounds = []
+    for i in range(1, n):
+        k = -(-tw * i // n)
+        cum = 0
+        for v in sorted(wv):
+            cum += wv[v]
+            if cum >= k:
+                bounds.append(v)
+                break
+    want = {}
+    for v, _ in pairs:
+        want[v] = 1 + sum(1 for b in bounds if b < v)
+    got = {
+        r["v"]: r["b"]
+        for r in quantile_bins_weighted(
+            df, "v", "w", n, "b", coarse_buckets=4
+        ).collect()
+    }
+    assert got == want, (got, want, bounds)
+    # heavy value 1 owns 50/100 of the mass: it must hold buckets 1-2 alone
+    assert got[1] == 1 and got[2] >= 2

@@ -722,3 +722,63 @@ def test_stateful_kmv_distinct_matches_batch_sketch(spark, tmp_path):
     assert got["est_distinct"] == want
     # sketch sanity: estimate within 50% of truth at k=16
     assert abs(got["est_distinct"] - 200) / 200 < 0.5
+
+
+def test_stateful_histogram_matches_batch_bins(spark, tmp_path):
+    """Streaming fixed-bin histogram (O(n_bins) state) must carry bin
+    counters across micro-batches and land exactly on the batch bin counts
+    over the same prefix when the declared edges equal the batch
+    min/width — the parity stream_histogram_replay's oracle states."""
+    import math
+
+    from fxspark.streaming.stateful import stateful_histogram
+
+    vals = {
+        "click": [1.0, 2.5, 7.75, 9.9, 2.5, 0.0, 5.5, 9.9, 3.3],
+        "view": [4.0, 4.1, 0.2, 8.8, 6.6],
+    }
+    rows = [
+        {"event_type": t, "value": v} for t, vs in vals.items() for v in vs
+    ]
+    allv = [v for vs in vals.values() for v in vs]
+    lo, hi = min(allv), max(allv)
+    n_bins = 8
+    width = (hi - lo) / n_bins
+
+    half = len(rows) // 2
+    drops = tmp_path / "hdrops"
+    drops.mkdir()
+    for name, chunk in (("a.json", rows[:half]), ("b.json", rows[half:])):
+        with open(drops / name, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        stateful_histogram(stream, lo=lo, width=width, n_bins=n_bins)
+        .writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per type = the one with the largest total count
+    got = {}
+    for r in spark.sql(
+        "SELECT event_type, bin, cnt, sum(cnt) OVER (PARTITION BY "
+        "event_type, grp) AS tot FROM (SELECT *, 0 AS grp FROM hist_stream)"
+    ).collect():
+        cur = got.setdefault(r["event_type"], {})
+        cur[r["bin"]] = max(cur.get(r["bin"], 0), r["cnt"])
+
+    for t, vs in vals.items():
+        want = {}
+        for v in vs:
+            b = min(n_bins - 1, int(math.floor((v - lo) / width)))
+            want[b] = want.get(b, 0) + 1
+        assert got[t] == want, (t, got[t], want)
