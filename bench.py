@@ -217,6 +217,7 @@ EXTENSION = [
     "nation_revenue_ranking",
     "region_customer_spend_quartiles",
     "lineitem_volume_price_quartiles",
+    "doc_pair_budget_estimate",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))
@@ -461,6 +462,45 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Quantile-binning A/B: decile assignment over a 5M-point synthetic
+    # cloud — the boundary form (ops/quantile: coarse-histogram rank
+    # localization + map-side binning, many small parallel stages) against
+    # the textbook global-ntile window (one task sorts all 5M rows). Same
+    # semantics on this cloud up to declared tie handling (~1% collision
+    # rate); the timing gap is the single-task sort, and it widens linearly
+    # with rows while the boundary form stays flat per core.
+    qb_rows = int(os.environ.get("FXSPARK_BENCH_QB_ROWS", "5000000"))
+    from pyspark.sql import Window as W
+
+    from fxspark.ops.quantile import quantile_bins
+
+    qcloud = spark.range(qb_rows).select(
+        SF.col("id"),
+        SF.pmod(SF.col("id") * 2654435761, SF.lit(1_000_000_000)).alias("x"),
+    )
+
+    def qb_boundary_run():
+        quantile_bins(qcloud, "x", 10, "d").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def qb_ntile_run():
+        qcloud.withColumn(
+            "d", SF.ntile(10).over(W.orderBy("x"))
+        ).write.format("noop").mode("overwrite").save()
+
+    for label, fn in (
+        (f"quantile_bins_{qb_rows // 1000}k", qb_boundary_run),
+        (f"quantile_ntile_{qb_rows // 1000}k", qb_ntile_run),
+    ):
+        fn()
+        runs = []
+        for _ in range(EXT_REPS):
+            t0 = time.perf_counter(); fn()
+            runs.append(time.perf_counter() - t0)
+        ext_timings[label] = round(statistics.median(runs), 4)
+        print(f"# ext {label}: {runs[-1]:.3f}s", file=sys.stderr)
+
     # Skew-stress A/B (VERDICT r2 #6): one hot key owns half the fact rows —
     # the distribution where a plain shuffle join melts one task. Broadcast
     # is disabled for BOTH runs (the dim fits under the threshold, which
@@ -578,6 +618,20 @@ def main() -> None:
         ext_timings[label] = round(statistics.median(runs), 4)
         print(f"# ext {label}: {runs[-1]:.3f}s", file=sys.stderr)
 
+    # third calibration point: the extension sweep runs for minutes after
+    # the headline loop, so it gets its own contamination check (the r7
+    # lesson: a concurrent plan-compile session inflated only extensions)
+    calib_final = calibration_probe()
+    ext_drift = abs(calib_final - calib_before) / max(
+        min(calib_before, calib_final), 1e-9
+    )
+    ext_contaminated = ext_drift > 0.40
+    print(
+        f"# calibration final: {calib_final:.3f}s (ext drift {ext_drift:.0%}"
+        f"{', EXT LOAD-CONTAMINATED' if ext_contaminated else ''})",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 4)
     full = {
         "metric": "headline_total_wall",
@@ -594,6 +648,9 @@ def main() -> None:
             "calibration_after_s": calib_after,
             "calibration_drift": round(drift, 3),
             "load_contaminated": load_contaminated,
+            "calibration_final_s": calib_final,
+            "ext_calibration_drift": round(ext_drift, 3),
+            "ext_load_contaminated": ext_contaminated,
         },
     }
     # Full record (per-extension timings) goes to a file + stderr; the FINAL

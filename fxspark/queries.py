@@ -10615,6 +10615,80 @@ def q_lineitem_volume_price_quartiles(
     )
 
 
+@query(
+    "doc_pair_budget_estimate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t)-1)])) AS s
+      FROM toks WHERE len(t) >= 3
+    ), c AS (
+      SELECT s, count(*) AS c FROM sh GROUP BY s
+    ), e AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS exact_pairs
+      FROM c
+    ), smp AS (
+      SELECT c FROM c
+      WHERE CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+            / 1152921504606846976.0 < 0.125
+    ), s2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(8 * sum(c * (c - 1) // 2) AS BIGINT) AS est_pairs
+      FROM smp
+    )
+    SELECT e.n_shingles, e.exact_pairs, s2.n_sampled, s2.est_pairs,
+           round(abs(CAST(s2.est_pairs AS DOUBLE) - e.exact_pairs)
+                 / e.exact_pairs, 6) AS rel_err
+    FROM e, s2
+    """,
+)
+def q_doc_pair_budget_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair BUDGET estimator for the dedup tier's inverted-index
+    joins (the planning diagnostic that belongs next to
+    ``events_key_skew_report``): the shingle self-join behind
+    ``doc_jaccard_pairs``/``doc_shingle_containment`` generates
+    Σ c·(c−1)/2 pairs over per-shingle document frequencies — this query
+    computes that number exactly AND from a declared 1/8 md5 key sample
+    (scale-up ×8, exact integer arithmetic), so at 100 TB the estimate
+    costs an eighth of the frequency aggregation and tells you whether the
+    pair join fits the cluster BEFORE you run it. Sampling by KEY (not by
+    row) is what keeps Σc² estimable — row sampling biases pair counts
+    quadratically. Both numbers and the relative error are in the output,
+    so the estimator's quality is itself differentially pinned."""
+    from fxspark.ops.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.select(F.explode(shingles(F.col("text"), 3)).alias("s"))
+    c = inv.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    e = c.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.expr("c * (c - 1) div 2")).alias("exact_pairs"),
+    )
+    hfrac = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+        / F.lit(float(2**60))
+    )
+    s2 = c.filter(hfrac < 0.125).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        (F.lit(8) * F.sum(F.expr("c * (c - 1) div 2"))).alias("est_pairs"),
+    )
+    return e.crossJoin(F.broadcast(s2)).select(
+        "n_shingles",
+        "exact_pairs",
+        "n_sampled",
+        "est_pairs",
+        F.round(
+            F.abs(F.col("est_pairs").cast("double") - F.col("exact_pairs"))
+            / F.col("exact_pairs"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

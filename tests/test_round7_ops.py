@@ -167,3 +167,46 @@ def test_quantile_bins_weighted_matches_brute_force(spark):
     assert got == want, (got, want, bounds)
     # heavy value 1 owns 50/100 of the mass: it must hold buckets 1-2 alone
     assert got[1] == 1 and got[2] >= 2
+
+
+# --- hypothesis property: boundary binning == brute-force declared
+# semantics for ANY value multiset (ties, duplicates, negatives, tiny) ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+values_strategy = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=30
+)
+
+
+@given(values=values_strategy, n=st.sampled_from([2, 3, 5]))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_quantile_bins_property(spark, values, n):
+    got, _ = _spark_bins(spark, values, n, coarse=4)
+    assert got == _expected_bins(values, n)
+
+
+@given(values=values_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_quantile_bins_population_conservation(spark, values):
+    """Every non-null row lands in exactly one bucket in [1, n], and
+    bucket populations are monotone-compatible with the rank targets:
+    the first j buckets together hold >= ceil(c*j/n) rows (ties can only
+    push mass DOWN into earlier buckets, never up)."""
+    n = 4
+    _, rows = _spark_bins(spark, values, n, coarse=4)
+    c = len(values)
+    assert all(1 <= r["b"] <= n for r in rows)
+    for j in range(1, n):
+        k_j = -(-c * j // n)
+        held = sum(1 for r in rows if r["b"] <= j)
+        assert held >= k_j, (values, j, held, k_j)
