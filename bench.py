@@ -218,6 +218,7 @@ EXTENSION = [
     "region_customer_spend_quartiles",
     "lineitem_volume_price_quartiles",
     "doc_pair_budget_estimate",
+    "minhash_estimate_agreement",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

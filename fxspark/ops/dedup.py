@@ -514,6 +514,70 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_agreement(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Sketch-quality evaluation for the MinHash tier: every LSH candidate
+    pair with BOTH its exact trigram Jaccard and the MinHash estimate (the
+    share of equal signature components, an exact multiple of 1/k) — the
+    in-engine answer to "is the sketch faithful enough to replace the
+    exact tier at this k". Emits (id_a, id_b, jaccard, eq_components);
+    callers aggregate error by jaccard band. Same candidate topology as
+    :func:`minhash_lsh_pairs` (band buckets only, never all pairs)."""
+    sets_ = _shingle_sets(df, id_col, text_col, n).localCheckpoint()
+    sig = _signature_from_sets(sets_, k, hash_fn).localCheckpoint()
+    banded = sig.select(
+        "_id",
+        F.posexplode(F.array(*_band_key_exprs(k, bands, hash_fn))).alias(
+            "_band", "_bh"
+        ),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["_band", "_bh"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("_id").alias("id_a"), F.col("signature").alias("_siga")
+    )
+    sigb = sig.select(
+        F.col("_id").alias("id_b"), F.col("signature").alias("_sigb")
+    )
+    sa = sets_.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sets_.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter / (F.size("_sha") + F.size("_shb") - inter)
+    eq = F.aggregate(
+        F.zip_with(
+            "_siga",
+            "_sigb",
+            lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+            eq.cast("long").alias("eq_components"),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -10689,6 +10689,116 @@ def q_doc_pair_budget_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_agreement_oracle(k: int = 64, bands: int = 16) -> str:
+    from fxspark.ops.dedup import _MERSENNE_31 as M
+    from fxspark.ops.dedup import _minhash_perms
+
+    r = k // bands
+    sig = ", ".join(
+        f"min(({a}*x + {b}) % {M}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_perms(k))
+    )
+    band_arms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bn, concat_ws(',', "
+        + ", ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        + ") AS bk FROM sig"
+        for b in range(bands)
+    )
+    eq = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(k))
+    jac = (
+        "CAST(len(list_intersect(ta.s, tb.s)) AS DOUBLE)"
+        " / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s)))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                    for i in range(1, len(t)-1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), h AS (
+      SELECT doc_id, {_MD5_60.format(c='sh0')} % {M} AS x
+      FROM (SELECT doc_id, unnest(s) AS sh0 FROM sh)
+    ), sig AS (
+      SELECT doc_id, {sig} FROM h GROUP BY doc_id
+    ), bands AS (
+      {band_arms}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bn = b.bn AND a.bk = b.bk
+                               AND a.doc_id < b.doc_id
+    ), p AS (
+      SELECT round({jac}, 6) AS jac, ({eq}) AS eq
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      JOIN sh ta ON ta.doc_id = c.id_a
+      JOIN sh tb ON tb.doc_id = c.id_b
+    ), bd AS (
+      SELECT CAST(CAST(round(jac * 1000000, 0) AS BIGINT) // 100000
+                  AS INTEGER) AS jac_band, jac, eq
+      FROM p
+    )
+    SELECT jac_band, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(jac AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+             AS mean_jaccard,
+           CAST(sum(eq) AS DOUBLE) / ({k}.0 * count(*)) AS mean_estimate,
+           CAST(sum(CAST(abs(jac - eq / {k}.0) AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*) AS mean_abs_err
+    FROM bd GROUP BY jac_band
+    """
+
+
+@query("minhash_estimate_agreement", oracle=_minhash_agreement_oracle())
+def q_minhash_estimate_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-eval family: how faithful is the k=64 MinHash estimate to the
+    exact trigram Jaccard, measured on the LSH tier's OWN candidate pairs
+    (``ops/dedup.minhash_agreement``) and folded per 0.1-wide exact-Jaccard
+    band — the in-engine answer to "can the sketch replace the exact
+    verify at this k", the dedup twin of ``embedding_quantized_recall``.
+    Estimates are exact multiples of 1/64, so equality counts sum as
+    integers; the per-pair |error| is DECIMAL(38,12)-quantized before the
+    exact sum (the ``embedding_label_outliers`` pattern) — band means are
+    identical doubles in both engines. Candidate generation stays banded
+    (never all pairs); low bands exist BECAUSE band collisions happen below
+    the S-curve knee, which is exactly the region worth measuring."""
+    from fxspark.ops.dedup import minhash_agreement
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_agreement(
+        docs, "doc_id", "text", n=3, k=64, bands=16, hash_fn="md5_60"
+    )
+    err = F.abs(
+        F.col("jaccard") - F.col("eq_components") / F.lit(64.0)
+    ).cast("decimal(38,12)")
+    return (
+        pairs.withColumn(
+            "jac_band",
+            F.expr(
+                "CAST(CAST(round(jaccard * 1000000, 0) AS BIGINT)"
+                " div 100000 AS INT)"
+            ),
+        )
+        .groupBy("jac_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(F.col("jaccard").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_jaccard"),
+            (
+                F.sum("eq_components").cast("double")
+                / (64.0 * F.count(F.lit(1)))
+            ).alias("mean_estimate"),
+            (F.sum(err).cast("double") / F.count(F.lit(1))).alias(
+                "mean_abs_err"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
