@@ -10663,20 +10663,28 @@ def q_doc_pair_budget_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     inv = docs.select(F.explode(shingles(F.col("text"), 3)).alias("s"))
-    c = inv.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
-    e = c.agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(F.expr("c * (c - 1) div 2")).alias("exact_pairs"),
-    )
     hfrac = (
         F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
         / F.lit(float(2**60))
     )
-    s2 = c.filter(hfrac < 0.125).agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        (F.lit(8) * F.sum(F.expr("c * (c - 1) div 2"))).alias("est_pairs"),
+    # exact and sampled totals in ONE pass over the frequency table: the
+    # sample is a predicate, not a second scan (halves the shingle-agg cost
+    # vs the two-branch + crossJoin form — and that is also the point of
+    # the estimator at 100 TB: the scan you'd actually run is the sampled
+    # one alone, with the md5 predicate pushed below the aggregation)
+    c = inv.groupBy("s").agg(F.count(F.lit(1)).alias("c")).withColumn(
+        "_in", hfrac < 0.125
     )
-    return e.crossJoin(F.broadcast(s2)).select(
+    e = c.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.expr("c * (c - 1) div 2")).alias("exact_pairs"),
+        F.sum(F.col("_in").cast("long")).alias("n_sampled"),
+        (
+            F.lit(8)
+            * F.sum(F.when(F.col("_in"), F.expr("c * (c - 1) div 2")))
+        ).alias("est_pairs"),
+    )
+    return e.select(
         "n_shingles",
         "exact_pairs",
         "n_sampled",
