@@ -219,6 +219,11 @@ EXTENSION = [
     "lineitem_volume_price_quartiles",
     "doc_pair_budget_estimate",
     "minhash_estimate_agreement",
+    "purchase_regime_enrich",
+    "promo_price_ttest",
+    "nation_spend_gini",
+    "customer_churn_hazard",
+    "user_value_lag_features",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))
@@ -501,6 +506,39 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         ext_timings[label] = round(statistics.median(runs), 4)
         print(f"# ext {label}: {runs[-1]:.3f}s", file=sys.stderr)
+
+    # Weighted-binning scale probe (NOTES_r8): volume-weighted deciles over
+    # the same 5M cloud — quantile_bins_weighted's cumulative-weight ranks
+    # keep the boundary-localization topology (coarse weight histogram +
+    # candidate-bucket extraction), so the cost should track quantile_bins
+    # within a small constant, NOT the ntile sort. Weights are skewed
+    # integers (1..1000) so the weighted boundaries genuinely differ from
+    # the unweighted ones.
+    from fxspark.ops.quantile import quantile_bins_weighted
+
+    wcloud = spark.range(qb_rows).select(
+        SF.col("id"),
+        SF.pmod(SF.col("id") * 2654435761, SF.lit(1_000_000_000)).alias("x"),
+        (SF.pmod(SF.col("id") * 104729, SF.lit(1000)) + 1).alias("wgt"),
+    )
+
+    def qb_weighted_run():
+        quantile_bins_weighted(wcloud, "x", "wgt", 10, "d").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    qb_weighted_run()
+    runs = []
+    for _ in range(EXT_REPS):
+        t0 = time.perf_counter(); qb_weighted_run()
+        runs.append(time.perf_counter() - t0)
+    ext_timings[f"quantile_weighted_{qb_rows // 1000}k"] = round(
+        statistics.median(runs), 4
+    )
+    print(
+        f"# ext quantile_weighted_{qb_rows // 1000}k: {runs[-1]:.3f}s",
+        file=sys.stderr,
+    )
 
     # Skew-stress A/B (VERDICT r2 #6): one hot key owns half the fact rows —
     # the distribution where a plain shuffle join melts one task. Broadcast

@@ -109,6 +109,180 @@ def grouped_mad(
     return med.join(mad, keys).select(*keys, "n_obs", "median", "mad")
 
 
+def gini_by_group(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value_col: str,
+    tiebreak: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-key Gini concentration coefficient over one-row-per-entity
+    values (the inequality complement of ``supplier_nation_herfindahl``'s
+    share-of-squares): rank entities ascending within the key and apply
+    the closed form ``G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)``.
+
+    Exactness: values are cast to DECIMAL(38,``scale``) and the rank
+    products ``i·xᵢ`` accumulate in decimal, so both Σ terms are
+    order-independent; only the final ratio is IEEE double. Ties in
+    ``value_col`` are position-interchangeable in the formula (equal x
+    across swapped ranks leaves Σ i·xᵢ unchanged), but ``tiebreak`` still
+    pins the rank order so the plan is deterministic end-to-end. Keys with
+    Σx ≤ 0 return NULL rather than a sign-flipped ratio.
+
+    Plan shape: ONE ranking window per key over the entity-grain frame
+    (already reduced — rank the rollup, never the raw facts) plus a
+    grouped rollup on the same partitioning. Exact ranks mean a per-key
+    sort: fine when keys bound the group (nations, segments); for
+    unbounded groups, bin with ``ops/quantile.quantile_bins_grouped`` and
+    compute the histogram Gini instead — declared approximation, no sort.
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    v = F.col(value_col).cast(f"decimal(38,{scale})")
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col), F.col(tiebreak))
+    ranked = df.select(
+        *keys,
+        v.alias("_x"),
+        F.row_number().over(w).cast("decimal(18,0)").alias("_i"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(F.col("_x")).cast("double").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_x")).cast("double").alias("_six"),
+    )
+    n = F.col("n_entities").cast("double")
+    gini = F.when(
+        F.col("_sx") > 0.0,
+        (2.0 * F.col("_six") - (n + 1.0) * F.col("_sx"))
+        / (n * F.col("_sx")),
+    )
+    return agg.select(*keys, "n_entities", gini.alias("gini"))
+
+
+def cumulative_hazard(
+    entities: DataFrame,
+    time_col: str,
+    event_col: str,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over right-censored entity
+    lifetimes — survival analysis as pure aggregation. ``entities`` is
+    one row per subject with an integer ``time_col`` (e.g. whole days
+    survived) and a boolean ``event_col`` (True = event observed, False
+    = censored at that time).
+
+    The Kaplan-Meier product Π(1 − dᵢ/nᵢ) is NOT cross-engine
+    hash-stable (float product / exp-of-log-sum both drift in the last
+    ulp), so the emitted estimator is the additive Nelson-Aalen form in
+    EXACT integer parts-per-million: per event time,
+    ``hazard_ppm = (dᵢ·ppm) div nᵢ`` and its running sum — integer
+    floor division, bit-identical in any engine (KM ≈ exp(−H/ppm) when
+    a caller wants the survival curve back).
+
+    Plan shape: one hash-agg to time grain, then two windows over the
+    time-grain frame — whose row count is the number of DISTINCT times
+    (days: ≤ study length), not the number of subjects. The reverse
+    running sum of time-bucket counts IS the at-risk set nᵢ, so no
+    subject-level self-join ever happens; at 100 TB the subject frame is
+    the only large input and it is reduced map-side first.
+    """
+    from pyspark.sql import Window
+
+    g = entities.groupBy(F.col(time_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("deaths"),
+        F.count(F.lit(1)).alias("_all"),
+    )
+    w_risk = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.withColumn("at_risk", F.sum("_all").over(w_risk))
+    h = F.expr(f"deaths * {ppm} div at_risk")
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        r.withColumn("hazard_ppm", h)
+        .withColumn("cum_hazard_ppm", F.sum(h).over(w_cum))
+        .filter(F.col("deaths") > 0)
+        .select(
+            F.col("t").alias(time_col),
+            "deaths",
+            "at_risk",
+            "hazard_ppm",
+            "cum_hazard_ppm",
+        )
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value: Column,
+    in_treatment: Column,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-key Welch two-sample t statistic (unequal variances) between a
+    treatment and a control slice of the same frame — the A/B primitive,
+    as one conditional-aggregation pass (no second scan, no join): each
+    group's n / Σx / Σx² accumulate under ``F.when`` filters, map-side
+    combined like any rollup.
+
+    Exactness contract: ``value`` and its square are cast to
+    DECIMAL(38,``scale``) before summation (the square is formed in
+    double first — IEEE multiplication is deterministic, the decimal cast
+    of the identical bits agrees across engines); means, variances, t and
+    the Welch–Satterthwaite df are then plain double arithmetic on those
+    exact sums. Returned statistics are RAW doubles — callers round for
+    display/hashing (grouped_ols convention): once Σx² exceeds ~16
+    significant digits the DECIMAL→DOUBLE edge cast itself is
+    engine-rounding-dependent in the last ulp, which rounding absorbs.
+    Keys where either side has < 2 rows get NULL t/df.
+
+    Returns ``(keys..., n_treat, n_ctrl, mean_treat, mean_ctrl, t_stat,
+    welch_df)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    dec = f"decimal(38,{scale})"
+    z = F.lit(0).cast(dec)
+    vt = F.when(in_treatment, value.cast(dec)).otherwise(z)
+    vc = F.when(~in_treatment, value.cast(dec)).otherwise(z)
+    qt = F.when(in_treatment, (value * value).cast(dec)).otherwise(z)
+    qc = F.when(~in_treatment, (value * value).cast(dec)).otherwise(z)
+    agg = df.groupBy(*keys).agg(
+        F.sum(in_treatment.cast("long")).alias("n_treat"),
+        F.sum((~in_treatment).cast("long")).alias("n_ctrl"),
+        F.sum(vt).cast("double").alias("_st"),
+        F.sum(vc).cast("double").alias("_sc"),
+        F.sum(qt).cast("double").alias("_qt"),
+        F.sum(qc).cast("double").alias("_qc"),
+    )
+    n1 = F.col("n_treat").cast("double")
+    n2 = F.col("n_ctrl").cast("double")
+    m1 = F.col("_st") / n1
+    m2 = F.col("_sc") / n2
+    v1 = (F.col("_qt") - F.col("_st") * F.col("_st") / n1) / (n1 - 1.0)
+    v2 = (F.col("_qc") - F.col("_sc") * F.col("_sc") / n2) / (n2 - 1.0)
+    se1 = v1 / n1
+    se2 = v2 / n2
+    ok = (F.col("n_treat") >= 2) & (F.col("n_ctrl") >= 2)
+    t = F.when(ok, (m1 - m2) / F.sqrt(se1 + se2))
+    dfree = F.when(
+        ok,
+        (se1 + se2) * (se1 + se2)
+        / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)),
+    )
+    return agg.select(
+        *keys,
+        "n_treat",
+        "n_ctrl",
+        F.when(ok, m1).alias("mean_treat"),
+        F.when(ok, m2).alias("mean_ctrl"),
+        t.alias("t_stat"),
+        dfree.alias("welch_df"),
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     keys: str | Sequence[str],

@@ -10807,6 +10807,341 @@ def q_minhash_estimate_agreement(
     )
 
 
+@query(
+    "purchase_regime_enrich",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ), versions AS (
+      SELECT user_id, event_type AS regime_type, ts AS valid_from
+      FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+    ), purchases AS (
+      SELECT user_id, event_id AS p_event_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, p_event_id, p_ts, p_value, regime_type, regime_since
+    FROM (
+      SELECT p.user_id, p.p_event_id, p.p_ts, p.p_value,
+             v.regime_type, v.valid_from AS regime_since,
+             row_number() OVER (PARTITION BY p.user_id, p.p_event_id
+                                ORDER BY v.valid_from DESC,
+                                         v.regime_type DESC) AS rn
+      FROM purchases p LEFT JOIN versions v
+        ON p.user_id = v.user_id AND v.valid_from <= p.p_ts
+    ) WHERE rn = 1
+    """,
+)
+def q_purchase_regime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-versioned-dimension lookup — the dimensional-warehouse
+    pattern the SCD2 build exists FOR: enrich each purchase with the
+    user's browsing regime (the view/click state run from
+    ``ops/cdc.scd2_intervals``) valid AT purchase time. Because SCD2
+    intervals are consecutive per key, interval containment
+    (``valid_from <= t < valid_to``) reduces to a backward as-of join on
+    ``valid_from`` — so the lookup runs as ``ops/asof.asof_join``'s
+    single sort-shuffle, linear in facts+versions, instead of the
+    oracle's quadratic interval join + rank. Purchases before any browse
+    event keep NULL regime (left semantics); equal-``valid_from``
+    versions resolve by the declared regime_type tiebreak."""
+    from fxspark.ops.cdc import scd2_intervals
+
+    events = load_table(spark, sf_dir, "events")
+    browse = events.filter(F.col("event_type").isin("view", "click"))
+    dim = scd2_intervals(
+        browse, "user_id", ["ts", "event_id"], ["event_type"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("regime_type"),
+        F.col("valid_from").alias("regime_since"),
+        F.col("valid_from").alias("p_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return asof_join(
+        purchases,
+        dim,
+        keys="user_id",
+        on="p_ts",
+        right_payload=["regime_type", "regime_since"],
+        right_tiebreak=["regime_type"],
+    )
+
+
+@query(
+    "promo_price_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_treat,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_ctrl,
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(38,4))
+                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS st,
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(0 AS DECIMAL(38,4))
+                  ELSE CAST(l_extendedprice AS DECIMAL(38,4)) END)
+                  AS DOUBLE) AS sc,
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * l_extendedprice
+                            AS DECIMAL(38,4))
+                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS qt,
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(0 AS DECIMAL(38,4))
+                  ELSE CAST(l_extendedprice * l_extendedprice
+                            AS DECIMAL(38,4)) END) AS DOUBLE) AS qc
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    ), d AS (
+      SELECT l_returnflag, n_treat, n_ctrl,
+             CAST(n_treat AS DOUBLE) AS n1, CAST(n_ctrl AS DOUBLE) AS n2,
+             st, sc, qt, qc
+      FROM s
+    ), v AS (
+      SELECT l_returnflag, n_treat, n_ctrl, n1, n2,
+             st / n1 AS m1, sc / n2 AS m2,
+             ((qt - st * st / n1) / (n1 - 1.0)) / n1 AS se1,
+             ((qc - sc * sc / n2) / (n2 - 1.0)) / n2 AS se2
+      FROM d
+    )
+    SELECT l_returnflag, n_treat, n_ctrl,
+           round(m1, 6) AS mean_treat, round(m2, 6) AS mean_ctrl,
+           round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)), 6)
+             AS welch_df
+    FROM v
+    """,
+)
+def q_promo_price_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B significance primitive: Welch two-sample t statistic (unequal
+    variances) of extended price, PROMO parts vs the rest, per return
+    flag — ``ops/stats.welch_ttest``. One conditional-aggregation pass
+    over the fact⋈dim join (part broadcasts): both samples' moments
+    accumulate under ``F.when`` in the same map-side-combined rollup, so
+    the A/B test costs exactly one scan regardless of group count. Sums
+    are decimal-exact; t and the Welch–Satterthwaite df are double
+    arithmetic on those exact sums, written with the same association in
+    both engines. Outputs are rounded to 6 decimals: a Σx² of ≥17
+    significant digits is not exactly representable in a double, and the
+    two engines round the DECIMAL→DOUBLE cast differently in the last
+    ulp (BigDecimal.doubleValue vs DuckDB's hugeint-scaled path —
+    measured: 1408065302744.9591 → ...f58 vs ...f59), so the raw
+    statistics can differ at 1e-13 relative; rounding is the declared
+    absorber, as in the ln family."""
+    from fxspark.ops.stats import welch_ttest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    t = welch_ttest(
+        j,
+        "l_returnflag",
+        F.col("l_extendedprice"),
+        F.col("p_type") == "PROMO",
+    )
+    return t.select(
+        "l_returnflag",
+        "n_treat",
+        "n_ctrl",
+        F.round("mean_treat", 6).alias("mean_treat"),
+        F.round("mean_ctrl", 6).alias("mean_ctrl"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("welch_df", 6).alias("welch_df"),
+    )
+
+
+@query(
+    "nation_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey, c_nationkey,
+             COALESCE(sum(CAST(o_totalprice AS DECIMAL(38,4))),
+                      CAST(0 AS DECIMAL(38,4))) AS spend
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_nationkey, spend,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY spend, c_custkey)
+                  AS DECIMAL(18,0)) AS i
+      FROM spend
+    ), agg AS (
+      SELECT c_nationkey, count(*) AS n_entities,
+             CAST(sum(spend) AS DOUBLE) AS sx,
+             CAST(sum(i * spend) AS DOUBLE) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT n_name, CAST(n_entities AS BIGINT) AS n_entities,
+           CASE WHEN sx > 0.0 THEN
+             (2.0 * six - (CAST(n_entities AS DOUBLE) + 1.0) * sx)
+               / (CAST(n_entities AS DOUBLE) * sx)
+           END AS gini
+    FROM agg JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def q_nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality analytics: per-nation Gini coefficient of customer
+    lifetime spend (``ops/stats.gini_by_group``) — the Lorenz-curve
+    complement of ``supplier_nation_herfindahl``'s share-of-squares
+    concentration. Zero-order customers count at spend 0 (the left join
+    — inequality over the population, not over buyers). The ranking
+    window runs over the customer-grain ROLLUP (one row per customer,
+    never raw orders); rank products accumulate in decimal so both Σ
+    terms are exact and the final ratio is the only double step."""
+    from fxspark.ops.stats import gini_by_group
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        customer.join(
+            orders, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(38,4)")),
+                F.lit(0).cast("decimal(38,4)"),
+            ).alias("spend")
+        )
+    )
+    g = gini_by_group(spend, "c_nationkey", "spend", "c_custkey")
+    return g.join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("n_name", "n_entities", "gini")
+
+
+@query(
+    "customer_churn_hazard",
+    oracle="""
+    WITH m AS (SELECT max(o_orderdate) AS mx FROM orders),
+    u AS (
+      SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CASE WHEN l < mx - INTERVAL 180 DAY
+                  THEN (epoch_us(l) - epoch_us(f)) // 2592000000000
+                  ELSE (epoch_us(mx) - epoch_us(f)) // 2592000000000
+             END AS t_months,
+             (l < mx - INTERVAL 180 DAY) AS churned
+      FROM u CROSS JOIN m
+    ), g AS (
+      SELECT t_months,
+             CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+               AS deaths,
+             count(*) AS n_all
+      FROM t GROUP BY 1
+    ), r AS (
+      SELECT t_months, deaths,
+             CAST(sum(n_all) OVER (ORDER BY t_months DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS at_risk
+      FROM g
+    )
+    SELECT t_months, deaths, at_risk,
+           CAST(deaths * 1000000 // at_risk AS BIGINT) AS hazard_ppm,
+           CAST(sum(deaths * 1000000 // at_risk) OVER (ORDER BY t_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_hazard_ppm
+    FROM r WHERE deaths > 0
+    """,
+)
+def q_customer_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis over right-censored customer lifetimes
+    (``ops/stats.cumulative_hazard``): lifetime = whole 30-day months
+    from first to last order; churned if the last order predates the
+    study end by >180 days, else censored at study end. Emits the
+    Nelson-Aalen cumulative hazard in exact integer parts-per-million —
+    the additive estimator chosen BECAUSE the Kaplan-Meier float product
+    is not cross-engine hash-stable (KM ≈ exp(−H/ppm) when a caller
+    wants the curve). The at-risk set is a reverse running sum over the
+    month-grain rollup, so no subject-level self-join exists at any
+    scale — the customer-grain agg is the only pass over data."""
+    from fxspark.ops.stats import cumulative_hazard
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    month_us = 2_592_000_000_000
+    ent = u.crossJoin(F.broadcast(mx)).select(
+        (F.col("l") < F.col("mx") - F.expr("INTERVAL 180 DAYS")).alias(
+            "churned"
+        ),
+        F.when(
+            F.col("l") < F.col("mx") - F.expr("INTERVAL 180 DAYS"),
+            (F.unix_micros("l") - F.unix_micros("f")),
+        )
+        .otherwise(F.unix_micros("mx") - F.unix_micros("f"))
+        .alias("_us"),
+    ).select(
+        "churned",
+        F.expr(f"_us div {month_us}").alias("t_months"),
+    )
+    return cumulative_hazard(ent, "t_months", "churned")
+
+
+@query(
+    "user_value_lag_features",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value, 1) OVER w AS lag1,
+           lag(value, 2) OVER w AS lag2,
+           value - lag(value, 1) OVER w AS delta1,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_5,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_user_value_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature generation: the per-key lag/delta/rolling feature frame
+    a training pipeline derives from an event log — lag-1/lag-2 values,
+    first difference, and a trailing 5-row sum/count, all over ONE
+    (user, time)-sorted window partitioning so the whole feature set
+    costs a single sort-shuffle (every window shares the same ordering;
+    Catalyst collapses them into one Window node). Leading rows keep
+    NULL lags (no synthetic padding — downstream imputation is a
+    declared choice, ``user_value_locf``/``user_value_interp``). The
+    rolling sum is decimal-exact; lag/delta are single-value moves with
+    no accumulation, so plain doubles are already bit-stable."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-4, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta1"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(wr)
+        .cast("double")
+        .alias("sum_5"),
+        F.count(F.lit(1)).over(wr).alias("n_5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

@@ -60,6 +60,10 @@ GLOBAL_WINDOW_OK = {
     # Nation-dimension grain (25 rows) — the deliberate teaching pair to
     # the quantile scale form: rank-family windows on bounded rollups.
     "nation_revenue_ranking": "nation grain (25 rows)",
+    # Nelson-Aalen at-risk/cumulative windows run over the lifetime-month
+    # rollup: <= study length in months by construction (subjects are
+    # hash-aggregated away first — ops/stats.cumulative_hazard).
+    "customer_churn_hazard": "lifetime-month grain <= study length",
 }
 
 

@@ -210,3 +210,111 @@ def test_quantile_bins_population_conservation(spark, values):
         k_j = -(-c * j // n)
         held = sum(1 for r in rows if r["b"] <= j)
         assert held >= k_j, (values, j, held, k_j)
+
+
+# ---------------------------------------------------------------------------
+# Survival / inequality / A/B stats (ops/stats.py round-7 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_gini_extremes(spark):
+    from fxspark.ops.stats import gini_by_group
+
+    rows = [("a", i, 10.0) for i in range(4)]           # perfect equality
+    rows += [("b", 0, 0.0), ("b", 1, 0.0), ("b", 2, 0.0), ("b", 3, 10.0)]
+    df = spark.createDataFrame(rows, "k string, id int, v double")
+    got = {
+        r["k"]: (r["n_entities"], r["gini"])
+        for r in gini_by_group(df, "k", "v", "id").collect()
+    }
+    assert got["a"] == (4, 0.0)
+    # one entity holds everything: G = (2*4*10 - 5*10) / (4*10) = 0.75
+    assert got["b"] == (4, 0.75)
+
+
+def test_gini_zero_total_is_null(spark):
+    from fxspark.ops.stats import gini_by_group
+
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 1, 0.0)], "k string, id int, v double"
+    )
+    (row,) = gini_by_group(df, "k", "v", "id").collect()
+    assert row["gini"] is None
+
+
+def test_cumulative_hazard_hand_example(spark):
+    from fxspark.ops.stats import cumulative_hazard
+
+    # deaths at t=1 (x2) and t=3; censor at t=2
+    df = spark.createDataFrame(
+        [(1, True), (1, True), (2, False), (3, True)],
+        "t_days int, ev boolean",
+    )
+    rows = {
+        r["t_days"]: r for r in cumulative_hazard(df, "t_days", "ev").collect()
+    }
+    assert set(rows) == {1, 3}  # censor-only times emit no row
+    assert rows[1]["deaths"] == 2 and rows[1]["at_risk"] == 4
+    assert rows[1]["hazard_ppm"] == 500_000
+    assert rows[3]["deaths"] == 1 and rows[3]["at_risk"] == 1
+    assert rows[3]["cum_hazard_ppm"] == 1_500_000
+
+
+def test_welch_ttest_matches_numpy(spark):
+    import numpy as np
+
+    from fxspark.ops.stats import welch_ttest
+    from pyspark.sql import functions as F
+
+    a = [10.5, 12.0, 11.25, 13.5, 10.0]
+    b = [9.0, 9.5, 8.75, 10.25]
+    df = spark.createDataFrame(
+        [("g", v, True) for v in a] + [("g", v, False) for v in b],
+        "k string, v double, treat boolean",
+    )
+    (row,) = welch_ttest(df, "k", F.col("v"), F.col("treat")).collect()
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    se = va / len(a) + vb / len(b)
+    t = (np.mean(a) - np.mean(b)) / np.sqrt(se)
+    dfree = se * se / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row["n_treat"] == 5 and row["n_ctrl"] == 4
+    assert abs(row["t_stat"] - t) < 1e-9
+    assert abs(row["welch_df"] - dfree) < 1e-9
+
+
+def test_welch_ttest_degenerate_side_is_null(spark):
+    from fxspark.ops.stats import welch_ttest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g", 1.0, True), ("g", 2.0, False), ("g", 3.0, False)],
+        "k string, v double, treat boolean",
+    )
+    (row,) = welch_ttest(df, "k", F.col("v"), F.col("treat")).collect()
+    assert row["t_stat"] is None and row["welch_df"] is None
+
+
+def test_scd2_asof_enrich_before_first_version(spark):
+    """A fact earlier than every dimension version keeps NULL payload —
+    the left-join semantics purchase_regime_enrich declares."""
+    from fxspark.ops.asof import asof_join
+
+    dim = spark.createDataFrame(
+        [(1, "view", 100)], "user_id int, regime_type string, p_ts long"
+    ).select(
+        "user_id", "regime_type", F.col("p_ts").alias("regime_since"), "p_ts"
+    )
+    facts = spark.createDataFrame(
+        [(1, 50), (1, 150)], "user_id int, p_ts long"
+    )
+    got = {
+        r["p_ts"]: r["regime_type"]
+        for r in asof_join(
+            facts, dim, keys="user_id", on="p_ts",
+            right_payload=["regime_type", "regime_since"],
+            right_tiebreak=["regime_type"],
+        ).collect()
+    }
+    assert got == {50: None, 150: "view"}
