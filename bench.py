@@ -224,6 +224,14 @@ EXTENSION = [
     "nation_spend_gini",
     "customer_churn_hazard",
     "user_value_lag_features",
+    "events_value_psi",
+    "source_token_entropy",
+    "embedding_pca2",
+    "part_revenue_abc",
+    "supplier_return_wilson",
+    "brand_triples_apriori",
+    "region_nation_revenue_share",
+    "user_value_changepoint",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

@@ -215,6 +215,82 @@ def cumulative_hazard(
     )
 
 
+def changepoint_single(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order: Sequence[str],
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Offline single-changepoint detection per key (binary segmentation,
+    first split): the position that maximizes the between-segment sum-of-
+    squares gain ``G(i) = Sᵢ²/i + (S−Sᵢ)²/(n−i) − S²/n`` — equivalently
+    the split minimizing total within-segment SSE, the CUSUM family's
+    retrospective twin (``keyed_cusum`` detects online; this asks "where
+    DID the level shift?").
+
+    One (key, order)-sorted window pass builds decimal-exact prefix sums;
+    G is double arithmetic on those exact prefixes, identical bits in any
+    engine, so the argmax is cross-engine stable; exact G ties break to
+    the earliest position. Returns one row per key with ≥2 rows:
+    ``n_obs``, ``cp_<order[0]>`` (last point of the left segment),
+    ``gain``, ``mean_before``, ``mean_after``.
+
+    Plan shape: one sort-shuffle on the key (the window) + one grouped
+    argmax — linear, partitioned by key throughout; nothing global.
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = list(order)
+    dec = f"decimal(38,{scale})"
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wall = Window.partitionBy(*keys)
+    pre = (
+        df.withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_sl",
+            F.sum(F.col(value_col).cast(dec)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_s", F.sum(F.col(value_col).cast(dec)).over(wall))
+    )
+    i = F.col("_i").cast("double")
+    n = F.col("_n").cast("double")
+    sl = F.col("_sl").cast("double")
+    s = F.col("_s").cast("double")
+    g = (
+        sl * sl / i
+        + (s - sl) * (s - sl) / (n - i)
+        - s * s / n
+    )
+    scored = pre.filter(F.col("_i") < F.col("_n")).select(
+        *keys,
+        *[F.col(c) for c in order],
+        F.col("_n").alias("n_obs"),
+        g.alias("gain"),
+        (sl / i).alias("mean_before"),
+        ((s - sl) / (n - i)).alias("mean_after"),
+    )
+    wpick = Window.partitionBy(*keys).orderBy(
+        F.col("gain").desc(), *[F.col(c) for c in order]
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wpick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            "n_obs",
+            F.col(order[0]).alias(f"cp_{order[0]}"),
+            "gain",
+            "mean_before",
+            "mean_after",
+        )
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     keys: str | Sequence[str],

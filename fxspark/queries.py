@@ -11142,6 +11142,632 @@ def q_user_value_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_value_psi",
+    oracle="""
+    WITH ref AS (
+      SELECT event_type, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ), cur AS (
+      SELECT event_type, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    ), st AS (
+      SELECT event_type, min(value) AS mn,
+             (max(value) - min(value)) / 16 AS width,
+             count(*) AS n_ref
+      FROM ref GROUP BY 1 HAVING (max(value) - min(value)) / 16 > 0
+    ), nc AS (
+      SELECT c.event_type, count(*) AS n_cur
+      FROM cur c JOIN st ON c.event_type = st.event_type GROUP BY 1
+    ), rb AS (
+      SELECT r.event_type,
+             CAST(greatest(0, least(15,
+               floor((r.value - st.mn) / st.width))) AS INTEGER) AS bin,
+             count(*) AS cr
+      FROM ref r JOIN st ON r.event_type = st.event_type GROUP BY 1, 2
+    ), cb AS (
+      SELECT c.event_type,
+             CAST(greatest(0, least(15,
+               floor((c.value - st.mn) / st.width))) AS INTEGER) AS bin,
+             count(*) AS cc
+      FROM cur c JOIN st ON c.event_type = st.event_type GROUP BY 1, 2
+    ), grid AS (
+      SELECT st.event_type, st.n_ref, nc.n_cur, sp.bin,
+             coalesce(rb.cr, 0) AS cr, coalesce(cb.cc, 0) AS cc
+      FROM st JOIN nc ON st.event_type = nc.event_type
+      CROSS JOIN (SELECT unnest(range(16)) AS bin) sp
+      LEFT JOIN rb ON rb.event_type = st.event_type AND rb.bin = sp.bin
+      LEFT JOIN cb ON cb.event_type = st.event_type AND cb.bin = sp.bin
+    )
+    SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
+           CAST(max(n_cur) AS BIGINT) AS n_cur,
+           CAST(sum(CAST(
+             ((CAST(cr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 8.0)
+              - (CAST(cc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 8.0))
+             * ln(((CAST(cr AS DOUBLE) + 0.5)
+                   / (CAST(n_ref AS DOUBLE) + 8.0))
+                  / ((CAST(cc AS DOUBLE) + 0.5)
+                     / (CAST(n_cur AS DOUBLE) + 8.0)))
+             AS DECIMAL(38,9))) AS DOUBLE) AS psi
+    FROM grid GROUP BY event_type
+    """,
+)
+def q_events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data drift monitor: population stability index of the
+    value distribution per event type between the first and second half
+    of the month — THE production gate for "did this feature's
+    distribution move between the reference window and now". Bins are 16
+    equi-width buckets from the REFERENCE period's min/max (current
+    values outside the reference range clamp into the edge bins — drift
+    mass lands where a monitor wants it), counts are add-half smoothed,
+    and each (p−q)·ln(p/q) term is double-computed in pinned operand
+    order then truncated to DECIMAL(38,9) before the exact sum (the ln
+    family's hash discipline). Both period scans are one groupBy each;
+    the (type × 16) grid is broadcast-sized. PSI > 0.25 is the classic
+    retrain trigger."""
+    events = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ref = events.filter(F.col("ts") < split)
+    cur = events.filter(F.col("ts") >= split)
+    st = ref.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        ((F.max("value") - F.min("value")) / 16).alias("width"),
+        F.count(F.lit(1)).alias("n_ref"),
+    ).filter(F.col("width") > 0)
+    nc = cur.join(F.broadcast(st.select("event_type")), "event_type").groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_cur"))
+
+    def binned(df, cname):
+        return (
+            df.join(F.broadcast(st), "event_type")
+            .select(
+                "event_type",
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(15),
+                        F.floor(
+                            (F.col("value") - F.col("mn")) / F.col("width")
+                        ),
+                    ),
+                )
+                .cast("int")
+                .alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    spine = st.select("event_type", "n_ref").join(
+        F.broadcast(nc), "event_type"
+    ).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bin"),
+    )
+    grid = (
+        spine.join(binned(ref, "cr"), ["event_type", "bin"], "left")
+        .join(binned(cur, "cc"), ["event_type", "bin"], "left")
+        .fillna(0, subset=["cr", "cc"])
+    )
+    p = (F.col("cr").cast("double") + 0.5) / (
+        F.col("n_ref").cast("double") + 8.0
+    )
+    q = (F.col("cc").cast("double") + 0.5) / (
+        F.col("n_cur").cast("double") + 8.0
+    )
+    term = ((p - q) * F.log(p / q)).cast("decimal(38,9)")
+    return grid.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(term).cast("double").alias("psi"),
+    )
+
+
+@query(
+    "source_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ), sv AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ), st AS (
+      SELECT source, sum(c) AS ts, count(*) AS vocab FROM sv GROUP BY 1
+    )
+    SELECT sv.source, CAST(max(st.ts) AS BIGINT) AS n_tokens,
+           CAST(max(st.vocab) AS BIGINT) AS vocab,
+           CAST(sum(CAST(
+             -(CAST(sv.c AS DOUBLE) / CAST(st.ts AS DOUBLE))
+              * ln(CAST(sv.c AS DOUBLE) / CAST(st.ts AS DOUBLE))
+             AS DECIMAL(38,9))) AS DOUBLE) AS entropy,
+           CASE WHEN max(st.vocab) > 1 THEN
+             CAST(sum(CAST(
+               -(CAST(sv.c AS DOUBLE) / CAST(st.ts AS DOUBLE))
+                * ln(CAST(sv.c AS DOUBLE) / CAST(st.ts AS DOUBLE))
+               AS DECIMAL(38,9))) AS DOUBLE)
+             / ln(CAST(max(st.vocab) AS DOUBLE))
+           END AS norm_entropy
+    FROM sv JOIN st ON sv.source = st.source
+    GROUP BY sv.source
+    """,
+)
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the unigram distribution (plus the
+    vocab-normalized form in [0,1]) — the no-reference complement of
+    ``source_token_kl``: KL needs a corpus baseline, entropy flags
+    template/boilerplate sources absolutely (low entropy = few tokens
+    dominate). Vocab-grain rollup feeds both the distribution terms and
+    the totals in one shuffle; each −p·ln p term is truncated to
+    DECIMAL(38,9) pre-sum (ln hash discipline). norm_entropy is NULL for
+    single-token vocabularies (ln 1 = 0)."""
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    sv = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = sv.groupBy("source").agg(
+        F.sum("c").alias("ts"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("ts").cast("double")
+    term = (-p * F.log(p)).cast("decimal(38,9)")
+    ent = (
+        sv.join(F.broadcast(st), "source")
+        .groupBy("source")
+        .agg(
+            F.max("ts").alias("n_tokens"),
+            F.max("vocab").alias("vocab"),
+            F.sum(term).cast("double").alias("entropy"),
+        )
+    )
+    return ent.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "entropy",
+        F.when(
+            F.col("vocab") > 1,
+            F.col("entropy") / F.log(F.col("vocab").cast("double")),
+        ).alias("norm_entropy"),
+    )
+
+
+@query(
+    "embedding_pca2",
+    oracle="""
+    WITH xy AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,9))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+      FROM xy
+    ), c AS (
+      SELECT n_vecs,
+             sxx / nd - (sx / nd) * (sx / nd) AS a,
+             sxy / nd - (sx / nd) * (sy / nd) AS b,
+             syy / nd - (sy / nd) * (sy / nd) AS cc
+      FROM s
+    ), e AS (
+      SELECT n_vecs, a, b, cc,
+             (a + cc) / 2.0
+               + sqrt(((a - cc) / 2.0) * ((a - cc) / 2.0) + b * b)
+               AS lambda1,
+             (a + cc) / 2.0
+               - sqrt(((a - cc) / 2.0) * ((a - cc) / 2.0) + b * b)
+               AS lambda2
+      FROM c
+    )
+    SELECT n_vecs, a AS var_x, cc AS var_y, b AS cov_xy, lambda1, lambda2,
+           lambda1 / (lambda1 + lambda2) AS explained,
+           CASE WHEN b * b + (lambda1 - a) * (lambda1 - a) > 0.0 THEN
+             b / sqrt(b * b + (lambda1 - a) * (lambda1 - a))
+           ELSE 1.0 END AS v1x,
+           CASE WHEN b * b + (lambda1 - a) * (lambda1 - a) > 0.0 THEN
+             (lambda1 - a) / sqrt(b * b + (lambda1 - a) * (lambda1 - a))
+           ELSE 0.0 END AS v1y
+    FROM e
+    """,
+)
+def q_embedding_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-D PCA over the first two embedding dimensions:
+    covariance from one moments pass (decimal-exact sums — float→double
+    widening is exact, products are IEEE-deterministic), then the 2×2
+    eigendecomposition in closed form (trace/discriminant — no
+    iteration, no atan2, every step plain double on exact moments, so
+    the whole spectrum is cross-engine hashable). The scalable seed of a
+    PCA surface: d×d moment matrices for any small d are the same single
+    map-side-combined aggregation; only the driver-side eigensolve
+    grows, and it is O(d³) on ONE row. Degenerate axis-aligned case
+    (b = 0, λ1 = a) pins the eigenvector to (1, 0) by declaration."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xy = e.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    dec = "decimal(38,9)"
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    nd = F.col("nd")
+    a = F.col("sxx") / nd - (F.col("sx") / nd) * (F.col("sx") / nd)
+    b = F.col("sxy") / nd - (F.col("sx") / nd) * (F.col("sy") / nd)
+    cc = F.col("syy") / nd - (F.col("sy") / nd) * (F.col("sy") / nd)
+    c = s.select("n_vecs", a.alias("a"), b.alias("b"), cc.alias("cc"))
+    disc = F.sqrt(
+        ((F.col("a") - F.col("cc")) / 2.0)
+        * ((F.col("a") - F.col("cc")) / 2.0)
+        + F.col("b") * F.col("b")
+    )
+    e2 = c.select(
+        "n_vecs",
+        "a",
+        "b",
+        "cc",
+        ((F.col("a") + F.col("cc")) / 2.0 + disc).alias("lambda1"),
+        ((F.col("a") + F.col("cc")) / 2.0 - disc).alias("lambda2"),
+    )
+    vn2 = (
+        F.col("b") * F.col("b")
+        + (F.col("lambda1") - F.col("a")) * (F.col("lambda1") - F.col("a"))
+    )
+    return e2.select(
+        "n_vecs",
+        F.col("a").alias("var_x"),
+        F.col("cc").alias("var_y"),
+        F.col("b").alias("cov_xy"),
+        "lambda1",
+        "lambda2",
+        (F.col("lambda1") / (F.col("lambda1") + F.col("lambda2"))).alias(
+            "explained"
+        ),
+        F.when(vn2 > 0.0, F.col("b") / F.sqrt(vn2))
+        .otherwise(F.lit(1.0))
+        .alias("v1x"),
+        F.when(
+            vn2 > 0.0, (F.col("lambda1") - F.col("a")) / F.sqrt(vn2)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v1y"),
+    )
+
+
+@query(
+    "part_revenue_abc",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,4))) * 10000 AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    st AS (SELECT sum(w) AS tw FROM pr),
+    dv AS (SELECT w AS v, sum(w) AS wv FROM pr GROUP BY 1),
+    cw AS (SELECT v, sum(wv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS cum FROM dv),
+    b AS (
+      SELECT t.i, min(c.v) AS bv
+      FROM (SELECT i, (tw * i + 19) // 20 AS k
+            FROM st, (SELECT unnest(range(1, 20)) AS i)) t
+      JOIN cw c ON c.cum >= t.k
+      GROUP BY t.i
+    ),
+    binned AS (
+      SELECT p.w,
+             CAST(20 - (SELECT count(*) FROM b WHERE b.bv < p.w)
+                  AS INTEGER) AS bkt
+      FROM pr p
+    )
+    SELECT CASE WHEN bkt <= 16 THEN 'A' WHEN bkt <= 19 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)
+             / CAST((SELECT tw FROM st) AS DOUBLE) AS rev_share
+    FROM binned GROUP BY 1
+    """,
+)
+def q_part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue — the inventory
+    80/95 cut — in its SCALE form: instead of ranking every part under
+    one global cumulative-share window (the RFM trap, VERDICT r6), parts
+    bin through ``ops/quantile.quantile_bins_weighted`` with weight =
+    value = exact revenue cents, descending, n=20: bucket k holds the
+    k-th 5% slab of revenue MASS, so A = buckets 1-16 (top 80% of
+    revenue), B = 17-19 (next 15%), C = 20. Tie placement at slab
+    boundaries follows the weighted-bin declaration (whole distinct
+    revenue values move together) — slightly different from the
+    rank-form ABC at exact ties, and declared so. Revenue is scaled to
+    integer cents (decimal ×10000, exact) because the weighted binner
+    requires integer weights — and integer cum-weight ranks are what
+    keep the boundaries cross-engine exact."""
+    from fxspark.ops.quantile import quantile_bins_weighted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        (
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(38,4)")
+            )
+            * F.lit(10000)
+        )
+        .cast("long")
+        .alias("w")
+    )
+    binned = quantile_bins_weighted(pr, "w", "w", 20, "bkt", descending=True)
+    tot = pr.agg(F.sum("w").alias("tw"))
+    cls = (
+        F.when(F.col("bkt") <= 16, F.lit("A"))
+        .when(F.col("bkt") <= 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        binned.select(cls.alias("abc_class"), "w")
+        .groupBy("abc_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("w").alias("_sw"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_parts",
+            (F.col("_sw").cast("double") / 10000.0).alias("revenue"),
+            (F.col("_sw").cast("double") / F.col("tw").cast("double")).alias(
+                "rev_share"
+            ),
+        )
+    )
+
+
+@query(
+    "supplier_return_wilson",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returns
+      FROM lineitem GROUP BY 1
+    ), d AS (
+      SELECT l_suppkey, n_lines, n_returns,
+             CAST(n_lines AS DOUBLE) AS nd,
+             CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p
+      FROM s
+    )
+    SELECT l_suppkey, s_name, n_lines, n_returns, p AS return_rate,
+           (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * nd)
+            - CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / nd
+                          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * nd * nd)))
+             / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / nd) AS wilson_lo,
+           (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * nd)
+            + CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / nd
+                          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * nd * nd)))
+             / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / nd) AS wilson_hi
+    FROM d JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def q_supplier_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportion estimation done right: per-supplier return rate with a
+    Wilson 95% score interval — the ranking-safe replacement for raw
+    rates (a 1/2 supplier must not outrank a 40/100 one; Wilson's lower
+    bound encodes the sample size). Closed-form double arithmetic on
+    exact integer counts (z = 1.96 entering as the same literal in both
+    engines), one hash-agg over the fact table plus a broadcast name
+    join; at any scale this is count-rollup-shaped."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_returns"),
+    )
+    nd = F.col("n_lines").cast("double")
+    p = F.col("n_returns").cast("double") / F.col("n_lines").cast("double")
+    z2 = 1.96 * 1.96
+    margin = 1.96 * F.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+    denom = 1.0 + z2 / nd
+    return (
+        s.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "l_suppkey",
+            "s_name",
+            "n_lines",
+            "n_returns",
+            p.alias("return_rate"),
+            ((p + z2 / (2.0 * nd) - margin) / denom).alias("wilson_lo"),
+            ((p + z2 / (2.0 * nd) + margin) / denom).alias("wilson_hi"),
+        )
+    )
+
+
+@query(
+    "brand_triples_apriori",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), st AS (
+      SELECT (count(DISTINCT l_orderkey) * 4000 + 999999) // 1000000
+               AS minsup
+      FROM ob
+    )
+    SELECT a.p_brand AS i1, b.p_brand AS i2, c.p_brand AS i3,
+           CAST(count(*) AS BIGINT) AS support
+    FROM ob a
+    JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    JOIN ob c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= (SELECT minsup FROM st)
+    """,
+)
+def q_brand_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets of brands per order basket at 0.4% relative
+    support (``ops/itemsets.frequent_triples``) — market-basket mining
+    beyond ``basket_brand_lift``'s pairs. The engine side is Apriori:
+    items prune at the size-1 cut before any pair forms, basket-grain
+    pairs filter against the broadcast frequent-pair set, and candidate
+    triples assemble from two frequent pairs sharing their smallest item
+    with the third edge checked — per-basket fan-out is C(b,3) over
+    FREQUENT items only, never corpus². Monotonicity makes the prune
+    lossless, so the brute HAVING oracle is the exact same set. Relative
+    support in exact ppm-ceil integer arithmetic keeps the query
+    non-degenerate at every scale factor."""
+    from fxspark.ops.itemsets import frequent_triples
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_orderkey", "p_brand")
+    return frequent_triples(baskets, "l_orderkey", "p_brand", 4000)
+
+
+@query(
+    "region_nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name, n_name,
+             sum(CAST(o_totalprice AS DECIMAL(38,4))) AS rv
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ), tot AS (SELECT sum(rv) AS gt FROM rev),
+    reg AS (
+      SELECT r_name, n_name, rv,
+             sum(rv) OVER (PARTITION BY r_name) AS rt
+      FROM rev
+    )
+    SELECT r_name, n_name, CAST(rv AS DOUBLE) AS revenue,
+           CAST(rv AS DOUBLE) / CAST(rt AS DOUBLE) AS nation_share,
+           CAST(rt AS DOUBLE) / CAST((SELECT gt FROM tot) AS DOUBLE)
+             AS region_share
+    FROM reg
+    """,
+)
+def q_region_nation_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Percent-of-parent hierarchy rollup: revenue by (region, nation)
+    with each nation's share of its region and each region's share of
+    the total — the BI drill-path in one pass. The parent total is a
+    window PARTITIONED by region over the 25-row nation rollup; the
+    grand total is a broadcast scalar (no unpartitioned window — the
+    lint rule). Shares divide exact decimal sums as doubles. Dimensions
+    broadcast; the only fact pass is the orders hash-agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rv"))
+    )
+    tot = rev.agg(F.sum("rv").alias("gt"))
+    wreg = Window.partitionBy("r_name")
+    return (
+        rev.withColumn("rt", F.sum("rv").over(wreg))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            F.col("rv").cast("double").alias("revenue"),
+            (F.col("rv").cast("double") / F.col("rt").cast("double")).alias(
+                "nation_share"
+            ),
+            (F.col("rt").cast("double") / F.col("gt").cast("double")).alias(
+                "region_share"
+            ),
+        )
+    )
+
+
+@query(
+    "user_value_changepoint",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER w AS i,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS sl,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id) AS DOUBLE) AS s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), scored AS (
+      SELECT user_id, ts, event_id, n,
+             CAST(i AS DOUBLE) AS di, CAST(n AS DOUBLE) AS dn, sl, s
+      FROM pre WHERE i < n
+    ), gains AS (
+      SELECT user_id, ts, CAST(n AS BIGINT) AS n_obs,
+             sl * sl / di + (s - sl) * (s - sl) / (dn - di)
+               - s * s / dn AS gain,
+             sl / di AS mean_before,
+             (s - sl) / (dn - di) AS mean_after,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY sl * sl / di + (s - sl) * (s - sl) / (dn - di)
+                        - s * s / dn DESC, ts, event_id) AS rn
+      FROM scored
+    )
+    SELECT user_id, n_obs, ts AS cp_ts, gain, mean_before, mean_after
+    FROM gains WHERE rn = 1
+    """,
+)
+def q_user_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective level-shift localization per user
+    (``ops/stats.changepoint_single``): the split maximizing the
+    between-segment sum-of-squares gain — binary segmentation's first
+    cut, the offline twin of ``user_value_cusum``'s online detector.
+    Gains are double arithmetic on decimal-exact prefix sums (identical
+    bits in both engines, so even the DESC argmax ordering is
+    cross-engine stable; exact ties break to the earliest split). One
+    sorted window pass per user plus a grouped argmax — linear,
+    partitioned, nothing global."""
+    from fxspark.ops.stats import changepoint_single
+
+    events = load_table(spark, sf_dir, "events")
+    return changepoint_single(
+        events, "user_id", ["ts", "event_id"], "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

@@ -34,6 +34,7 @@ GLOBAL_WINDOW_OK = {
     "customer_spend_quartiles": "quantile coarse-histogram grain <= 1024",
     "customer_decile_bands": "quantile coarse-histogram grain <= 1024",
     "lineitem_volume_price_quartiles": "quantile coarse-histogram grain <= 1024",
+    "part_revenue_abc": "quantile coarse-histogram grain <= 1024",
     # ops/skyline bucket-summary seed prefix: <= n_buckets rows.
     "part_price_skyline": "skyline bucket-summary grain <= n_buckets",
     # Gini rank window over COUNT-OF-COUNTS (distinct per-key frequency

@@ -318,3 +318,96 @@ def test_scd2_asof_enrich_before_first_version(spark):
         ).collect()
     }
     assert got == {50: None, 150: "view"}
+
+
+# ---------------------------------------------------------------------------
+# Apriori itemsets + offline changepoint (round-7 wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_triples_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from fxspark.ops.itemsets import frequent_pairs, frequent_triples
+
+    baskets = [
+        (1, ["a", "b", "c"]),
+        (2, ["a", "b", "c", "d"]),
+        (3, ["a", "b", "d"]),
+        (4, ["b", "c", "d"]),
+        (5, ["a", "c"]),
+        (6, ["a", "b", "c"]),
+    ]
+    rows = [(bid, it) for bid, its in baskets for it in its]
+    df = spark.createDataFrame(rows, "bid int, item string")
+    # 500000 ppm of 6 baskets -> minsup = 3
+    got3 = {
+        (r["i1"], r["i2"], r["i3"]): r["support"]
+        for r in frequent_triples(df, "bid", "item", 500_000).collect()
+    }
+    want3 = {}
+    for t in combinations("abcd", 3):
+        s = sum(1 for _, its in baskets if set(t) <= set(its))
+        if s >= 3:
+            want3[t] = s
+    assert got3 == want3
+    got2 = {
+        (r["i1"], r["i2"]): r["support"]
+        for r in frequent_pairs(df, "bid", "item", 500_000).collect()
+    }
+    want2 = {}
+    for t in combinations("abcd", 2):
+        s = sum(1 for _, its in baskets if set(t) <= set(its))
+        if s >= 3:
+            want2[t] = s
+    assert got2 == want2
+
+
+def test_frequent_triples_duplicate_lines_count_once(spark):
+    """Support is per-basket: repeated (basket, item) lines must not
+    inflate counts (the distinct() inside the op)."""
+    from fxspark.ops.itemsets import frequent_triples
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (2, "c"), (2, "c")]
+    df = spark.createDataFrame(rows, "bid int, item string")
+    got = {
+        (r["i1"], r["i2"], r["i3"]): r["support"]
+        for r in frequent_triples(df, "bid", "item", 1_000_000).collect()
+    }
+    assert got == {("a", "b", "c"): 2}
+
+
+def test_changepoint_single_finds_level_shift(spark):
+    from fxspark.ops.stats import changepoint_single
+
+    # clean shift: 5 points at 10, then 5 points at 50
+    rows = [("u", i, 10.0 if i < 5 else 50.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    (r,) = changepoint_single(df, "k", ["t"], "v").collect()
+    assert r["cp_t"] == 4  # last point of the left segment
+    assert r["n_obs"] == 10
+    assert abs(r["mean_before"] - 10.0) < 1e-12
+    assert abs(r["mean_after"] - 50.0) < 1e-12
+
+
+def test_changepoint_single_constant_series_ties_to_earliest(spark):
+    from fxspark.ops.stats import changepoint_single
+
+    rows = [("u", i, 7.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    (r,) = changepoint_single(df, "k", ["t"], "v").collect()
+    # all gains are exactly 0 -> earliest split wins
+    assert r["cp_t"] == 0 and abs(r["gain"]) < 1e-9
+
+
+def test_changepoint_single_skips_singletons(spark):
+    from fxspark.ops.stats import changepoint_single
+
+    df = spark.createDataFrame(
+        [("solo", 1, 5.0), ("pair", 1, 1.0), ("pair", 2, 9.0)],
+        "k string, t int, v double",
+    )
+    got = {r["k"]: r for r in changepoint_single(df, "k", ["t"], "v").collect()}
+    assert set(got) == {"pair"}
+    assert got["pair"]["cp_t"] == 1
