@@ -232,6 +232,10 @@ EXTENSION = [
     "brand_triples_apriori",
     "region_nation_revenue_share",
     "user_value_changepoint",
+    "customer_retention_triangle",
+    "event_l_diversity",
+    "events_debounced",
+    "orders_seasonal_naive_mape",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

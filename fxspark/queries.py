@@ -11768,6 +11768,223 @@ def q_user_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_retention_triangle",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP)
+               AS cohort
+      FROM orders GROUP BY 1
+    ), sz AS (
+      SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT f.cohort, o.o_custkey,
+             (year(o.o_orderdate) - year(f.cohort)) * 12
+               + (month(o.o_orderdate) - month(f.cohort)) AS month_offset
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+    ), tri AS (
+      SELECT cohort, CAST(month_offset AS INTEGER) AS month_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM act GROUP BY 1, 2
+    )
+    SELECT t.cohort, t.month_offset, t.n_active,
+           CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+           CAST(t.n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+             AS retention_rate
+    FROM tri t JOIN sz ON t.cohort = sz.cohort
+    """,
+)
+def q_customer_retention_triangle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The classic cohort retention TRIANGLE: customers cohorted by
+    first-order month, one row per (cohort, month-offset) with the share
+    of the cohort that ordered in that offset month — the activity-rate
+    complement of ``customer_cohort_ltv``'s revenue matrix. Both facts
+    passes shuffle on custkey (first-order agg + the cohort join reuse
+    one exchange); the triangle itself is (cohorts × offsets) grain —
+    dashboard-sized. Month offsets are exact integer year/month
+    arithmetic, never date subtraction."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sz = f.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        orders.join(f, "o_custkey")
+        .select(
+            "cohort",
+            "o_custkey",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            )
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .distinct()
+    )
+    tri = act.groupBy("cohort", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return tri.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        "month_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention_rate"),
+    )
+
+
+@query(
+    "event_l_diversity",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING count(DISTINCT user_id) < 5
+    """,
+)
+def q_event_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the second privacy axis after
+    ``event_k_anonymity``: a quasi-identifier group can be large (k-safe)
+    yet still re-identifying if one SENSITIVE value dominates it. Flags
+    (event_type, value-band, day) groups whose distinct-user diversity
+    is < 5. Exact distinct per group is a two-level hash-agg (partial
+    distinct map-side); same quasi-identifier banding as the k-anonymity
+    audit so the two reports join."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("n_users") < 5)
+    )
+
+
+@query(
+    "events_debounced",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id, event_id, ts, n_collapsed FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, sess
+                                ORDER BY ts, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id, sess) AS BIGINT)
+               AS n_collapsed
+      FROM s
+    ) WHERE rn = 1
+    """,
+)
+def q_events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debouncing — the ingestion-side dedup a pipeline applies
+    before rate-sensitive features: within each user, events arriving
+    within 2 h of the previous event collapse into one burst
+    (``ops/windows.sessionize`` with a 2 h gap) and only the burst's
+    FIRST event survives, annotated with how many it absorbed. Burst
+    assignment and the keep-first rank share one (user, time) sort —
+    sessionize's windows and the rank reuse the same exchange. Equal
+    timestamps order by event_id (the session-tie determinism rule)."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        events.select("user_id", "event_id", "ts"),
+        "user_id",
+        "ts",
+        F.expr("INTERVAL 2 HOURS"),
+        tiebreak=["event_id"],
+    )
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    return (
+        s.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_collapsed",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("user_id", "session_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "n_collapsed")
+    )
+
+
+@query(
+    "orders_seasonal_naive_mape",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+             sum(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(year(c.mo) AS BIGINT) AS year,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(CAST(
+             abs((CAST(c.rev AS DOUBLE) - CAST(p.rev AS DOUBLE))
+                 / CAST(c.rev AS DOUBLE))
+             AS DECIMAL(38,9))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mape
+    FROM m c JOIN m p ON c.mo = p.mo + INTERVAL 12 MONTH
+    GROUP BY 1
+    """,
+)
+def q_orders_seasonal_naive_mape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast backtesting baseline: the seasonal-naive forecast
+    (this month's revenue = same month last year) scored by MAPE per
+    year — the floor every real forecasting model must beat, computed
+    in-engine the way a forecast eval pipeline would. The month rollup
+    joins to itself displaced by 12 calendar months (a tiny month-grain
+    self-join, robust to missing months where a window lag(12) is not);
+    each |error|/actual term truncates to DECIMAL(38,9) before the exact
+    mean. Revenue sums are decimal; ratios are the only double step."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mo")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev"))
+    c = m.select(F.col("mo").alias("c_mo"), F.col("rev").alias("c_rev"))
+    p = m.select(F.col("mo").alias("p_mo"), F.col("rev").alias("p_rev"))
+    j = c.join(
+        p, F.col("c_mo") == F.col("p_mo") + F.expr("INTERVAL 12 MONTHS")
+    )
+    ape = F.abs(
+        (F.col("c_rev").cast("double") - F.col("p_rev").cast("double"))
+        / F.col("c_rev").cast("double")
+    )
+    return j.groupBy(F.year("c_mo").cast("long").alias("year")).agg(
+        F.count(F.lit(1)).alias("n_months"),
+        (
+            F.sum(ape.cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mape"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
