@@ -256,3 +256,66 @@ def stateful_histogram(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+DEBOUNCE_OUT_SCHEMA = "user_id long, event_id long, ts timestamp"
+DEBOUNCE_STATE_SCHEMA = "last_us long"
+
+
+def stateful_debounce(
+    events: DataFrame,
+    gap_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming burst debounce — the stateful twin of the batch
+    ``events_debounced`` rule (``ops/windows.sessionize`` + keep-first):
+    an event is EMITTED iff it starts a new burst (no prior state, or its
+    timestamp exceeds the previous EVENT's timestamp by more than
+    ``gap_seconds``); every event — kept or dropped — advances the
+    per-key last-seen clock, because any event extends the burst.
+
+    State is ONE long per key (last event time in epoch micros), so the
+    operator scales with distinct keys. Kept-set parity with the batch
+    form holds whenever micro-batches respect per-key event-time order
+    (the replay premise shared by every *_replay twin); within a batch
+    rows are sorted by (ts, id) first — the batch rule's tiebreak.
+
+    Unlike the batch form this cannot emit ``n_collapsed``: a burst's
+    size is unknowable at keep-time on a stream (the count closes with
+    the burst). The batch query remains the source of burst sizes; the
+    stream emits the kept events themselves.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        gap_us = gap_seconds * 1_000_000
+        (last_us,) = state.get if state.exists else (None,)
+        kept = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for ts, eid in zip(pdf[ts_col], pdf[id_col]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is None or us > last_us + gap_us:
+                    kept.append(
+                        {key_col: key[0], id_col: int(eid), ts_col: ts}
+                    )
+                last_us = us
+        state.update((last_us,))
+        yield pd.DataFrame(
+            kept, columns=[key_col, id_col, ts_col]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        DEBOUNCE_OUT_SCHEMA,
+        DEBOUNCE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

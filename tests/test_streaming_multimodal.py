@@ -782,3 +782,124 @@ def test_stateful_histogram_matches_batch_bins(spark, tmp_path):
             b = min(n_bins - 1, int(math.floor((v - lo) / width)))
             want[b] = want.get(b, 0) + 1
         assert got[t] == want, (t, got[t], want)
+
+
+def test_stateful_debounce_matches_batch_rule(spark, tmp_path):
+    """Streaming debounce must keep exactly the events the batch
+    sessionize+keep-first rule keeps, with burst state carried ACROSS
+    micro-batches: a batch boundary inside a burst must not re-open it."""
+    from fxspark.streaming.stateful import stateful_debounce
+
+    def t(sec):
+        return f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}"
+
+    # user 1: burst [0, 5, 12] (12 extends: 12 <= 5+10), new burst at 30
+    # user 2: two singleton bursts
+    rows = [
+        {"user_id": 1, "event_id": 10, "ts": t(0)},
+        {"user_id": 1, "event_id": 11, "ts": t(5)},
+        {"user_id": 2, "event_id": 20, "ts": t(0)},
+        # --- batch boundary inside user 1's burst ---
+        {"user_id": 1, "event_id": 12, "ts": t(12)},
+        {"user_id": 1, "event_id": 13, "ts": t(30)},
+        {"user_id": 2, "event_id": 21, "ts": t(100)},
+    ]
+    drops = tmp_path / "ddrops"
+    drops.mkdir()
+    for name, chunk in (("a.json", rows[:3]), ("b.json", rows[3:])):
+        with open(drops / name, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        stateful_debounce(stream, gap_seconds=10)
+        .writeStream.format("memory")
+        .queryName("debounce_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM debounce_stream").collect()
+    }
+    # batch rule replicated: keep iff gap from previous event > 10 s
+    want = set()
+    last = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        sec = int(r["ts"][-5:-3]) * 60 + int(r["ts"][-2:])
+        if r["user_id"] not in last or sec > last[r["user_id"]] + 10:
+            want.add(r["event_id"])
+        last[r["user_id"]] = sec
+    assert kept == want == {10, 13, 20, 21}
+
+
+def test_histogram_stream_derives_batch_quantiles(spark, tmp_path):
+    """Closing the quantile loop (NOTES_r8 candidate): the quantiles
+    events_histogram_quantiles derives from cumulative bin counts must be
+    derivable from the stateful histogram's LAST emission — same integer
+    rank predicate (cum*100 >= q*n), same upper-edge arithmetic."""
+    import math
+
+    from fxspark.streaming.stateful import stateful_histogram
+
+    vals = [1.0, 2.0, 2.5, 3.0, 5.0, 7.5, 9.0, 9.9, 0.5, 4.2, 6.6, 8.8]
+    lo, hi = min(vals), max(vals)
+    n_bins = 8
+    width = (hi - lo) / n_bins
+    rows = [{"event_type": "x", "value": v} for v in vals]
+    drops = tmp_path / "qdrops"
+    drops.mkdir()
+    for name, chunk in (("a.json", rows[:6]), ("b.json", rows[6:])):
+        with open(drops / name, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        stateful_histogram(stream, lo=lo, width=width, n_bins=n_bins)
+        .writeStream.format("memory")
+        .queryName("quant_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission = max cnt per bin (counters are monotone)
+    bins = {}
+    for r in spark.sql("SELECT bin, cnt FROM quant_stream").collect():
+        bins[r["bin"]] = max(bins.get(r["bin"], 0), r["cnt"])
+    n = sum(bins.values())
+    assert n == len(vals)
+
+    def q_est(pct):
+        cum = 0
+        for b in sorted(bins):
+            cum += bins[b]
+            if cum * 100 >= pct * n:
+                return lo + (b + 1) * width
+        raise AssertionError("rank not crossed")
+
+    # reference: batch rule straight on the values
+    def batch_est(pct):
+        cnt = {}
+        for v in vals:
+            b = min(n_bins - 1, int(math.floor((v - lo) / width)))
+            cnt[b] = cnt.get(b, 0) + 1
+        cum = 0
+        for b in sorted(cnt):
+            cum += cnt[b]
+            if cum * 100 >= pct * len(vals):
+                return lo + (b + 1) * width
+
+    for pct in (50, 90, 99):
+        assert q_est(pct) == batch_est(pct)
