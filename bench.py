@@ -236,6 +236,9 @@ EXTENSION = [
     "event_l_diversity",
     "events_debounced",
     "orders_seasonal_naive_mape",
+    "part_copurchase_clustering",
+    "events_weekday_hour_heatmap",
+    "order_ship_delay_histogram",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

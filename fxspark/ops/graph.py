@@ -141,3 +141,89 @@ def bfs_hops(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def triangles_per_node(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list (rows may arrive in either direction and
+    duplicated; they are canonicalized to ``u < v`` and deduped first).
+
+    The scalable shape is DEGREE ORIENTATION (the standard distributed
+    triangle algorithm): orient every edge from its (degree, id)-smaller
+    endpoint to the larger, enumerate wedges only from ORIENTED
+    out-neighbors — every node's out-degree is O(√E) regardless of skew,
+    so the wedge join is bounded where a naive neighbor-pair explosion
+    on a hub node is quadratic — and close each wedge against the
+    oriented edge set with one more join. Each triangle is found exactly
+    once and credited to all three corners via a 3-way explode.
+
+    Returns ``(node, degree, triangles, clustering)`` for nodes with
+    degree ≥ 2, where ``clustering = 2·T / (deg·(deg−1))`` — plain double
+    on exact integers. Plan: three hash joins + two hash-aggs, all keyed;
+    nothing global, nothing quadratic in any node's degree.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # wedges from shared oriented source, ordered by (deg, id) so each
+    # unordered out-neighbor pair appears once
+    lo = oe.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    hi = oe.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedge = lo.join(hi, "a").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    tri = wedge.join(
+        oe.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array("a", "x", "y")).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("deg").cast("double")
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per_node, "n", "left")
+        .fillna(0, subset=["triangles"])
+        .select(
+            F.col("n").alias("node"),
+            "deg",
+            "triangles",
+            (2.0 * F.col("triangles").cast("double") / (d * (d - 1.0))).alias(
+                "clustering"
+            ),
+        )
+    )

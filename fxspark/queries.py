@@ -11985,6 +11985,178 @@ def q_orders_seasonal_naive_mape(
     )
 
 
+@query(
+    "part_copurchase_clustering",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT n, count(*) AS deg FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pn AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS triangles
+      FROM (SELECT unnest([a, b, c]) AS n FROM tri) GROUP BY 1
+    )
+    SELECT deg.n AS node, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+           2.0 * CAST(coalesce(pn.triangles, 0) AS DOUBLE)
+             / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+             AS clustering
+    FROM deg LEFT JOIN pn ON deg.n = pn.n
+    WHERE deg.deg >= 2
+    """,
+)
+def q_part_copurchase_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per part over the co-purchase graph
+    (``ops/graph.triangles_per_node``) — completing the graph tier
+    (PageRank → BFS → triangles): how clique-ish is each product's
+    neighborhood. Engine side is DEGREE ORIENTATION — wedges enumerate
+    only from each edge's (degree,id)-smaller endpoint, bounding every
+    node's out-degree at O(√E) so hub nodes can never go quadratic —
+    with one semi-join closing wedges against the oriented edge set. The
+    brute canonical triple-join oracle finds the identical triangles
+    (each exactly once as a<b<c). Uses the part co-purchase graph, NOT
+    the nation trade graph (a star — NOTES_r7 degenerate-fixture list).
+    Cost note: the SYNTHETIC graph is dense (sf0.1: 20k nodes, 1.2M
+    edges, mean degree 120 — random part selection, no preferential
+    structure), so the oriented wedge count is a genuine 83M rows and
+    the query runs ~9 s at sf0.1 — Ω(Σ out-deg²) is the information
+    floor for exact triangle counts; checkpointing the oriented edges
+    was A/B-measured neutral (recompute is not the cost). Real
+    co-purchase graphs are power-law sparse; orientation is what keeps
+    their hubs from going quadratic."""
+    from fxspark.ops.graph import triangles_per_node
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
+    return triangles_per_node(edges)
+
+
+@query(
+    "events_weekday_hour_heatmap",
+    oracle="""
+    WITH g AS (
+      SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER)
+               AS dow,
+             CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INTEGER)
+               AS hour,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), t AS (SELECT sum(n_events) AS total FROM g)
+    SELECT dow, hour, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_events AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+             AS share
+    FROM g
+    """,
+)
+def q_events_weekday_hour_heatmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activity heatmap: events by (weekday × UTC hour) with share of
+    total — the time-of-day profile every ops dashboard starts with.
+    Day-of-week and hour derive from INTEGER epoch-microsecond
+    arithmetic (``(days+4) % 7``, 0 = Sunday), not from engine calendar
+    functions — Spark's ``dayofweek`` and DuckDB's ``dow`` disagree on
+    numbering conventions, integer division doesn't. One hash-agg to a
+    ≤168-row grid; the share denominator is a broadcast scalar."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7")
+        .cast("int")
+        .alias("dow"),
+        F.expr("(unix_micros(ts) % 86400000000) div 3600000000")
+        .cast("int")
+        .alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    t = g.agg(F.sum("n_events").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hour",
+        "n_events",
+        (
+            F.col("n_events").cast("double") / F.col("total").cast("double")
+        ).alias("share"),
+    )
+
+
+@query(
+    "order_ship_delay_histogram",
+    oracle="""
+    WITH d AS (
+      SELECT (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+               // 86400000000 AS delay_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), g AS (
+      SELECT CAST(delay_days // 7 AS INTEGER) AS delay_week,
+             count(*) AS n_lines,
+             min(delay_days) AS min_days, max(delay_days) AS max_days
+      FROM d GROUP BY 1
+    ), t AS (SELECT sum(n_lines) AS total FROM g)
+    SELECT delay_week, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(min_days AS BIGINT) AS min_days,
+           CAST(max_days AS BIGINT) AS max_days,
+           CAST(n_lines AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+             AS share
+    FROM g
+    """,
+)
+def q_order_ship_delay_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship lead-time distribution in week buckets — the
+    logistics SLA histogram (late_shipment_orders flags the tail; this
+    shows the whole distribution a capacity planner reads). Delay is
+    exact integer epoch-microsecond floor-division to days then weeks;
+    the fact⋈fact join is orderkey-equi (lineitem co-partitions with
+    orders on the key at scale — the bucketed-layout case); output is a
+    ≤dozens-row grid with a broadcast scalar share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.expr(
+            "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+            " div 86400000000"
+        ).alias("delay_days")
+    )
+    g = d.groupBy(
+        F.expr("delay_days div 7").cast("int").alias("delay_week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("delay_days").alias("min_days"),
+        F.max("delay_days").alias("max_days"),
+    )
+    t = g.agg(F.sum("n_lines").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "delay_week",
+        "n_lines",
+        "min_days",
+        "max_days",
+        (
+            F.col("n_lines").cast("double") / F.col("total").cast("double")
+        ).alias("share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

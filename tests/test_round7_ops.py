@@ -411,3 +411,122 @@ def test_changepoint_single_skips_singletons(spark):
     got = {r["k"]: r for r in changepoint_single(df, "k", ["t"], "v").collect()}
     assert set(got) == {"pair"}
     assert got["pair"]["cp_t"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Property tests: wave 4-6 ops vs brute-force reference implementations
+# ---------------------------------------------------------------------------
+
+ints = st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=12)
+
+
+@given(values=ints)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_gini_matches_bruteforce(spark, values):
+    from fxspark.ops.stats import gini_by_group
+
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(values)],
+        "k string, id int, v double",
+    )
+    (row,) = gini_by_group(df, "k", "v", "id").collect()
+    xs = sorted(values)
+    n, sx = len(xs), sum(xs)
+    if sx == 0:
+        assert row["gini"] is None
+        return
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    want = (2.0 * six - (n + 1.0) * sx) / (n * float(sx))
+    assert abs(row["gini"] - want) < 1e-12
+
+
+@given(data=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8), st.booleans()),
+    min_size=1, max_size=15))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_cumulative_hazard_matches_bruteforce(spark, data):
+    from fxspark.ops.stats import cumulative_hazard
+
+    df = spark.createDataFrame(data, "t int, ev boolean")
+    got = {r["t"]: r for r in cumulative_hazard(df, "t", "ev").collect()}
+    times = sorted({t for t, _ in data})
+    cum = 0
+    want = {}
+    for t in times:
+        d = sum(1 for tt, ev in data if tt == t and ev)
+        n = sum(1 for tt, _ in data if tt >= t)
+        h = d * 1_000_000 // n
+        cum += h
+        if d > 0:
+            want[t] = (d, n, h, cum)
+    assert set(got) == set(want)
+    for t, (d, n, h, cumv) in want.items():
+        r = got[t]
+        assert (r["deaths"], r["at_risk"], r["hazard_ppm"],
+                r["cum_hazard_ppm"]) == (d, n, h, cumv)
+
+
+@given(values=st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=2, max_size=10))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_changepoint_matches_bruteforce(spark, values):
+    from fxspark.ops.stats import changepoint_single
+
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(values)],
+        "k string, t int, v double",
+    )
+    (row,) = changepoint_single(df, "k", ["t"], "v").collect()
+    # brute force replicating the op's exactness contract: per-row
+    # decimal(38,6) casts (HALF_UP, same as Spark's decimal cast of a
+    # double), decimal-exact prefix sums, double gains on those sums,
+    # strict argmax with earliest-position ties.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    dec = [Decimal(v).quantize(q, ROUND_HALF_UP) for v in values]
+    n = len(dec)
+    s = sum(dec)
+    best = None
+    sl = Decimal(0)
+    for i in range(1, n):
+        sl += dec[i - 1]
+        slf, sf = float(sl), float(s)
+        g = slf * slf / i + (sf - slf) * (sf - slf) / (n - i) - sf * sf / n
+        if best is None or g > best[1]:
+            best = (i - 1, g)
+    cp, gain = best
+    assert row["cp_t"] == cp
+    assert row["gain"] == gain
+
+
+def test_triangles_per_node_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from fxspark.ops.graph import triangles_per_node
+
+    # K4 on {1,2,3,4} plus a pendant 5 and a hub 6 wired to 1,2 (one
+    # extra triangle 1-2-6); edges fed duplicated and in both directions
+    base = list(combinations([1, 2, 3, 4], 2)) + [(4, 5), (1, 6), (2, 6)]
+    edges = base + [(b, a) for a, b in base] + base[:3]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r for r in triangles_per_node(df).collect()}
+
+    adj = {}
+    for a, b in base:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for n, nb in adj.items():
+        t = sum(1 for x, y in combinations(sorted(nb), 2) if y in adj[x])
+        d = len(nb)
+        if d < 2:
+            assert n not in got
+            continue
+        r = got[n]
+        assert (r["deg"], r["triangles"]) == (d, t), (n, r)
+        assert abs(r["clustering"] - 2.0 * t / (d * (d - 1))) < 1e-12
