@@ -385,3 +385,75 @@ def test_histogram_quantiles_broadcasts_range_stats(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_histogram_quantiles")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_welch_ttest_single_aggregation_pass(spark, sf_dir):
+    """Both A/B samples' moments must accumulate in ONE conditional
+    hash-aggregate over the fact join — no second scan, no sample join;
+    part broadcasts as the dim."""
+    plan = _plan(spark, sf_dir, "promo_price_ttest")
+    assert plan.count("Scan parquet") == 2, plan[:3000]  # lineitem + part
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_cumulative_hazard_subject_agg_before_windows(spark, sf_dir):
+    """Survival windows must run over the time-grain rollup, never the
+    subject frame: exactly one scan of orders feeding hash-aggregates;
+    no subject-level self-join (a second orders scan would betray one).
+    (The max-date scalar is a broadcast, so orders appears twice: the
+    subject agg + the 1-row max aggregate.)"""
+    plan = _plan(spark, sf_dir, "customer_churn_hazard")
+    assert plan.count("Scan parquet") == 2, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_ranks_entity_rollup_not_facts(spark, sf_dir):
+    """The rank window must consume the customer-grain aggregate (window
+    ABOVE the aggregate in the plan), and the orders side joins before
+    aggregation — one window total, partitioned by nation."""
+    plan = _plan(spark, sf_dir, "nation_spend_gini")
+    assert plan.count("Window") == 1, plan[:3000]
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= win_pos < agg_pos or "HashAggregate" in plan[:win_pos], plan[:2000]
+
+
+def test_apriori_no_cartesian_and_broadcast_sets(spark, sf_dir):
+    """Frequent-item and frequent-pair sets must broadcast; the basket
+    joins are equi-joins on the basket key (no cartesian anywhere —
+    globally banned, re-asserted here for the mining shape)."""
+    plan = _plan(spark, sf_dir, "brand_triples_apriori")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_triangles_orientation_keyed_joins(spark, sf_dir):
+    """Wedge and closing joins must be hash equi-joins (keyed on the
+    shared endpoint / the closing pair) — never a nested-loop over
+    edges; the only BroadcastNestedLoop allowed is none."""
+    plan = _plan(spark, sf_dir, "part_copurchase_clustering")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_scd2_enrich_single_sort_shuffle(spark, sf_dir):
+    """The versioned-dimension lookup must run as ONE as-of window pass:
+    exactly one Window over the (user, time)-sorted union — not an
+    interval join + rank (which would show a range-condition join)."""
+    plan = _plan(spark, sf_dir, "purchase_regime_enrich")
+    assert plan.count("Window") <= 3, plan[:3000]  # scd2 lag/lead + asof pick
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_abc_no_global_sort_of_parts(spark, sf_dir):
+    """ABC classification must not globally sort the part rollup: the
+    only windows are the weighted binner's coarse-histogram prefixes
+    (bounded grain, allowlisted); no Exchange SinglePartition carrying
+    the part frame into a sort."""
+    plan = _plan(spark, sf_dir, "part_revenue_abc")
+    import re
+
+    # ntile/cume-style global ranking would show 'Window' directly over
+    # the full part aggregate with rangepartitioning on revenue
+    assert "rangepartitioning(w" not in plan.lower(), plan[:3000]
