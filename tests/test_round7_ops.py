@@ -530,3 +530,44 @@ def test_triangles_per_node_matches_bruteforce(spark):
         r = got[n]
         assert (r["deg"], r["triangles"]) == (d, t), (n, r)
         assert abs(r["clustering"] - 2.0 * t / (d * (d - 1))) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 NULL-handling pins (nearest_join / k_smallest / k_largest)
+# ---------------------------------------------------------------------------
+
+
+def test_nearest_join_drops_null_on_right_rows(spark):
+    """A right row with NULL `on` must be dropped entirely — not leak its
+    payload through the backward frame with a desynced matched-time
+    (ADVICE r6 finding 1)."""
+    from fxspark.ops.asof import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:40")], "k int, t string"
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, None, "null-time"), (1, "2024-01-01 00:01:30", "real")],
+        "k int, t string, pay string",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "pay")
+    (row,) = nearest_join(
+        left, right, keys="k", on="t", right_payload=["pay"]
+    ).collect()
+    assert row["pay"] == "real"
+    assert row["t_near"] is not None and row["t_near"].second == 30
+
+
+def test_k_smallest_and_largest_ignore_null_order_values(spark):
+    """NULLs sort first in Spark ascending order and -NULL stays NULL, so
+    without the filter a NULL row would win BOTH directions
+    (ADVICE r6 finding 2)."""
+    from fxspark.ops.latest import k_largest_global, k_smallest_per_key
+
+    df = spark.createDataFrame(
+        [("a", None, 0), ("a", 5, 1), ("a", 1, 2), ("a", 9, 3)],
+        "k string, v int, id int",
+    )
+    small = k_smallest_per_key(df, "k", ["v", "id"], 2).collect()
+    assert sorted(r["v"] for r in small) == [1, 5]
+    big = k_largest_global(df, "v", 2, tiebreak="id")
+    assert sorted(r["v"] for r in big.collect()) == [5, 9]
