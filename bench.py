@@ -239,6 +239,8 @@ EXTENSION = [
     "part_copurchase_clustering",
     "events_weekday_hour_heatmap",
     "order_ship_delay_histogram",
+    "part_copurchase_ppr",
+    "events_p90_pinball_eval",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

@@ -12157,6 +12157,195 @@ def q_order_ship_delay_histogram(
     )
 
 
+_PPR_ITER = """
+    r{i} AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.tele
+               + 0.85 * COALESCE(
+               CAST(sum(CAST(r.rank * e.share AS DECIMAL(38,18))) AS DOUBLE),
+               0.0) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r{prev} r ON r.node = e.src
+      GROUP BY n.node, n.tele
+    )"""
+
+
+@query(
+    "part_copurchase_ppr",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, sum(w) AS out_w FROM edges0 GROUP BY src
+    ), edges AS (
+      SELECT e.src, e.dst, e.w / o.out_w AS share
+      FROM edges0 e JOIN outw o ON e.src = o.src
+    ), nodes0 AS (
+      SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0
+    ), srcs AS (
+      SELECT node FROM nodes0
+      WHERE node IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+    ), nodes AS (
+      SELECT node,
+             CASE WHEN node IN (SELECT node FROM srcs)
+                  THEN 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM srcs)
+                  ELSE CAST(0.0 AS DOUBLE) END AS tele
+      FROM nodes0
+    ), r0 AS (
+      SELECT node, tele AS rank FROM nodes
+    ),"""
+    + ",".join(_PPR_ITER.format(i=i, prev=i - 1) for i in range(1, 6))
+    + """
+    SELECT node AS part, round(rank, 9) AS ppr FROM r5
+    """,
+)
+def q_part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on Brand#1's parts over the symmetric
+    part co-purchase graph (``ops/graph.personalized_pagerank``) — the
+    "customers who bought this brand also orbit these parts" recsys
+    primitive: teleport mass returns to the brand's parts, so rank is
+    graph PROXIMITY TO THE BRAND, not global popularity (the pagerank
+    twin measures the latter). 5 synchronous iterations, damping 0.85,
+    decimal-exact contribution sums — the unrolled SQL oracle replays
+    every iteration bit-for-bit (teleport constants written
+    CAST-AS-DOUBLE on both sides: the decimal-literal-folding trap).
+    Personalization set = brand parts PRESENT in the graph, so the
+    teleport norm is well-defined on both sides. Unreachable parts keep
+    rank exactly 0."""
+    from fxspark.ops.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # cost note (sf0.1, bench config): ~15 s, dominated by materializing
+    # the dense 2.39M-edge frame (the checkpoint the iterations then
+    # reuse at ~1.1 s/iteration); a canonical-pair+mirror rewrite was
+    # A/B-measured WORSE (cp recomputes per union branch). Same dense
+    # fixture graph as part_copurchase_clustering — the edge build IS
+    # the workload here.
+    nodes_in_graph = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sources = (
+        part.filter(F.col("p_brand") == "Brand#1")
+        .select(F.col("p_partkey").alias("node"))
+        .join(nodes_in_graph, "node", "left_semi")
+    )
+    ranks = personalized_pagerank(
+        edges, sources, weight="w", n_iter=5, damping=0.85
+    )
+    return ranks.select(
+        F.col("node").alias("part"), F.round("rank", 9).alias("ppr")
+    )
+
+
+@query(
+    "events_p90_pinball_eval",
+    oracle="""
+    WITH stats AS (
+      SELECT min(value) AS mn, max(value) AS mx,
+             (max(value) - min(value)) / 64 AS width
+      FROM events
+    ), binned AS (
+      SELECT e.event_type,
+             CAST(least(63, floor((e.value - s.mn) / s.width)) AS INTEGER)
+               AS bin
+      FROM events e CROSS JOIN stats s
+    ), bc AS (
+      SELECT event_type, bin, count(*) AS cnt
+      FROM binned GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM bc
+    ), qb AS (
+      SELECT event_type,
+             min(CASE WHEN cum * 100 >= 90 * n THEN bin END) AS b90
+      FROM cum GROUP BY event_type
+    ), est AS (
+      SELECT q.event_type,
+             s.mn + CAST(q.b90 + 1 AS DOUBLE) * s.width AS p90_est
+      FROM qb q CROSS JOIN stats s
+    ), exact AS (
+      SELECT event_type, quantile_cont(value, 0.9) AS p90_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           max(est.p90_est) AS p90_est,
+           max(exact.p90_exact) AS p90_exact,
+           CAST(sum(CAST(greatest(0.9 * (e.value - est.p90_est),
+                                  0.1 * (est.p90_est - e.value))
+                         AS DECIMAL(38,9))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS loss_est,
+           CAST(sum(CAST(greatest(0.9 * (e.value - exact.p90_exact),
+                                  0.1 * (exact.p90_exact - e.value))
+                         AS DECIMAL(38,9))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS loss_exact
+    FROM events e
+    JOIN est ON e.event_type = est.event_type
+    JOIN exact ON e.event_type = exact.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_events_p90_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch quality in LOSS units: mean pinball loss (q=0.9)
+    of the mergeable histogram's p90 estimate vs the loss of the exact
+    interpolated p90 — the exact quantile minimizes expected pinball
+    loss, so ``loss_est − loss_exact`` is the sketch's regret, the
+    number that tells a user whether 64 bins are enough for THEIR
+    distribution (complements ``minhash_estimate_agreement`` /
+    ``embedding_quantized_recall``: every approximate tier ships with
+    an in-engine error meter). One extra pass over events with both
+    per-type scalars broadcast; each loss term is double-computed then
+    DECIMAL(38,9)-truncated before the exact mean."""
+    events = load_table(spark, sf_dir, "events")
+    est = q_events_histogram_quantiles(spark, sf_dir).select(
+        "event_type", "p90_est"
+    )
+    exact = events.groupBy("event_type").agg(
+        F.percentile("value", 0.9).alias("p90_exact")
+    )
+    j = events.join(F.broadcast(est), "event_type").join(
+        F.broadcast(exact), "event_type"
+    )
+    def pin(y):
+        return F.greatest(
+            0.9 * (F.col("value") - y), 0.1 * (y - F.col("value"))
+        ).cast("decimal(38,9)")
+
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("p90_est").alias("p90_est"),
+        F.max("p90_exact").alias("p90_exact"),
+        (
+            F.sum(pin(F.col("p90_est"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("loss_est"),
+        (
+            F.sum(pin(F.col("p90_exact"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("loss_exact"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

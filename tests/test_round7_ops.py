@@ -571,3 +571,22 @@ def test_k_smallest_and_largest_ignore_null_order_values(spark):
     assert sorted(r["v"] for r in small) == [1, 5]
     big = k_largest_global(df, "v", 2, tiebreak="id")
     assert sorted(r["v"] for r in big.collect()) == [5, 9]
+
+
+def test_personalized_pagerank_mass_stays_near_sources(spark):
+    """On a two-component graph, PPR seeded in one component must leave
+    the other component at exactly rank 0, and ranks must be positive on
+    every node reachable from the seed."""
+    from fxspark.ops.graph import personalized_pagerank
+
+    # component A: 1-2-3 path (symmetric); component B: 4-5
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 4)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    s = spark.createDataFrame([(1,)], "node int")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, s, n_iter=5).collect()
+    }
+    assert got[4] == 0.0 and got[5] == 0.0
+    assert got[1] > got[3] > 0.0  # seed outranks the far end
+    assert got[2] > 0.0
