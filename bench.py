@@ -241,6 +241,7 @@ EXTENSION = [
     "order_ship_delay_histogram",
     "part_copurchase_ppr",
     "events_p90_pinball_eval",
+    "doc_simhash_hamming_histogram",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

@@ -12346,6 +12346,89 @@ def q_events_p90_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_hamming_oracle() -> str:
+    # identical code construction to _simhash_oracle (md5_60, bigrams)
+    votes = ", ".join(
+        f"sum(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    code = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+1], ' ')
+                                    for i in range(1, len(t))]) AS s
+      FROM toks WHERE len(t) >= 2
+    ), h AS (
+      SELECT doc_id, {_MD5_60.format(c='sh0')} AS x
+      FROM (SELECT doc_id, unnest(s) AS sh0 FROM sh)
+    ), votes AS (
+      SELECT doc_id, {votes} FROM h GROUP BY doc_id
+    ), code AS (
+      SELECT doc_id, CAST({code} AS BIGINT) AS c FROM votes
+    ), bkt AS (
+      SELECT doc_id, c, CAST(doc_id % 16 AS INTEGER) AS g FROM code
+    ), pairs AS (
+      SELECT CAST(bit_count(xor(a.c, b.c)) AS INTEGER) AS hamming
+      FROM bkt a JOIN bkt b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), grid AS (
+      SELECT hamming, count(*) AS n_pairs FROM pairs GROUP BY 1
+    ), tot AS (SELECT sum(n_pairs) AS t FROM grid)
+    SELECT hamming, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_pairs AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+             AS share
+    FROM grid
+    """
+
+
+@query("doc_simhash_hamming_histogram", oracle=_simhash_hamming_oracle())
+def q_doc_simhash_hamming_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash distance calibration: the distribution of pairwise hamming
+    distances over a declared 1/16 systematic pair sample (doc_id % 16
+    buckets, all within-bucket pairs) — the curve that tells a user WHERE
+    to put ``simhash_near_dup``'s max_hamming threshold for THEIR corpus:
+    near-dup mass sits far left of the background bell around
+    n_bits/2, and the valley between them is the defensible cut. Codes
+    are the identical md5_60 bigram simhash the dedup tier uses (so the
+    histogram describes exactly that tier); the pair join is
+    bucket-bounded (≤ (n/16)² per bucket), never all-pairs."""
+    from fxspark.ops.dedup import simhash_codes
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    codes = simhash_codes(docs, "doc_id", "text", n=2, hash_fn="md5_60")
+    bkt = codes.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_code").alias("c"),
+        (F.col("_id") % 16).cast("int").alias("g"),
+    )
+    a = bkt.select("g", F.col("doc_id").alias("ida"), F.col("c").alias("ca"))
+    b = bkt.select("g", F.col("doc_id").alias("idb"), F.col("c").alias("cb"))
+    grid = (
+        a.join(b, "g")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.bit_count(F.col("ca").bitwiseXOR(F.col("cb")))
+            .cast("int")
+            .alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = grid.agg(F.sum("n_pairs").alias("t"))
+    return grid.crossJoin(F.broadcast(tot)).select(
+        "hamming",
+        "n_pairs",
+        (F.col("n_pairs").cast("double") / F.col("t").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
