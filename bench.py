@@ -242,6 +242,7 @@ EXTENSION = [
     "part_copurchase_ppr",
     "events_p90_pinball_eval",
     "doc_simhash_hamming_histogram",
+    "user_burstiness",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

@@ -12346,6 +12346,91 @@ def q_events_p90_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS gap_us
+      FROM events
+    ), m AS (
+      SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(CAST(gap_us AS DOUBLE) * CAST(gap_us AS DOUBLE)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS q
+      FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+      HAVING count(gap_us) >= 2
+    ), d AS (
+      SELECT user_id, n_gaps, CAST(n_gaps AS DOUBLE) AS nd, s, q FROM m
+    ), v AS (
+      SELECT user_id, n_gaps, s / nd AS mu,
+             sqrt((q - s * s / nd) / (nd - 1.0)) AS sigma
+      FROM d
+    )
+    SELECT user_id, n_gaps,
+           round(mu / 1000000.0, 6) AS mean_gap_s,
+           round(sigma / mu, 6) AS cv,
+           round((sigma - mu) / (sigma + mu), 6) AS burstiness
+    FROM v
+    """,
+)
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user temporal regularity: the burstiness index
+    ``B = (σ−μ)/(σ+μ)`` of inter-event gaps (−1 = periodic clock, 0 =
+    Poisson, →1 = heavy bursts) plus the coefficient of variation — the
+    per-ENTITY complement of ``user_interarrival_stats``'s per-type gap
+    quantiles, and the feature that separates bot-like from human-like
+    accounts. Gaps are exact integer micros from one lag window; Σgap
+    and Σgap² accumulate in DECIMAL(38,0) (the square is an IEEE-exact
+    double product of <2^26 values cast to integer decimal); outputs
+    round to 6 because Σgap² crosses 17 significant digits — the
+    DECIMAL→DOUBLE edge-cast trap (NOTES_r8). Users with <2 gaps drop
+    (σ undefined)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(F.col("gap_us").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s"),
+            F.sum(
+                (
+                    F.col("gap_us").cast("double")
+                    * F.col("gap_us").cast("double")
+                ).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("q"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("s") / nd
+    sigma = F.sqrt(
+        (F.col("q") - F.col("s") * F.col("s") / nd) / (nd - 1.0)
+    )
+    v = m.select("user_id", "n_gaps", mu.alias("mu"), sigma.alias("sigma"))
+    return v.select(
+        "user_id",
+        "n_gaps",
+        F.round(F.col("mu") / 1000000.0, 6).alias("mean_gap_s"),
+        F.round(F.col("sigma") / F.col("mu"), 6).alias("cv"),
+        F.round(
+            (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")), 6
+        ).alias("burstiness"),
+    )
+
+
 def _simhash_hamming_oracle() -> str:
     # identical code construction to _simhash_oracle (md5_60, bigrams)
     votes = ", ".join(
