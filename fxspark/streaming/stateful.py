@@ -238,7 +238,13 @@ def stateful_histogram(
         counts = list(counts)
         for pdf in pdfs:
             for v in pdf[value_col].astype(float):
-                b = min(n_bins - 1, int(math.floor((v - lo) / width)))
+                # Clamp BOTH sides (the PSI query's edge-bin convention):
+                # edges are declared up-front, so values below `lo` are
+                # expected — an unclamped negative index would silently
+                # increment the top bins via Python list indexing.
+                b = max(
+                    0, min(n_bins - 1, int(math.floor((v - lo) / width)))
+                )
                 counts[b] += 1
         state.update((counts,))
         yield pd.DataFrame(
@@ -298,15 +304,23 @@ def stateful_debounce(
         gap_us = gap_seconds * 1_000_000
         (last_us,) = state.get if state.exists else (None,)
         kept = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col])
-            for ts, eid in zip(pdf[ts_col], pdf[id_col]):
-                us = int(pd.Timestamp(ts).value // 1000)
-                if last_us is None or us > last_us + gap_us:
-                    kept.append(
-                        {key_col: key[0], id_col: int(eid), ts_col: ts}
-                    )
-                last_us = us
+        # applyInPandasWithState may deliver one key's batch as MULTIPLE
+        # chunks — concatenate and sort ONCE so the (ts, id) order holds
+        # across chunk boundaries, not just within each chunk.
+        chunks = [pdf for pdf in pdfs]
+        batch = (
+            pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        ).sort_values([ts_col, id_col])
+        for ts, eid in zip(batch[ts_col], batch[id_col]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is None or us > last_us + gap_us:
+                kept.append(
+                    {key_col: key[0], id_col: int(eid), ts_col: ts}
+                )
+            # Advance monotonically: a late-arriving EARLIER timestamp
+            # (out-of-order beyond the replay premise) must not regress
+            # the clock and re-open a closed burst.
+            last_us = us if last_us is None else max(last_us, us)
         state.update((last_us,))
         yield pd.DataFrame(
             kept, columns=[key_col, id_col, ts_col]
