@@ -50,8 +50,16 @@ def stateful_pair_stats(
         import pandas as pd
 
         n, ewma, last = state.get if state.exists else (0, None, None)
-        for pdf in pdfs:
-            for rate in pdf.sort_values(order_col)[rate_col].astype(float):
+        # One key's micro-batch may arrive as MULTIPLE Arrow chunks —
+        # concatenate and sort ONCE so event-time order holds across
+        # chunk boundaries (per-chunk sorting would interleave chunks
+        # and corrupt the order-sensitive EWMA/last recurrences).
+        chunks = list(pdfs)
+        if chunks:
+            batch = (
+                pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            ).sort_values(order_col)
+            for rate in batch[rate_col].astype(float):
                 ewma = rate if ewma is None else alpha * rate + (1 - alpha) * ewma
                 last = rate
                 n += 1
@@ -103,8 +111,15 @@ def stateful_cusum(
         n, cum, low, n_alerts = (
             state.get if state.exists else (0, 0.0, 0.0, 0)
         )
-        for pdf in pdfs:
-            for v in pdf.sort_values(order_col)[value_col].astype(float):
+        # Concat-then-sort-once across Arrow chunks (see
+        # stateful_pair_stats): CUSUM is order-sensitive, so per-chunk
+        # sorting would process out-of-order at chunk boundaries.
+        chunks = list(pdfs)
+        if chunks:
+            batch = (
+                pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            ).sort_values(order_col)
+            for v in batch[value_col].astype(float):
                 cum += v - target - slack
                 low = min(low, cum)
                 n += 1
@@ -214,8 +229,11 @@ def stateful_histogram(
     """Streaming fixed-bin histogram per group — the bounded-state stream
     twin of ``events_histogram_quantiles``'s bin counters: state is one
     array of ``n_bins`` longs per group (constant forever), each batch adds
-    its values' bin counts (``bin = min(n_bins-1, floor((v - lo)/width))``,
-    the batch query's exact edge arithmetic). Bin edges are DECLARED
+    its values' bin counts (``bin = max(0, min(n_bins-1,
+    floor((v - lo)/width)))`` — clamped on BOTH sides, the PSI query's
+    edge-bin convention; the batch replay oracle clamps only the top, but
+    parity still holds because the batch side sets ``lo`` to the data min,
+    making the negative bin unreachable there). Bin edges are DECLARED
     up-front (from historical data or a spec) — the one thing a stream
     cannot learn retroactively; parity with the batch bin counts over the
     same prefix holds whenever ``lo``/``width`` equal the batch min/width.
@@ -306,8 +324,15 @@ def stateful_debounce(
         kept = []
         # applyInPandasWithState may deliver one key's batch as MULTIPLE
         # chunks — concatenate and sort ONCE so the (ts, id) order holds
-        # across chunk boundaries, not just within each chunk.
-        chunks = [pdf for pdf in pdfs]
+        # across chunk boundaries, not just within each chunk. Guard the
+        # empty-iterator case: NoTimeout guarantees data today, but a
+        # timed-out key would receive an empty iterator and chunks[0]
+        # would raise.
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((last_us,))
+            yield pd.DataFrame([], columns=[key_col, id_col, ts_col])
+            return
         batch = (
             pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         ).sort_values([ts_col, id_col])
