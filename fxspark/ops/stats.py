@@ -387,3 +387,245 @@ def robust_outliers(
         .withColumn("robust_z", rz)
         .filter(F.col("robust_z") > threshold)
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value: Column,
+    in_treatment: Column,
+) -> DataFrame:
+    """Per-key Mann-Whitney U (Wilcoxon rank-sum) between a treatment and
+    a control slice of the same frame — the distribution-free A/B
+    primitive (the reference's analytics stop at pct-change;
+    ``welch_ttest`` above is the parametric twin). Emits the U statistic,
+    the tie-corrected normal-approximation z, and U/(n1·n2) — which IS
+    the ROC AUC of ``value`` as a ranking score for ``in_treatment``
+    (the probability a random treatment row outranks a random control
+    row), so one operator serves both hypothesis testing and ranking
+    evaluation.
+
+    Shape: rows collapse to (key, value) TIE GROUPS first (a plain
+    partial-aggregated groupBy — the only full-data pass), then the rank
+    window runs per key over tie groups, not rows. Exactness: average
+    ranks are half-integers, so the op carries 2×rank as an integer and
+    sums rank products in DECIMAL(38,0) — bit-stable under any
+    partitioning (Σ cnt·avg2 ≈ 2n² overflows a long near n=10⁹·√5).
+    z and auc are double arithmetic on those exact sums, returned RAW
+    (callers round to 6, the welch convention). Keys with an empty side
+    get NULL z/auc.
+
+    Returns ``(keys..., n_treat, n_ctrl, u_stat, z_stat, auc)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from pyspark.sql import Window
+
+    g = df.groupBy(*keys, value.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(in_treatment.cast("long")).alias("_cnt_t"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # avg rank of a tie group = cum - cnt + (cnt+1)/2; carry 2x as integer
+    g = g.withColumn("_avg2", 2 * F.sum("_cnt").over(w) - F.col("_cnt") + 1)
+    dec = "decimal(38,0)"
+    agg = g.groupBy(*keys).agg(
+        F.sum("_cnt_t").alias("n_treat"),
+        F.sum(F.col("_cnt") - F.col("_cnt_t")).alias("n_ctrl"),
+        F.sum(F.col("_cnt_t").cast(dec) * F.col("_avg2")).alias("_two_r1"),
+        F.sum(
+            F.col("_cnt").cast(dec) * F.col("_cnt") * F.col("_cnt")
+            - F.col("_cnt")
+        ).alias("_ties"),
+    )
+    n1 = F.col("n_treat").cast("double")
+    n2 = F.col("n_ctrl").cast("double")
+    n = n1 + n2
+    u1 = (F.col("_two_r1").cast("double") - n1 * (n1 + 1.0)) / 2.0
+    var = n1 * n2 / 12.0 * (
+        (n + 1.0) - F.col("_ties").cast("double") / (n * (n - 1.0))
+    )
+    ok = (F.col("n_treat") >= 1) & (F.col("n_ctrl") >= 1)
+    return agg.select(
+        *keys,
+        "n_treat",
+        "n_ctrl",
+        F.when(ok, u1).alias("u_stat"),
+        F.when(ok & (var > 0.0), (u1 - n1 * n2 / 2.0) / F.sqrt(var)).alias(
+            "z_stat"
+        ),
+        F.when(ok, u1 / (n1 * n2)).alias("auc"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value: Column,
+    in_treatment: Column,
+) -> DataFrame:
+    """Per-key two-sample Kolmogorov-Smirnov D — the largest vertical gap
+    between the treatment and control empirical CDFs, the classic "did
+    the whole DISTRIBUTION move" test (PSI's binless, parameter-free
+    sibling: no declared bin edges, sensitive anywhere on the axis).
+
+    Shape mirrors ``mann_whitney_u``: one tie-group rollup (the only
+    full-data pass), then a cumulative window per key over distinct
+    values. Exactness: the gap is maximized as the INTEGER
+    ``|cum_t·n_ctrl − cum_c·n_treat|`` in DECIMAL(38,0) (cross-multiplied
+    to avoid float CDFs; ≈ n² again) and divided once at the end, so D is
+    a ratio of exact integers — bit-stable, no ulp drift to absorb.
+
+    Returns ``(keys..., n_treat, n_ctrl, ks_d)`` with ks_d a raw double.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from pyspark.sql import Window
+
+    g = df.groupBy(*keys, value.alias("_v")).agg(
+        F.sum(in_treatment.cast("long")).alias("_ct"),
+        F.sum((~in_treatment).cast("long")).alias("_cc"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    dec = "decimal(38,0)"
+    g = (
+        g.withColumn("_cumt", F.sum("_ct").over(w))
+        .withColumn("_cumc", F.sum("_cc").over(w))
+        .withColumn("_nt", F.sum("_ct").over(wall))
+        .withColumn("_nc", F.sum("_cc").over(wall))
+    )
+    agg = g.groupBy(*keys).agg(
+        F.max("_nt").alias("n_treat"),
+        F.max("_nc").alias("n_ctrl"),
+        F.max(
+            F.abs(
+                F.col("_cumt").cast(dec) * F.col("_nc")
+                - F.col("_cumc").cast(dec) * F.col("_nt")
+            )
+        ).alias("_dnum"),
+    )
+    ok = (F.col("n_treat") >= 1) & (F.col("n_ctrl") >= 1)
+    return agg.select(
+        *keys,
+        "n_treat",
+        "n_ctrl",
+        F.when(
+            ok,
+            F.col("_dnum").cast("double")
+            / (F.col("n_treat").cast("double") * F.col("n_ctrl").cast("double")),
+        ).alias("ks_d"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-key Spearman rank correlation with average-rank ties — Pearson
+    on the rank transforms, the monotone-association measure that
+    ``grouped_ols``'s linear slope is not (outlier-immune, captures any
+    monotone curve). Two rank windows per key (min-rank + tie count give
+    the average rank without a second scan), then ONE moment rollup.
+
+    Exactness: average ranks are half-integers, so the op carries 2×rank
+    as an integer and accumulates all five rank moments in DECIMAL(38,0)
+    (Σ(2r)² ≈ 4n³/3 — decimal, never long); rho is double arithmetic on
+    the exact moments, returned RAW (callers round to 6). The constant-x
+    or constant-y degenerate key gets NULL rho.
+
+    Returns ``(keys..., n_rows, rho)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from pyspark.sql import Window
+
+    def avg2(col: Column, name: str) -> Column:
+        wr = Window.partitionBy(*keys).orderBy(col)
+        wt = Window.partitionBy(*keys, col)
+        return (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias(
+            name
+        )
+
+    r = df.select(*keys, avg2(x, "_rx"), avg2(y, "_ry"))
+    dec = "decimal(38,0)"
+    rx = F.col("_rx").cast(dec)
+    ry = F.col("_ry").cast(dec)
+    agg = r.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum(rx * F.col("_rx")).alias("_sxx"),
+        F.sum(ry * F.col("_ry")).alias("_syy"),
+        F.sum(rx * F.col("_ry")).alias("_sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov = n * F.col("_sxy").cast("double") - sx * sy
+    vx = n * F.col("_sxx").cast("double") - sx * sx
+    vy = n * F.col("_syy").cast("double") - sy * sy
+    return agg.select(
+        *keys,
+        "n_rows",
+        F.when((vx > 0.0) & (vy > 0.0), cov / F.sqrt(vx * vy)).alias("rho"),
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value: Column,
+    mean_scale: int = 6,
+    term_scale: int = 9,
+) -> DataFrame:
+    """Per-key Theil T inequality index ``(1/n)·Σ (x/μ)·ln(x/μ)`` over
+    the POSITIVE values of ``value`` — ``gini_by_group``'s
+    information-theoretic sibling, and the one inequality measure that
+    decomposes additively across subgroups. Two aggregation passes: a
+    moment rollup (n, exact-decimal Σx) broadcast back, then the term
+    rollup — no windows, no sort, the gini op's rank window is avoided
+    entirely.
+
+    ln-family hash discipline (the PSI convention): μ is ROUNDED to
+    ``mean_scale`` decimals after the exact-sum division — the declared
+    semantics that absorbs the DECIMAL→DOUBLE edge-cast ulp (welch_ttest
+    docstring) BEFORE ln can amplify it — and each (x/μ)·ln(x/μ) term is
+    double-computed in pinned operand order then truncated to
+    DECIMAL(38,``term_scale``) for the exact sum. Callers round the
+    returned index to 6.
+
+    Returns ``(keys..., n_pos, mean_value, theil_t)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    pos = df.filter(value > 0).select(*keys, value.alias("_x"))
+    stats = pos.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(F.col("_x").cast("decimal(38,4)")).alias("_sx"),
+    )
+    mu = F.round(
+        F.col("_sx").cast("double") / F.col("n_pos").cast("double"),
+        mean_scale,
+    )
+    stats = stats.withColumn("mean_value", mu)
+    ratio = F.col("_x") / F.col("mean_value")
+    term = (ratio * F.log(ratio)).cast(f"decimal(38,{term_scale})")
+    return (
+        pos.join(F.broadcast(stats), keys)
+        .groupBy(*keys)
+        .agg(
+            F.max("n_pos").alias("n_pos"),
+            F.max("mean_value").alias("mean_value"),
+            (
+                F.sum(term).cast("double")
+                / F.max("n_pos").cast("double")
+            ).alias("theil_t"),
+        )
+    )

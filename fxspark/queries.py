@@ -12514,6 +12514,268 @@ def q_doc_simhash_hamming_histogram(
     )
 
 
+
+
+@query(
+    "promo_price_mannwhitney",
+    oracle="""
+    WITH j AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS t
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), g AS (
+      SELECT l_returnflag, v, count(*) AS cnt, sum(t) AS cnt_t
+      FROM j GROUP BY 1, 2
+    ), r AS (
+      SELECT l_returnflag, cnt, cnt_t,
+             2 * sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) - cnt + 1 AS avg2
+      FROM g
+    ), a AS (
+      SELECT l_returnflag,
+             CAST(sum(cnt_t) AS BIGINT) AS n_treat,
+             CAST(sum(cnt - cnt_t) AS BIGINT) AS n_ctrl,
+             sum(CAST(cnt_t AS DECIMAL(38,0)) * avg2) AS two_r1,
+             sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS ties
+      FROM r GROUP BY 1
+    ), d AS (
+      SELECT l_returnflag, n_treat, n_ctrl,
+             CAST(n_treat AS DOUBLE) AS n1, CAST(n_ctrl AS DOUBLE) AS n2,
+             CAST(n_treat AS DOUBLE) + CAST(n_ctrl AS DOUBLE) AS n,
+             (CAST(two_r1 AS DOUBLE)
+              - CAST(n_treat AS DOUBLE) * (CAST(n_treat AS DOUBLE) + 1.0))
+             / 2.0 AS u1,
+             CAST(ties AS DOUBLE) AS ties_d
+      FROM a
+    )
+    SELECT l_returnflag, n_treat, n_ctrl,
+           round(u1, 6) AS u_stat,
+           round((u1 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1.0) - ties_d / (n * (n - 1.0)))), 6)
+             AS z_stat,
+           round(u1 / (n1 * n2), 6) AS auc
+    FROM d
+    """,
+)
+def q_promo_price_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free A/B: Mann-Whitney U / rank-sum z of extended
+    price, PROMO parts vs the rest, per return flag —
+    ``ops/stats.mann_whitney_u``, the nonparametric twin of
+    ``promo_price_ttest`` (same treatment split, no normality
+    assumption; the auc column doubles as "P(random promo line outranks
+    a random non-promo line)"). Plan: rows collapse to (flag, price)
+    tie groups in one partial-combined groupBy, the rank window runs
+    over TIE GROUPS per flag, and all rank moments are DECIMAL-exact —
+    z/auc are double math on exact integers, rounded 6 (welch
+    convention)."""
+    from fxspark.ops.stats import mann_whitney_u
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    u = mann_whitney_u(
+        j, "l_returnflag", F.col("l_extendedprice"), F.col("p_type") == "PROMO"
+    )
+    return u.select(
+        "l_returnflag",
+        "n_treat",
+        "n_ctrl",
+        F.round("u_stat", 6).alias("u_stat"),
+        F.round("z_stat", 6).alias("z_stat"),
+        F.round("auc", 6).alias("auc"),
+    )
+
+
+@query(
+    "promo_price_ks",
+    oracle="""
+    WITH j AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS t
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), g AS (
+      SELECT l_returnflag, v,
+             sum(t) AS ct, sum(1 - t) AS cc
+      FROM j GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag,
+             sum(ct) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cumt,
+             sum(cc) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cumc,
+             sum(ct) OVER (PARTITION BY l_returnflag) AS nt,
+             sum(cc) OVER (PARTITION BY l_returnflag) AS nc
+      FROM g
+    ), a AS (
+      SELECT l_returnflag,
+             CAST(max(nt) AS BIGINT) AS n_treat,
+             CAST(max(nc) AS BIGINT) AS n_ctrl,
+             max(abs(CAST(cumt AS DECIMAL(38,0)) * nc
+                     - CAST(cumc AS DECIMAL(38,0)) * nt)) AS dnum
+      FROM c GROUP BY 1
+    )
+    SELECT l_returnflag, n_treat, n_ctrl,
+           round(CAST(dnum AS DOUBLE)
+                 / (CAST(n_treat AS DOUBLE) * CAST(n_ctrl AS DOUBLE)), 6)
+             AS ks_d
+    FROM a
+    """,
+)
+def q_promo_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D of extended price, PROMO vs
+    non-PROMO per return flag — ``ops/stats.ks_two_sample``, the
+    whole-distribution drift test that completes the A/B family
+    (t = means, U = ranks, KS = any CDF gap; PSI's binless sibling —
+    no declared edges). The gap is maximized as the exact integer
+    ``|cum_t·n_c − cum_c·n_t|`` and divided once, so D is bit-stable
+    with no float CDF accumulation."""
+    from fxspark.ops.stats import ks_two_sample
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    k = ks_two_sample(
+        j, "l_returnflag", F.col("l_extendedprice"), F.col("p_type") == "PROMO"
+    )
+    return k.select(
+        "l_returnflag",
+        "n_treat",
+        "n_ctrl",
+        F.round("ks_d", 6).alias("ks_d"),
+    )
+
+
+@query(
+    "event_value_time_spearman",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+               + count(*) OVER (PARTITION BY event_type, value) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
+               + count(*) OVER (PARTITION BY event_type, epoch_us(ts)) - 1
+               AS ry
+      FROM events
+    ), a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+             sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+             sum(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+             sum(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+             sum(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+      FROM r GROUP BY 1
+    ), d AS (
+      SELECT event_type, n_rows,
+             CAST(n_rows AS DOUBLE) AS n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+             CAST(sxy AS DOUBLE) AS sxyd
+      FROM a
+    )
+    SELECT event_type, n_rows,
+           round((n * sxyd - sxd * syd)
+                 / sqrt((n * sxxd - sxd * sxd)
+                        * (n * syyd - syd * syd)), 6) AS rho
+    FROM d
+    """,
+)
+def q_event_value_time_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-trend detector: Spearman rank correlation between event
+    value and event time, per event type — ``ops/stats.spearman_rho``.
+    Where ``user_value_trend``'s OLS slope measures the LINEAR drift,
+    Spearman answers "is value drifting in ANY monotone way over the
+    month" with outlier-immune ranks (the Mann-Kendall-style monitor a
+    feature pipeline runs per column). Average-rank ties are carried as
+    exact 2×rank integers; all five rank moments are DECIMAL-exact, rho
+    is one double expression, rounded 6."""
+    from fxspark.ops.stats import spearman_rho
+
+    events = load_table(spark, sf_dir, "events")
+    rho = spearman_rho(
+        events, "event_type", F.col("value"), F.unix_micros(F.col("ts"))
+    )
+    return rho.select(
+        "event_type",
+        "n_rows",
+        F.round("rho", 6).alias("rho"),
+    )
+
+
+@query(
+    "nation_spend_theil",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey, c_nationkey,
+             sum(CAST(o_totalprice AS DECIMAL(38,4))) AS spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), st AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_pos,
+             sum(spend) AS sx
+      FROM spend WHERE spend > 0 GROUP BY 1
+    ), m AS (
+      SELECT c_nationkey, n_pos,
+             round(CAST(sx AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+               AS mean_value
+      FROM st
+    ), t AS (
+      SELECT s.c_nationkey,
+             sum(CAST((CAST(s.spend AS DOUBLE) / m.mean_value)
+                      * ln(CAST(s.spend AS DOUBLE) / m.mean_value)
+                      AS DECIMAL(38,9))) AS term
+      FROM spend s JOIN m USING (c_nationkey)
+      WHERE s.spend > 0 GROUP BY 1
+    )
+    SELECT n_name, n_pos, mean_value,
+           round(CAST(term AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+             AS theil_t
+    FROM t JOIN m USING (c_nationkey)
+    JOIN nation ON n_nationkey = t.c_nationkey
+    """,
+)
+def q_nation_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer spend concentration per nation —
+    ``ops/stats.theil_index``, ``nation_spend_gini``'s
+    information-theoretic sibling and the inequality measure that
+    decomposes additively across subgroups (within-nation + between-
+    nation sums to corpus Theil — the property auditors use). NO rank
+    window: two broadcast-joined rollups replace gini's per-key sort,
+    so this is the inequality form that survives unbounded groups.
+    μ is rounded to 6 before the ln terms (declared semantics that kill
+    the decimal→double edge-cast ulp), each (x/μ)·ln(x/μ) term is
+    truncated to DECIMAL(38,9) for the exact sum — the PSI ln-family
+    discipline."""
+    from fxspark.ops.stats import theil_index
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("spend"))
+    )
+    t = theil_index(spend, "c_nationkey", F.col("spend"))
+    return t.join(
+        F.broadcast(nation),
+        F.col("n_nationkey") == F.col("c_nationkey"),
+    ).select(
+        "n_name",
+        "n_pos",
+        "mean_value",
+        F.round("theil_t", 6).alias("theil_t"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
