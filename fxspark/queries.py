@@ -12776,6 +12776,266 @@ def q_nation_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "order_value_auc",
+    oracle="""
+    WITH ol AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS v,
+             CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS t
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o_orderpriority, v, t
+      FROM orders JOIN ol ON l_orderkey = o_orderkey
+    ), g AS (
+      SELECT o_orderpriority, v, count(*) AS cnt, sum(t) AS cnt_t
+      FROM j GROUP BY 1, 2
+    ), r AS (
+      SELECT o_orderpriority, cnt, cnt_t,
+             2 * sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) - cnt + 1 AS avg2
+      FROM g
+    ), a AS (
+      SELECT o_orderpriority,
+             CAST(sum(cnt_t) AS BIGINT) AS n_big,
+             CAST(sum(cnt - cnt_t) AS BIGINT) AS n_small,
+             sum(CAST(cnt_t AS DECIMAL(38,0)) * avg2) AS two_r1,
+             sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS ties
+      FROM r GROUP BY 1
+    ), f AS (
+      SELECT o_orderpriority, n_big, n_small,
+             CAST(n_big AS BIGINT) AS nb,
+             CAST(n_big AS DOUBLE) AS n1, CAST(n_small AS DOUBLE) AS n2,
+             CAST(n_big AS DOUBLE) + CAST(n_small AS DOUBLE) AS n,
+             (CAST(two_r1 AS DOUBLE)
+              - CAST(n_big AS DOUBLE) * (CAST(n_big AS DOUBLE) + 1.0))
+             / 2.0 AS u1,
+             CAST(ties AS DOUBLE) AS ties_d
+      FROM a
+    )
+    SELECT o_orderpriority, n_big, n_small,
+           round(u1 / (n1 * n2), 6) AS auc,
+           round((u1 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1.0) - ties_d / (n * (n - 1.0)))), 6)
+             AS z_stat
+    FROM f
+    """,
+)
+def q_order_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval: ROC AUC (``ops/stats.mann_whitney_u`` —
+    AUC IS U/(n1·n2)) of an order's summed line revenue as a detector of
+    big baskets (≥4 lineitems), per order priority. The shape every
+    score-vs-label eval takes before a threshold gates production:
+    per-slice AUC plus the rank-sum z saying whether the separation is
+    real on the slice's sample size — here the signal is mechanical
+    (more lines ⇒ more revenue), so the slices land well above 0.5 and
+    the z is unambiguous. One join + tie-group rollup; all rank moments
+    DECIMAL-exact."""
+    from fxspark.ops.stats import mann_whitney_u
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ol = li.groupBy("l_orderkey").agg(
+        exact_sum(F.col("l_extendedprice"), 4).alias("v"),
+        (F.count(F.lit(1)) >= 4).alias("t"),
+    )
+    j = orders.join(ol, F.col("l_orderkey") == F.col("o_orderkey"))
+    u = mann_whitney_u(j, "o_orderpriority", F.col("v"), F.col("t"))
+    return u.select(
+        "o_orderpriority",
+        F.col("n_treat").alias("n_big"),
+        F.col("n_ctrl").alias("n_small"),
+        F.round("auc", 6).alias("auc"),
+        F.round("z_stat", 6).alias("z_stat"),
+    )
+
+
+@query(
+    "order_value_calibration",
+    oracle="""
+    WITH ol AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS rev,
+             CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS y
+      FROM lineitem GROUP BY 1
+    ), s AS (
+      SELECT least(1.0, rev / 600000.0) AS s, y FROM ol
+    ), b AS (
+      SELECT least(9, CAST(floor(s * 10.0) AS INTEGER)) AS bin, s, y
+      FROM s
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(s AS DECIMAL(38,9))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS frac_pos,
+           round(CAST(sum(CAST((s - y) * (s - y) AS DECIMAL(38,9))
+                      ) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS brier
+    FROM b GROUP BY 1
+    """,
+)
+def q_order_value_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the same big-basket score: normalize line
+    revenue by a DECLARED cap into [0,1], bucket into ten fixed bins,
+    and report mean score vs observed big-basket rate per bin (the
+    reliability-diagram numbers that justify using a score as a
+    probability), plus each bin's Brier contribution. The fixture's
+    monotone frac_pos curve is the mechanical revenue↔lines coupling
+    surfacing in the calibration — exactly what the table is for. One
+    groupBy to order grain, then a map-side expression + 10-group
+    hash-agg; score and squared-error sums truncate to DECIMAL(38,9)
+    before the exact sum (ln-family discipline on eval metrics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ol = li.groupBy("l_orderkey").agg(
+        exact_sum(F.col("l_extendedprice"), 4).alias("rev"),
+        (F.count(F.lit(1)) >= 4).cast("int").alias("y"),
+    )
+    s = F.least(F.lit(1.0), F.col("rev") / 600000.0)
+    b = ol.select(
+        F.least(F.lit(9), F.floor(s * 10.0).cast("int")).alias("bin"),
+        s.alias("s"),
+        F.col("y"),
+    )
+    n = F.count(F.lit(1))
+    return b.groupBy("bin").agg(
+        n.alias("n_orders"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(38,9)")).cast("double")
+            / n.cast("double"),
+            6,
+        ).alias("mean_score"),
+        F.round(F.sum("y").cast("double") / n.cast("double"), 6).alias(
+            "frac_pos"
+        ),
+        F.round(
+            F.sum(
+                ((F.col("s") - F.col("y")) * (F.col("s") - F.col("y"))).cast(
+                    "decimal(38,9)"
+                )
+            ).cast("double")
+            / n.cast("double"),
+            6,
+        ).alias("brier"),
+    )
+
+
+
+@query(
+    "customer_decile_lift",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS spend
+      FROM orders WHERE o_orderdate < DATE '1999-01-01' GROUP BY 1
+    ), y AS (
+      SELECT o_custkey,
+             max(CASE WHEN o_orderdate >= DATE '1999-01-01'
+                 THEN 1 ELSE 0 END) AS yy
+      FROM orders GROUP BY 1
+    ),
+    st AS (SELECT count(*) AS c FROM spend),
+    r AS (SELECT spend, row_number() OVER (ORDER BY spend) AS rn FROM spend),
+    b AS (
+      SELECT r.spend AS bv
+      FROM r JOIN (SELECT i, (c * i + 9) // 10 AS k
+                   FROM st, (SELECT unnest(range(1, 10)) AS i)) t
+        ON r.rn = t.k
+    ), d AS (
+      SELECT s.o_custkey,
+             CAST(10 - (SELECT count(*) FROM b WHERE b.bv < s.spend)
+                  AS INTEGER) AS decile,
+             y.yy
+      FROM spend s JOIN y USING (o_custkey)
+    ), a AS (
+      SELECT decile, count(*) AS n_cust, sum(yy) AS n_pos
+      FROM d GROUP BY 1
+    ), w AS (
+      SELECT decile, n_cust, n_pos,
+             sum(n_pos) OVER (ORDER BY decile
+                              ROWS UNBOUNDED PRECEDING) AS cum_pos,
+             sum(n_pos) OVER () AS tot_pos,
+             sum(n_cust) OVER () AS tot_n
+      FROM a
+    )
+    SELECT decile,
+           CAST(n_cust AS BIGINT) AS n_cust,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n_cust AS DOUBLE), 6)
+             AS rate,
+           round((CAST(n_pos AS DOUBLE) / CAST(n_cust AS DOUBLE))
+                 / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+             AS lift,
+           round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+             AS cum_capture
+    FROM w
+    """,
+)
+def q_customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table — the targeting-model backtest: score
+    customers by historic spend (orders before 1999), bucket into spend
+    deciles (1 = top, ``ops/quantile.quantile_bins`` — boundary
+    localization + map-side binning, no global ntile sort), and report
+    each decile's repurchase rate (ordered again in/after 1999), its
+    lift over the base rate, and the cumulative share of repurchasers
+    captured walking down the deciles — the gains curve that says "the
+    top-k deciles reach x% of converters". The only full-data work is
+    two order-grain rollups; lift/capture windows run over the TEN
+    decile rows (bounded grain)."""
+    from pyspark.sql import Window
+
+    from fxspark.ops.quantile import quantile_bins
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("date")
+    spend = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(exact_sum(F.col("o_totalprice"), 4).alias("spend"))
+        .localCheckpoint(eager=False)
+    )
+    y = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderdate") >= cut).cast("int")).alias("yy")
+    )
+    d = quantile_bins(spend, "spend", 10, "decile", descending=True).join(
+        y, "o_custkey"
+    )
+    a = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("yy").alias("n_pos"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    # bounded-grain global windows: exactly 10 decile rows
+    w = (
+        a.withColumn("cum_pos", F.sum("n_pos").over(wcum))
+        .withColumn("tot_pos", F.sum("n_pos").over(wall))
+        .withColumn("tot_n", F.sum("n_cust").over(wall))
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_cust").cast("double")
+    base = F.col("tot_pos").cast("double") / F.col("tot_n").cast("double")
+    return w.select(
+        "decile",
+        "n_cust",
+        "n_pos",
+        F.round(rate, 6).alias("rate"),
+        F.round(rate / base, 6).alias("lift"),
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"),
+            6,
+        ).alias("cum_capture"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
