@@ -13036,6 +13036,233 @@ def q_customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "events_hll_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+    ), rk AS (
+      SELECT event_type,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS reg,
+             CASE WHEN length(ltrim(substr(hx, 3, 14), '0')) = 0 THEN 57
+                  ELSE (14 - length(ltrim(substr(hx, 3, 14), '0'))) * 4
+                       + CASE substr(ltrim(substr(hx, 3, 14), '0'), 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                       + 1 END AS rnk
+      FROM h
+    ), rmax AS (
+      SELECT event_type, reg, max(rnk) AS r
+      FROM rk GROUP BY 1, 2
+    ), spine AS (
+      SELECT t.event_type, g.reg
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(range(256)) AS reg) g
+    ), full_regs AS (
+      SELECT spine.event_type, spine.reg, coalesce(rmax.r, 0) AS r
+      FROM spine LEFT JOIN rmax
+        ON rmax.event_type = spine.event_type AND rmax.reg = spine.reg
+    ), agg AS (
+      SELECT event_type,
+             sum(CAST((CAST(1 AS BIGINT) << (57 - r)) AS DECIMAL(38,0)))
+               AS s2,
+             CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_zero
+      FROM full_regs GROUP BY 1
+    ), est AS (
+      SELECT event_type, v_zero,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+             / (CAST(s2 AS DOUBLE) / 144115188075855872.0) AS eraw
+      FROM agg
+    ), t AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_seen,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS true_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT t.event_type, t.n_seen, est.v_zero,
+           CAST(round(CASE WHEN est.eraw <= 640.0 AND est.v_zero > 0
+                           THEN 256.0 * ln(256.0 / est.v_zero)
+                           ELSE est.eraw END, 0) AS BIGINT)
+             AS est_distinct,
+           t.true_distinct
+    FROM t JOIN est USING (event_type)
+    """,
+)
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct count per event type with DECLARED md5
+    randomness — the constant-memory (m=256 registers) sibling of
+    ``events_kmv_distinct``, emitting the classic alpha-corrected
+    harmonic-mean estimate with the standard linear-counting fallback
+    for the small range. Register = first 8 hash bits, rank = leading
+    zeros of the next 56 — both derived by exact HEX-STRING arithmetic
+    (ltrim of the hex substring + a 16-case nibble table), never
+    floor(log2(x)) whose float rounding flips at power-of-two
+    boundaries for >53-bit inputs. The harmonic sum Σ2^(−rank) is
+    carried as the exact integer Σ2^(57−rank) in DECIMAL(38,0) and
+    divided once, so the ESTIMATE is bit-reproduced by the oracle.
+    Scale: one hash-agg to (type, register) grain — 256 longs per key,
+    mergeable across any partitioning, the sketch a 100 TB profiler
+    keeps per column."""
+    events = load_table(spark, sf_dir, "events")
+    hx = F.md5(F.col("event_id").cast("string"))
+    h = events.select(
+        "event_type",
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("reg"),
+        F.expr(
+            """
+            CASE WHEN length(TRIM(LEADING '0' FROM substr(md5(CAST(event_id AS STRING)), 3, 14))) = 0
+                 THEN 57
+                 ELSE (14 - length(TRIM(LEADING '0' FROM substr(md5(CAST(event_id AS STRING)), 3, 14)))) * 4
+                      + CASE substr(TRIM(LEADING '0' FROM substr(md5(CAST(event_id AS STRING)), 3, 14)), 1, 1)
+                          WHEN '1' THEN 3
+                          WHEN '2' THEN 2 WHEN '3' THEN 2
+                          WHEN '4' THEN 1 WHEN '5' THEN 1
+                          WHEN '6' THEN 1 WHEN '7' THEN 1
+                          ELSE 0 END
+                      + 1 END
+            """
+        ).alias("rnk"),
+    )
+    rmax = h.groupBy("event_type", "reg").agg(F.max("rnk").alias("r"))
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(256).select(F.col("id").cast("long").alias("reg"))
+        )
+    )
+    full_regs = spine.join(rmax, ["event_type", "reg"], "left").select(
+        "event_type", "reg", F.coalesce(F.col("r"), F.lit(0)).alias("r")
+    )
+    agg = full_regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), 57 - CAST(r AS INT))"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("s2"),
+        F.sum((F.col("r") == 0).cast("long")).alias("v_zero"),
+    )
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+    eraw = alpha_m2 / (
+        F.col("s2").cast("double") / F.lit(float(2**57))
+    )
+    est = agg.select(
+        "event_type",
+        "v_zero",
+        F.when(
+            (eraw <= 640.0) & (F.col("v_zero") > 0),
+            256.0 * F.log(256.0 / F.col("v_zero").cast("double")),
+        )
+        .otherwise(eraw)
+        .alias("eraw"),
+    )
+    t = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.count_distinct(F.col("event_id")).alias("true_distinct"),
+    )
+    return t.join(est, "event_type").select(
+        "event_type",
+        "n_seen",
+        "v_zero",
+        F.round(F.col("eraw"), 0).cast("long").alias("est_distinct"),
+        "true_distinct",
+    )
+
+
+
+@query(
+    "token_cms_estimates",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT w, j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 15))
+                  AS BIGINT) % 1024 AS b
+      FROM toks, (SELECT unnest(range(4)) AS j)
+    ), sketch AS (
+      SELECT j, b, count(*) AS cnt FROM pairs GROUP BY 1, 2
+    ), top AS (
+      SELECT w, count(*) AS exact_n
+      FROM toks GROUP BY w ORDER BY exact_n DESC, w LIMIT 10
+    ), qh AS (
+      SELECT top.w, top.exact_n, g.j,
+             CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || top.w),
+                                  1, 15)) AS BIGINT) % 1024 AS b
+      FROM top, (SELECT unnest(range(4)) AS j) g
+    )
+    SELECT qh.w AS token,
+           CAST(max(qh.exact_n) AS BIGINT) AS exact_n,
+           CAST(min(sketch.cnt) AS BIGINT) AS cms_est,
+           CAST(min(sketch.cnt) - max(qh.exact_n) AS BIGINT)
+             AS overcount
+    FROM qh JOIN sketch ON sketch.j = qh.j AND sketch.b = qh.b
+    GROUP BY qh.w
+    """,
+)
+def q_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates for the corpus's top tokens,
+    with DECLARED md5 row hashes (depth 4 × width 1024): the
+    fixed-memory frequency sketch that completes the mergeable-sketch
+    family (KMV/HLL = cardinality, Misra-Gries = candidates, CMS =
+    point frequency with a one-sided ε·N error bound). The sketch is
+    one partial-combined groupBy to (row, bucket) grain — 4,096
+    counters total, mergeable across partitions/days by addition; the
+    probe side joins the exact top-10 tokens (TakeOrdered, the
+    heavy-hitters baseline) against their 4 buckets and takes the min.
+    The ``overcount`` column is the CMS guarantee made visible: always
+    ≥ 0 (CMS never underestimates), bounded by collisions with the
+    other tokens in each bucket."""
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+
+    def bucket(j: Column, w: Column) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j.cast("string"), F.lit(":"), w)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1024),
+        )
+
+    js = F.array([F.lit(j) for j in range(4)])
+    pairs = toks.select("w", F.explode(js).alias("j")).select(
+        "j", bucket(F.col("j"), F.col("w")).alias("b")
+    )
+    sketch = pairs.groupBy("j", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "w")
+        .limit(10)
+    )
+    qh = top.crossJoin(
+        spark.range(4).select(F.col("id").cast("int").alias("j"))
+    ).select("w", "exact_n", "j", bucket(F.col("j"), F.col("w")).alias("b"))
+    return (
+        qh.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy(F.col("w").alias("token"))
+        .agg(
+            F.max("exact_n").alias("exact_n"),
+            F.min("cnt").alias("cms_est"),
+            (F.min("cnt") - F.max("exact_n")).alias("overcount"),
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
