@@ -130,3 +130,91 @@ def largest_remainder_quota(
         .cast("long")
         .alias("quota"),
     )
+
+
+def hilbert_layout_index(
+    df: DataFrame,
+    x_col: Column,
+    y_col: Column,
+    out_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Add ``out_col`` = Hilbert-curve index of two non-negative ints in
+    ``[0, 2^bits)`` — the locality-superior alternative to ``zvalue``:
+    consecutive Hilbert addresses are always GRID NEIGHBORS (no Z-shape
+    jumps across the key space), so range-partitioning by the index
+    yields files whose min/max footers bound both dimensions at least as
+    tightly as Z-order, with fewer boundary discontinuities (the
+    Delta/Iceberg OPTIMIZE alternative to Morton layout).
+
+    The xy→d walk is inherently iterative (each level's quadrant flip
+    depends on the rotation state below it), so the op is FRAME-level:
+    ``bits`` chained projections via simultaneous ``withColumns`` (the
+    quadrant swap needs both old columns — same-select assignment, never
+    sequential), each reading bit k by the module's declared floor-div /
+    mod arithmetic. Catalyst fuses the chain into one whole-stage-codegen
+    map — no UDF, no shuffle; ``hilbert_sql_ctes`` emits the identical
+    walk as a SQL CTE chain so the layout decision stays oracle-checkable
+    bit-for-bit."""
+    n = 2**bits
+    df = (
+        df.withColumn("_hx", x_col.cast("long"))
+        .withColumn("_hy", y_col.cast("long"))
+        .withColumn(out_col, F.lit(0).cast("long"))
+    )
+    for k in range(bits - 1, -1, -1):
+        s = 2**k
+        rx = F.floor(F.col("_hx") / F.lit(float(s))).cast("long") % 2
+        ry = F.floor(F.col("_hy") / F.lit(float(s))).cast("long") % 2
+        q = F.lit(3) * rx + (F.lit(1) - F.lit(2) * rx) * ry
+        d = F.col(out_col) + F.lit(s * s) * q
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(n - 1) - F.col("_hy")).otherwise(
+                F.col("_hy")
+            ),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(n - 1) - F.col("_hx")).otherwise(
+                F.col("_hx")
+            ),
+        ).otherwise(F.col("_hy"))
+        df = df.withColumns({out_col: d, "_hx": nx, "_hy": ny})
+    return df.drop("_hx", "_hy")
+
+
+def hilbert_sql_ctes(
+    src: str,
+    x: str,
+    y: str,
+    bits: int = 16,
+    prefix: str = "hl",
+) -> tuple[str, str]:
+    """The identical Hilbert walk as a chain of SQL CTEs (DuckDB oracle
+    twin of ``hilbert_layout_index``). Returns ``(cte_text, final_name)``;
+    the final CTE carries the source's columns plus ``hd`` (the index).
+    A single-expression form would blow up exponentially (each level
+    reads both prior coordinates); the CTE chain keeps it linear exactly
+    like the frame's projection chain."""
+    n = 2**bits
+    ctes = [
+        f"{prefix}0 AS (SELECT *, CAST(({x}) AS BIGINT) AS hx,"
+        f" CAST(({y}) AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    lvl = 0
+    for k in range(bits - 1, -1, -1):
+        s = 2**k
+        rx = f"(CAST(floor(hx / {s}.0) AS BIGINT) % 2)"
+        ry = f"(CAST(floor(hy / {s}.0) AS BIGINT) % 2)"
+        ctes.append(
+            f"{prefix}{lvl + 1} AS (SELECT * REPLACE ("
+            f"hd + {s * s} * (3 * {rx} + (1 - 2 * {rx}) * {ry}) AS hd, "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - hy ELSE hy END ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - hx ELSE hx END ELSE hy END AS hy"
+            f") FROM {prefix}{lvl})"
+        )
+        lvl += 1
+    return ", ".join(ctes), f"{prefix}{lvl}"

@@ -13263,6 +13263,64 @@ def q_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _hilbert_stats_oracle() -> str:
+    from fxspark.ops.layout import hilbert_sql_ctes
+
+    base = (
+        "(SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vb,"
+        " ((user_id % 65536) + 65536) % 65536 AS ha,"
+        " ((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536"
+        " AS hb FROM events)"
+    )
+    ctes, fin = hilbert_sql_ctes(base, "ha", "hb", bits=16)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(floor(hd / 67108864.0) AS BIGINT) AS hbin,
+           count(*) AS n_events,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(vb) AS min_vb, max(vb) AS max_vb
+    FROM {fin} GROUP BY 1
+    """
+
+
+@query("events_hilbert_stats", oracle=_hilbert_stats_oracle())
+def q_events_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering quality report — ``events_zorder_stats``'s
+    twin on the locality-superior space-filling curve
+    (``ops/layout.hilbert_layout_index``): index (user_id, value-bucket)
+    on the 16-bit Hilbert walk, bin by the top index bits, and report
+    each bin's min/max in BOTH dimensions — the parquet-footer ranges an
+    OPTIMIZE-by-Hilbert write would produce. Unlike Morton bins, every
+    Hilbert bin is a CONNECTED region of the key grid (consecutive
+    addresses are always grid neighbors — property-pinned in
+    tests/test_round9_ops.py), so per-file dimension ranges are tighter
+    at the same file count. The walk is 16 fused projections (one
+    codegen stage, no shuffle); the only exchange is the bounded
+    64-bin rollup."""
+    from fxspark.ops.layout import hilbert_layout_index
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("ha"),
+        F.pmod(
+            F.floor(F.col("value") * 100).cast("long"), F.lit(65536)
+        ).alias("hb"),
+    )
+    h = hilbert_layout_index(base, F.col("ha"), F.col("hb"), "hd", bits=16)
+    return h.groupBy(
+        F.floor(F.col("hd") / F.lit(67108864.0)).cast("long").alias("hbin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("vb").alias("min_vb"),
+        F.max("vb").alias("max_vb"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

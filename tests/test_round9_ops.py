@@ -1,0 +1,148 @@
+"""Round-9 operator properties: Hilbert layout, rank statistics,
+inequality index. The sf0.01 DuckDB differential is the correctness
+gate; these pin the MATHEMATICAL properties the oracles can't express
+(curve adjacency, known-answer statistics on constructed inputs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _xy2d(order: int, x: int, y: int) -> int:
+    """Canonical Hilbert xy→d walk (public algorithm), the reference the
+    Spark chain and the SQL CTE generator must both reproduce."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = order - 1 - x
+                y = order - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_spark_matches_reference_and_is_adjacent(spark):
+    from fxspark.ops.layout import hilbert_layout_index
+
+    order = 8  # bits=3 → full 8×8 grid is cheap and exhaustive
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(order) for y in range(order)], "x long, y long"
+    )
+    out = hilbert_layout_index(grid, F.col("x"), F.col("y"), "hd", bits=3)
+    rows = {(r.x, r.y): r.hd for r in out.collect()}
+    # exact match with the canonical walk, cell by cell
+    for (x, y), hd in rows.items():
+        assert hd == _xy2d(order, x, y), (x, y, hd)
+    # bijection onto [0, 64)
+    assert sorted(rows.values()) == list(range(order * order))
+    # the Hilbert property: consecutive addresses are grid NEIGHBORS
+    byd = sorted(rows.items(), key=lambda kv: kv[1])
+    for ((x1, y1), _), ((x2, y2), _) in zip(byd, byd[1:]):
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_sql_ctes_match_spark(spark):
+    import duckdb
+
+    from fxspark.ops.layout import hilbert_sql_ctes
+
+    con = duckdb.connect()
+    ctes, fin = hilbert_sql_ctes(
+        "(SELECT a, b FROM grid)", "a", "b", bits=4
+    )
+    con.execute(
+        "CREATE TABLE grid AS SELECT x.range AS a, y.range AS b"
+        " FROM range(16) x, range(16) y"
+    )
+    got = {
+        (a, b): hd
+        for a, b, hd in con.execute(
+            f"WITH {ctes} SELECT a, b, hd FROM {fin}"
+        ).fetchall()
+    }
+    assert all(hd == _xy2d(16, a, b) for (a, b), hd in got.items())
+
+
+def test_mann_whitney_separated_groups_auc_one(spark):
+    from fxspark.ops.stats import mann_whitney_u
+
+    # treatment strictly above control → U = n1·n2, AUC = 1
+    rows = [("k", float(v), v >= 10) for v in range(20)]
+    df = spark.createDataFrame(rows, "k string, v double, t boolean")
+    r = mann_whitney_u(df, "k", F.col("v"), F.col("t")).collect()[0]
+    assert r.n_treat == 10 and r.n_ctrl == 10
+    assert r.u_stat == 100.0 and r.auc == 1.0
+
+
+def test_mann_whitney_all_ties_auc_half(spark):
+    from fxspark.ops.stats import mann_whitney_u
+
+    rows = [("k", 1.0, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, v double, t boolean")
+    r = mann_whitney_u(df, "k", F.col("v"), F.col("t")).collect()[0]
+    assert r.auc == pytest.approx(0.5)
+    assert r.z_stat is None  # tie-corrected variance is 0 → no z
+
+
+def test_ks_two_sample_identical_and_disjoint(spark):
+    from fxspark.ops.stats import ks_two_sample
+
+    same = [("k", float(v % 5), v % 2 == 0) for v in range(20)]
+    df = spark.createDataFrame(same, "k string, v double, t boolean")
+    assert ks_two_sample(df, "k", F.col("v"), F.col("t")).collect()[
+        0
+    ].ks_d == pytest.approx(0.0)
+
+    disj = [("k", float(v), v >= 10) for v in range(20)]
+    df = spark.createDataFrame(disj, "k string, v double, t boolean")
+    assert ks_two_sample(df, "k", F.col("v"), F.col("t")).collect()[
+        0
+    ].ks_d == pytest.approx(1.0)
+
+
+def test_spearman_monotone_and_reversed(spark):
+    from fxspark.ops.stats import spearman_rho
+
+    rows = [("k", float(i), float(i * i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    assert spearman_rho(df, "k", F.col("x"), F.col("y")).collect()[
+        0
+    ].rho == pytest.approx(1.0)
+
+    rows = [("k", float(i), float(-i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    assert spearman_rho(df, "k", F.col("x"), F.col("y")).collect()[
+        0
+    ].rho == pytest.approx(-1.0)
+
+    const = [("k", 1.0, float(i)) for i in range(5)]
+    df = spark.createDataFrame(const, "k string, x double, y double")
+    assert spearman_rho(df, "k", F.col("x"), F.col("y")).collect()[0].rho is None
+
+
+def test_theil_uniform_zero_and_concentrated(spark):
+    from fxspark.ops.stats import theil_index
+
+    rows = [("k", 7.0)] * 10
+    df = spark.createDataFrame(rows, "k string, v double")
+    assert theil_index(df, "k", F.col("v")).collect()[0].theil_t == pytest.approx(
+        0.0
+    )
+
+    # one entity holds everything (others filtered as non-positive):
+    # with n=1 positive value Theil is 0 by definition; instead pin a
+    # known two-point value: x = [1, 3], μ=2 → T = (0.5·ln0.5 + 1.5·ln1.5)/2
+    rows = [("k", 1.0), ("k", 3.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    want = (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2
+    assert theil_index(df, "k", F.col("v")).collect()[0].theil_t == pytest.approx(
+        want, abs=1e-9
+    )
