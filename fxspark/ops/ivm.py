@@ -119,3 +119,74 @@ def delta_agg(
         )
     )
     return merged.filter(F.col(count_col) != 0)
+
+
+def topk_retraction(
+    ticks: Sequence[tuple[DataFrame, DataFrame | None]],
+    key_col: str,
+    value_col: str,
+    k: int = 10,
+    buffer_mult: int = 4,
+    alive_at=None,
+) -> DataFrame:
+    """Maintained TOP-K under inserts AND retractions — the view-
+    maintenance problem ``delta_agg`` cannot solve (top-k is not an
+    abelian fold: a delete inside the current top-k pulls in an element
+    the maintained state no longer holds). The classic answer is a
+    BOUNDED BUFFER with a declared rebuild rule:
+
+    - keep the top ``B = buffer_mult·k`` alive rows by
+      ``(value DESC, key ASC)``;
+    - per tick, ``buffer = topB((buffer − deletes) ∪ inserts)`` — work
+      O(|batch| + B) per tick, never a rescan of the base;
+    - SOUNDNESS BOUND: the emitted top-k equals the from-scratch top-k
+      as long as the deletes that actually HIT the buffer in a tick
+      number ≤ B − k (each hit can promote one unseen row; B − k spares
+      absorb them). The op counts the hits (a B-sized broadcast
+      semi-join) and, when the bound is violated, REBUILDS the buffer
+      from the full alive set via ``alive_at(tick)`` — the declared
+      fallback that keeps the output exact instead of silently wrong.
+
+    ``ticks`` is a sequence of ``(inserts, deletes)`` frames
+    (``deletes`` key-only or None); returns the union of per-tick
+    emissions ``(tick, rk, key, value)``. The per-tick rank window runs
+    over ≤ k rows per tick — bounded grain."""
+    from pyspark.sql import Window
+
+    b = buffer_mult * k
+    order = [F.col(value_col).desc(), F.col(key_col).asc()]
+    buffer: DataFrame | None = None
+    outs = []
+    for i, (ins, dels) in enumerate(ticks):
+        ins = ins.select(key_col, value_col)
+        if buffer is None:
+            cand = ins
+        elif dels is None:
+            cand = buffer.unionByName(ins)
+        else:
+            dkeys = dels.select(key_col)
+            n_hit = buffer.join(F.broadcast(dkeys), key_col).count()
+            if n_hit > b - k:
+                if alive_at is None:
+                    raise ValueError(
+                        f"tick {i}: {n_hit} buffer deletions exceed the "
+                        f"B-k={b - k} soundness bound and no alive_at "
+                        "rebuild source was provided"
+                    )
+                cand = alive_at(i).select(key_col, value_col)
+            else:
+                cand = buffer.join(
+                    F.broadcast(dkeys), key_col, "left_anti"
+                ).unionByName(ins)
+        buffer = cand.orderBy(*order).limit(b).localCheckpoint(eager=False)
+        outs.append(buffer.limit(k).withColumn("tick", F.lit(i)))
+    emitted = outs[0]
+    for o in outs[1:]:
+        emitted = emitted.unionByName(o)
+    w = Window.partitionBy("tick").orderBy(*order)
+    return emitted.select(
+        "tick",
+        F.row_number().over(w).alias("rk"),
+        key_col,
+        value_col,
+    )

@@ -13321,6 +13321,87 @@ def q_events_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "orders_topk_retraction",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus,
+             CASE WHEN o_orderdate < DATE '1996-09-01' THEN 0
+                  WHEN o_orderdate < DATE '1998-05-01' THEN 1
+                  WHEN o_orderdate < DATE '2000-01-01' THEN 2
+                  ELSE 3 END AS tk
+      FROM orders
+    ), t AS (SELECT unnest(range(4)) AS tick),
+    alive AS (
+      SELECT t.tick, o.o_orderkey, o.o_totalprice
+      FROM t JOIN o ON o.tk <= t.tick
+        AND NOT (o.o_orderstatus = 'F' AND o.tk < t.tick)
+    ), r AS (
+      SELECT tick, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY tick
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rk
+      FROM alive
+    )
+    SELECT CAST(tick AS INTEGER) AS tick, CAST(rk AS INTEGER) AS rk,
+           o_orderkey, o_totalprice
+    FROM r WHERE rk <= 10
+    """,
+)
+def q_orders_topk_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained top-10 order book under RETRACTIONS
+    (``ops/ivm.topk_retraction``): orders enter at their yearly tick
+    and leave one tick later if finalized (status 'F') — a live
+    "largest open orders" leaderboard. Top-k is the canonical view that
+    breaks monotone IVM (a delete inside the top-k promotes a row the
+    state no longer holds), so the op keeps a 4k bounded buffer, folds
+    each tick in O(batch + B), counts the deletes that actually hit the
+    buffer, and rebuilds from the alive set only when they exceed the
+    declared B−k soundness bound (never triggered on this fixture —
+    hits ≤ 11 vs bound 30; the bound check is what makes the
+    maintained answer EXACT rather than usually-right). The oracle is
+    the closed form: per tick, rank the alive set from scratch —
+    maintained ≡ from-scratch is the IVM correctness statement."""
+    from fxspark.ops.ivm import topk_retraction
+
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = ["1996-09-01", "1998-05-01", "2000-01-01"]
+
+    def tick_of(col):
+        t = F.when(col < F.lit(cuts[0]).cast("date"), F.lit(0))
+        for i, c in enumerate(cuts[1:], start=1):
+            t = t.when(col < F.lit(c).cast("date"), F.lit(i))
+        return t.otherwise(F.lit(len(cuts)))
+
+    o = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        tick_of(F.col("o_orderdate")).alias("_tk"),
+    ).localCheckpoint(eager=False)
+    ticks = []
+    for i in range(4):
+        ins = o.filter(F.col("_tk") == i)
+        dels = (
+            o.filter((F.col("_tk") == i - 1) & (F.col("o_orderstatus") == "F"))
+            if i > 0
+            else None
+        )
+        ticks.append((ins, dels))
+
+    def alive_at(i: int):
+        return o.filter(
+            (F.col("_tk") <= i)
+            & ~((F.col("o_orderstatus") == "F") & (F.col("_tk") < i))
+        )
+
+    return topk_retraction(
+        ticks, "o_orderkey", "o_totalprice", k=10, buffer_mult=4,
+        alive_at=alive_at,
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

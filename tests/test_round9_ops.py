@@ -146,3 +146,50 @@ def test_theil_uniform_zero_and_concentrated(spark):
     assert theil_index(df, "k", F.col("v")).collect()[0].theil_t == pytest.approx(
         want, abs=1e-9
     )
+
+
+def test_topk_retraction_rebuild_path(spark):
+    """Force the B−k soundness bound to trip: tick 1 deletes ALL of the
+    buffer, so the op must rebuild from the alive set — and still match
+    the from-scratch top-k."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from fxspark.ops.ivm import topk_retraction
+
+    k, mult = 2, 2  # B=4, bound B−k=2
+    t0 = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "id long, v double"
+    )
+    # delete the top 5 (ids 0..4 have the highest values) → 4 buffer hits > 2
+    dels = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    t1 = spark.createDataFrame([(100, 1.0)], "id long, v double")
+
+    def alive_at(i):
+        assert i == 1  # rebuild must be requested for tick 1 only
+        return spark.createDataFrame(
+            [(i, float(100 - i)) for i in range(5, 10)] + [(100, 1.0)],
+            "id long, v double",
+        )
+
+    out = topk_retraction(
+        [(t0, None), (t1, dels)], "id", "v", k=k, buffer_mult=mult,
+        alive_at=alive_at,
+    )
+    rows = {(r.tick, r.rk): (r.id, r.v) for r in out.collect()}
+    assert rows[(0, 1)] == (0, 100.0) and rows[(0, 2)] == (1, 99.0)
+    # after deleting ids 0-4, the true top-2 is ids 5, 6
+    assert rows[(1, 1)] == (5, 95.0) and rows[(1, 2)] == (6, 94.0)
+
+
+def test_topk_retraction_raises_without_rebuild_source(spark):
+    from fxspark.ops.ivm import topk_retraction
+
+    t0 = spark.createDataFrame(
+        [(i, float(10 - i)) for i in range(6)], "id long, v double"
+    )
+    dels = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    t1 = spark.createDataFrame([(100, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="soundness bound"):
+        topk_retraction(
+            [(t0, None), (t1, dels)], "id", "v", k=2, buffer_mult=2
+        ).collect()
