@@ -13402,6 +13402,229 @@ def q_orders_topk_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "stream_debounce_replay",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pts
+      FROM events
+    )
+    SELECT user_id, event_id, ts
+    FROM l
+    WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+    """,
+)
+def q_stream_debounce_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of ``streaming/stateful.stateful_debounce`` (gap
+    30 min): an event is kept iff it opens a burst — no prior event, or
+    the PREVIOUS event (kept or dropped) is more than the gap behind.
+    The streaming operator's one-long state (last event time) makes
+    this a lag comparison in batch: because events process in
+    (ts, id) order, the running last-seen clock IS the lag — so the
+    closed form is one window per user, and stream-vs-batch kept-set
+    parity across real micro-batches is pinned by
+    ``tests/test_streaming_multimodal.py``. Distinct from
+    ``events_debounced`` (2 h sessionize + burst sizes): this is the
+    stream twin's exact emission — kept events only, a burst's size
+    being unknowable at keep-time on a stream."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = events.withColumn("_pts", F.lag("ts").over(w))
+    return l.filter(
+        F.col("_pts").isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_pts"))
+            > 1_800_000_000
+        )
+    ).select("user_id", "event_id", "ts")
+
+
+@query(
+    "user_event_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+           CAST(count(*) AS BIGINT) AS support,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY support DESC, trigram LIMIT 15
+    """,
+)
+def q_user_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining at the cheapest useful order: the
+    top-15 length-3 event-type sequences by support (with per-user
+    reach) — the contiguous-trigram view that extends
+    ``event_transition_matrix``'s bigram chain one step (funnel
+    discovery without the combinatorial PrefixSpan lattice: contiguous
+    n-grams are ONE lead-window pass per extra step, support counting
+    is a hash rollup). Scale: the window partitions by user (bounded
+    per-user history), the trigram rollup partial-combines map-side,
+    and the top-15 is TakeOrdered — no global sort."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("support"), "trigram")
+        .limit(15)
+    )
+
+
+@query(
+    "source_token_jsd",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ), cc AS (
+      SELECT token, count(*) AS cv FROM tok GROUP BY token
+    ), top AS (
+      SELECT token, cv FROM cc ORDER BY cv DESC, token LIMIT 200
+    ), sv AS (
+      SELECT tok.source, tok.token, count(*) AS c
+      FROM tok JOIN top ON tok.token = top.token
+      GROUP BY tok.source, tok.token
+    ), st AS (
+      SELECT source, sum(c) AS ts FROM sv GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, a.ts AS ta, b.source AS source_b,
+             b.ts AS tb
+      FROM st a JOIN st b ON a.source < b.source
+    ), grid AS (
+      SELECT p.source_a, p.source_b, p.ta, p.tb, top.token,
+             coalesce(sa.c, 0) AS ca, coalesce(sb.c, 0) AS cb
+      FROM pairs p CROSS JOIN top
+      LEFT JOIN sv sa ON sa.source = p.source_a AND sa.token = top.token
+      LEFT JOIN sv sb ON sb.source = p.source_b AND sb.token = top.token
+    ), terms AS (
+      SELECT source_a, source_b,
+             CAST(ca + 1 AS DOUBLE) / CAST(ta + 200 AS DOUBLE) AS p,
+             CAST(cb + 1 AS DOUBLE) / CAST(tb + 200 AS DOUBLE) AS q
+      FROM grid
+    )
+    SELECT source_a, source_b,
+           CAST(0.5 * CAST(sum(CAST(p * ln(p / (0.5 * (p + q)))
+                                    AS DECIMAL(38,9))) AS DOUBLE)
+                + 0.5 * CAST(sum(CAST(q * ln(q / (0.5 * (p + q)))
+                                      AS DECIMAL(38,9))) AS DOUBLE)
+                AS DOUBLE) AS jsd
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def q_source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions over the shared top-200 vocabulary — the SYMMETRIC,
+    bounded (≤ ln 2) companion of ``source_token_kl``, and the standard
+    inter-source distance in corpus-mixing work (KL says "how far is
+    this source from the corpus"; JSD gives the source×source distance
+    matrix that mixture planning and redundancy pruning consume).
+    Topology matches the KL query: bounded top-k vocabulary, one
+    (source, token) rollup shared by both sides, a |pairs|×200
+    broadcast-sized grid, and every p·ln(p/m) term double-computed in
+    pinned operand order then truncated to DECIMAL(38,9) before the
+    exact sum."""
+    from fxspark.ops.latest import k_largest_global
+    from fxspark.ops.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    sv0 = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cc = sv0.groupBy("token").agg(F.sum("c").alias("cv"))
+    top = k_largest_global(cc, "cv", 200, tiebreak="token").select(
+        "token"
+    )
+    sv = sv0.join(F.broadcast(top), "token")
+    st = sv.groupBy("source").agg(F.sum("c").alias("ts_"))
+    pairs = (
+        st.select(
+            F.col("source").alias("source_a"), F.col("ts_").alias("ta")
+        )
+        .join(
+            st.select(
+                F.col("source").alias("source_b"), F.col("ts_").alias("tb")
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    grid = (
+        pairs.crossJoin(F.broadcast(top))
+        .join(
+            F.broadcast(
+                sv.select(
+                    F.col("source").alias("source_a"),
+                    "token",
+                    F.col("c").alias("ca"),
+                )
+            ),
+            ["source_a", "token"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                sv.select(
+                    F.col("source").alias("source_b"),
+                    "token",
+                    F.col("c").alias("cb"),
+                )
+            ),
+            ["source_b", "token"],
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            (
+                (F.coalesce(F.col("ca"), F.lit(0)) + 1).cast("double")
+                / (F.col("ta") + 200).cast("double")
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+                / (F.col("tb") + 200).cast("double")
+            ).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    m = 0.5 * (p + q)
+    return grid.groupBy("source_a", "source_b").agg(
+        (
+            0.5 * F.sum((p * F.log(p / m)).cast("decimal(38,9)")).cast("double")
+            + 0.5
+            * F.sum((q * F.log(q / m)).cast("decimal(38,9)")).cast("double")
+        )
+        .cast("double")
+        .alias("jsd")
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
