@@ -13568,8 +13568,11 @@ def q_source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").alias("source_a"), F.col("ts_").alias("ta")
         )
         .join(
-            st.select(
-                F.col("source").alias("source_b"), F.col("ts_").alias("tb")
+            F.broadcast(
+                st.select(
+                    F.col("source").alias("source_b"),
+                    F.col("ts_").alias("tb"),
+                )
             ),
             F.col("source_a") < F.col("source_b"),
         )

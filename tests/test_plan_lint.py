@@ -65,6 +65,13 @@ GLOBAL_WINDOW_OK = {
     # rollup: <= study length in months by construction (subjects are
     # hash-aggregated away first — ops/stats.cumulative_hazard).
     "customer_churn_hazard": "lifetime-month grain <= study length",
+    # Decile gains table: quantile coarse-histogram grain (<= 1024) from
+    # ops/quantile.quantile_bins plus lift/capture windows over exactly
+    # the 10 decile rows.
+    "customer_decile_lift": "quantile coarse-histogram + 10-decile grain",
+    # Vocabulary top-k via ops/latest two-phase global top-k, same bound
+    # as source_token_kl.
+    "source_token_jsd": "two-phase top-k survivors <= k x numPartitions",
 }
 
 
