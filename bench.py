@@ -243,6 +243,20 @@ EXTENSION = [
     "events_p90_pinball_eval",
     "doc_simhash_hamming_histogram",
     "user_burstiness",
+    "promo_price_mannwhitney",
+    "promo_price_ks",
+    "event_value_time_spearman",
+    "nation_spend_theil",
+    "order_value_auc",
+    "order_value_calibration",
+    "customer_decile_lift",
+    "events_hll_distinct",
+    "token_cms_estimates",
+    "events_hilbert_stats",
+    "orders_topk_retraction",
+    "stream_debounce_replay",
+    "user_event_trigrams",
+    "source_token_jsd",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))
