@@ -257,6 +257,8 @@ EXTENSION = [
     "stream_debounce_replay",
     "user_event_trigrams",
     "source_token_jsd",
+    "part_return_eb_shrinkage",
+    "embedding_negative_pairs",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

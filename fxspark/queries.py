@@ -13628,6 +13628,177 @@ def q_source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "part_return_eb_shrinkage",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ret
+      FROM lineitem GROUP BY 1
+    ), mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS np,
+             CAST(sum(CAST(CAST(n_ret AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS sr,
+             CAST(sum(CAST((CAST(n_ret AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                           * (CAST(n_ret AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                           AS DECIMAL(38,9))) AS DOUBLE) AS srr
+      FROM pr
+    ), prior AS (
+      SELECT np, sr / np AS m,
+             (srr - sr * sr / np) / (np - 1.0) AS v
+      FROM mom
+    ), ab AS (
+      SELECT CASE WHEN v > 0.0 AND m * (1.0 - m) / v - 1.0 > 0.0
+                  THEN m * (m * (1.0 - m) / v - 1.0) END AS alpha,
+             CASE WHEN v > 0.0 AND m * (1.0 - m) / v - 1.0 > 0.0
+                  THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END AS beta
+      FROM prior
+    )
+    SELECT l_partkey, n_lines, n_ret,
+           round(CAST(n_ret AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+             AS raw_rate,
+           round(CASE WHEN alpha IS NULL
+                      THEN CAST(n_ret AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                      ELSE (CAST(n_ret AS DOUBLE) + alpha)
+                           / (CAST(n_lines AS DOUBLE) + alpha + beta) END, 6)
+             AS shrunk_rate
+    FROM pr CROSS JOIN ab
+    """,
+)
+def q_part_return_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-part return
+    rates — the small-sample scoring fix every curation/ranking pipeline
+    needs: a part with 1 return in 2 lines is NOT a 50%-return part, and
+    where ``supplier_return_wilson`` widens the interval, EB moves the
+    POINT ESTIMATE toward the corpus prior in proportion to the
+    evidence: shrunk = (x+α)/(n+α+β), with (α, β) fit by method of
+    moments from the part-level rate distribution itself. Topology is
+    the ideal scale shape: one part-grain rollup, one single-row moment
+    aggregate broadcast back, every shrunken rate a map-side expression
+    (no windows, no sort). Rate moments truncate to DECIMAL(38,9); the
+    degenerate prior (v ≥ m(1−m), no overdispersion to fit) falls back
+    to the raw rate by declared rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_ret"),
+    )
+    r = F.col("n_ret").cast("double") / F.col("n_lines").cast("double")
+    mom = pr.agg(
+        F.count(F.lit(1)).cast("double").alias("np"),
+        F.sum(r.cast("decimal(38,9)")).cast("double").alias("sr"),
+        F.sum((r * r).cast("decimal(38,9)")).cast("double").alias("srr"),
+    )
+    m = F.col("sr") / F.col("np")
+    v = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("np")) / (
+        F.col("np") - 1.0
+    )
+    c = m * (1.0 - m) / v - 1.0
+    ok = (v > 0.0) & (c > 0.0)
+    ab = mom.select(
+        F.when(ok, m * c).alias("alpha"),
+        F.when(ok, (1.0 - m) * c).alias("beta"),
+    )
+    shrunk = F.when(
+        F.col("alpha").isNull(), r
+    ).otherwise(
+        (F.col("n_ret").cast("double") + F.col("alpha"))
+        / (F.col("n_lines").cast("double") + F.col("alpha") + F.col("beta"))
+    )
+    return pr.crossJoin(F.broadcast(ab)).select(
+        "l_partkey",
+        "n_lines",
+        "n_ret",
+        F.round(r, 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+    )
+
+
+@query(
+    "embedding_negative_pairs",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id, label, {_dbl('embedding')} AS emb,
+             md5(CAST(vec_id AS VARCHAR)) AS hx
+      FROM embeddings
+    ), r AS (
+      SELECT vec_id, label, emb, hx,
+             substr(hx, 1, 1) AS bkt,
+             lead(vec_id, 1) OVER w AS n1,
+             lead(vec_id, 2) OVER w AS n2
+      FROM h
+      WINDOW w AS (PARTITION BY substr(hx, 1, 1) ORDER BY hx, vec_id)
+    ), pairs AS (
+      SELECT vec_id, label, emb, n1 AS neg_id FROM r WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT vec_id, label, emb, n2 FROM r WHERE n2 IS NOT NULL
+    )
+    SELECT p.vec_id, p.neg_id,
+           round({_COS_SQL.format(a='p.emb', b='n.emb')}, 6) AS cos,
+           CAST(CASE WHEN p.label = n.label THEN 1 ELSE 0 END AS INTEGER)
+             AS same_label
+    FROM pairs p JOIN h n ON n.vec_id = p.neg_id
+    """,
+)
+def q_embedding_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training NEGATIVE sampling without randomness or a
+    cross join: order vectors by a declared md5 hash ring inside 16 hash
+    buckets and pair each anchor with its next two ring neighbors — a
+    uniform-like pairing that is deterministic (restart- and
+    oracle-verifiable), touches each row O(k) times, and never
+    materializes the n² pair space (the classic negative-sampling
+    scale trap). Emits each pair's cosine (sequential-fold dot — the
+    ``ops/similarity`` exactness contract) and a same-label flag: the
+    share of same-label negatives ≈ 1/#labels is the sanity number a
+    contrastive pipeline monitors (too high ⇒ hard-negative mining is
+    mislabeling). Shape: one window per bounded bucket, one keyed join
+    to fetch negative vectors — shuffle on vec_id only."""
+    from fxspark.ops.similarity import cosine
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    h = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.md5(F.col("vec_id").cast("string")).alias("hx"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.substring(F.col("hx"), 1, 1)).orderBy(
+        "hx", "vec_id"
+    )
+    r = h.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.lead("vec_id", 1).over(w).alias("n1"),
+        F.lead("vec_id", 2).over(w).alias("n2"),
+    )
+    pairs = (
+        r.filter(F.col("n1").isNotNull())
+        .select("vec_id", "label", "embedding", F.col("n1").alias("neg_id"))
+        .unionByName(
+            r.filter(F.col("n2").isNotNull()).select(
+                "vec_id", "label", "embedding", F.col("n2").alias("neg_id")
+            )
+        )
+    )
+    neg = h.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("_nl"),
+        F.col("embedding").alias("_ne"),
+    )
+    return pairs.join(neg, "neg_id").select(
+        "vec_id",
+        "neg_id",
+        F.round(cosine(F.col("embedding"), F.col("_ne")), 6).alias("cos"),
+        (F.col("label") == F.col("_nl")).cast("int").alias("same_label"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
