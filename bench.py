@@ -259,6 +259,7 @@ EXTENSION = [
     "source_token_jsd",
     "part_return_eb_shrinkage",
     "embedding_negative_pairs",
+    "promo_price_mannwhitney_binned",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

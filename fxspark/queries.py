@@ -13799,6 +13799,113 @@ def q_embedding_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "promo_price_mannwhitney_binned",
+    oracle="""
+    WITH j AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS t
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), st AS (
+      SELECT l_returnflag, min(v) AS lo,
+             (max(v) - min(v)) / 1024 AS width
+      FROM j GROUP BY 1 HAVING (max(v) - min(v)) / 1024 > 0
+    ), b AS (
+      SELECT j.l_returnflag,
+             least(1023, CAST(floor((j.v - st.lo) / st.width) AS BIGINT))
+               AS vb,
+             j.t
+      FROM j JOIN st USING (l_returnflag)
+    ), g AS (
+      SELECT l_returnflag, vb, count(*) AS cnt, sum(t) AS cnt_t
+      FROM b GROUP BY 1, 2
+    ), r AS (
+      SELECT l_returnflag, cnt, cnt_t,
+             2 * sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY vb
+                                ROWS UNBOUNDED PRECEDING) - cnt + 1 AS avg2
+      FROM g
+    ), a AS (
+      SELECT l_returnflag,
+             CAST(sum(cnt_t) AS BIGINT) AS n_treat,
+             CAST(sum(cnt - cnt_t) AS BIGINT) AS n_ctrl,
+             sum(CAST(cnt_t AS DECIMAL(38,0)) * avg2) AS two_r1,
+             sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS ties
+      FROM r GROUP BY 1
+    ), d AS (
+      SELECT l_returnflag, n_treat, n_ctrl,
+             CAST(n_treat AS DOUBLE) AS n1, CAST(n_ctrl AS DOUBLE) AS n2,
+             CAST(n_treat AS DOUBLE) + CAST(n_ctrl AS DOUBLE) AS n,
+             (CAST(two_r1 AS DOUBLE)
+              - CAST(n_treat AS DOUBLE) * (CAST(n_treat AS DOUBLE) + 1.0))
+             / 2.0 AS u1,
+             CAST(ties AS DOUBLE) AS ties_d
+      FROM a
+    )
+    SELECT l_returnflag, n_treat, n_ctrl,
+           round(u1, 6) AS u_stat,
+           round((u1 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1.0) - ties_d / (n * (n - 1.0)))), 6)
+             AS z_stat,
+           round(u1 / (n1 * n2), 6) AS auc
+    FROM d
+    """,
+)
+def q_promo_price_mannwhitney_binned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE FORM of ``promo_price_mannwhitney`` (SCALE.md §23,
+    executable): quantize the metric into 1024 declared equi-width bins
+    from each key's own range (the PSI edge convention) and run the
+    SAME tie-group rank machinery on bin indices — mid-rank-on-ties
+    then makes the statistic the binned-CDF approximation of exact U.
+    The point: the exact form's window grain is the number of DISTINCT
+    VALUES (~n for a continuous metric); binning caps the grain at
+    1024 per key BY CONSTRUCTION, so the plan carries no data-sized
+    sort at any corpus size — the declared-approximation trade every
+    100 TB rank statistic makes. On this fixture the binned AUC agrees
+    with the exact to ~3 decimals (a property of near-uniform prices,
+    not a guarantee)."""
+    from fxspark.ops.stats import mann_whitney_u
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        (F.col("p_type") == "PROMO").alias("t"),
+    )
+    st = (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("lo"),
+            ((F.max("v") - F.min("v")) / 1024).alias("width"),
+        )
+        .filter(F.col("width") > 0)
+    )
+    b = j.join(F.broadcast(st), "l_returnflag").select(
+        "l_returnflag",
+        F.least(
+            F.lit(1023),
+            F.floor((F.col("v") - F.col("lo")) / F.col("width")).cast("long"),
+        ).alias("vb"),
+        "t",
+    )
+    u = mann_whitney_u(b, "l_returnflag", F.col("vb"), F.col("t"))
+    return u.select(
+        "l_returnflag",
+        "n_treat",
+        "n_ctrl",
+        F.round("u_stat", 6).alias("u_stat"),
+        F.round("z_stat", 6).alias("z_stat"),
+        F.round("auc", 6).alias("auc"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
