@@ -193,3 +193,91 @@ def test_topk_retraction_raises_without_rebuild_source(spark):
         topk_retraction(
             [(t0, None), (t1, dels)], "id", "v", k=2, buffer_mult=2
         ).collect()
+
+
+def test_mann_whitney_matches_bruteforce_pairs(spark):
+    """AUC from the rank machinery must equal the brute-force pair count
+    (#[t > c] + 0.5·#[t = c]) / (n1·n2) on generated tie-heavy inputs —
+    the definition the tie-group/avg-rank algebra is standing in for."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fxspark.ops.stats import mann_whitney_u
+
+    strat = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # tiny value pool → ties
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=14,
+    ).filter(
+        lambda rows: any(t for _, t in rows) and any(not t for _, t in rows)
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=strat)
+    def check(rows):
+        df = spark.createDataFrame(
+            [("k", float(v), t) for v, t in rows],
+            "k string, v double, t boolean",
+        )
+        r = mann_whitney_u(df, "k", F.col("v"), F.col("t")).collect()[0]
+        treat = [v for v, t in rows if t]
+        ctrl = [v for v, t in rows if not t]
+        wins = sum(1 for a in treat for b in ctrl if a > b)
+        ties = sum(1 for a in treat for b in ctrl if a == b)
+        want_u = wins + 0.5 * ties
+        assert r.u_stat == pytest.approx(want_u, abs=1e-9)
+        assert r.auc == pytest.approx(
+            want_u / (len(treat) * len(ctrl)), abs=1e-12
+        )
+
+    check()
+
+
+def test_ks_matches_bruteforce_cdf_gap(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fxspark.ops.stats import ks_two_sample
+
+    strat = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=14,
+    ).filter(
+        lambda rows: any(t for _, t in rows) and any(not t for _, t in rows)
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=strat)
+    def check(rows):
+        df = spark.createDataFrame(
+            [("k", float(v), t) for v, t in rows],
+            "k string, v double, t boolean",
+        )
+        r = ks_two_sample(df, "k", F.col("v"), F.col("t")).collect()[0]
+        treat = sorted(v for v, t in rows if t)
+        ctrl = sorted(v for v, t in rows if not t)
+        want = max(
+            abs(
+                sum(1 for a in treat if a <= x) / len(treat)
+                - sum(1 for b in ctrl if b <= x) / len(ctrl)
+            )
+            for x in {v for v, _ in rows}
+        )
+        assert r.ks_d == pytest.approx(want, abs=1e-12)
+
+    check()
