@@ -260,6 +260,7 @@ EXTENSION = [
     "part_return_eb_shrinkage",
     "embedding_negative_pairs",
     "promo_price_mannwhitney_binned",
+    "events_layout_pruning_compare",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

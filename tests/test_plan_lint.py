@@ -72,6 +72,9 @@ GLOBAL_WINDOW_OK = {
     # Vocabulary top-k via ops/latest two-phase global top-k, same bound
     # as source_token_kl.
     "source_token_jsd": "two-phase top-k survivors <= k x numPartitions",
+    # Two quantile_bins calls (one per layout): coarse-histogram prefix
+    # windows, <= 1024 rows each by construction.
+    "events_layout_pruning_compare": "quantile coarse-histogram grain <= 1024",
 }
 
 
