@@ -457,3 +457,51 @@ def test_abc_no_global_sort_of_parts(spark, sf_dir):
     # ntile/cume-style global ranking would show 'Window' directly over
     # the full part aggregate with rangepartitioning on revenue
     assert "rangepartitioning(w" not in plan.lower(), plan[:3000]
+
+
+def test_hilbert_stats_single_codegen_map(spark, sf_dir):
+    """The 16-level Hilbert walk must stay one fused map — no exchange
+    before the bounded bin rollup's single shuffle, no blow-up into
+    per-level stages."""
+    plan = _plan(spark, sf_dir, "events_hilbert_stats")
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_mann_whitney_tie_group_shape(spark, sf_dir):
+    """Exact MW: one fact scan, tie-group hash-agg before the rank
+    window (the window must sort TIE GROUPS, never raw rows — the
+    HashAggregate must appear below the Window in the plan), part dim
+    broadcast."""
+    plan = _plan(spark, sf_dir, "promo_price_mannwhitney")
+    assert "BroadcastHashJoin" in plan
+    assert plan.index("Window") < plan.index("Scan parquet"), (
+        "expected Window above the scans in top-down plan print"
+    )
+    # tie-group agg feeds the window: a HashAggregate between window and scan
+    seg = plan[plan.index("Window"):]
+    assert "HashAggregate" in seg, seg[:2000]
+
+
+def test_theil_no_window(spark, sf_dir):
+    """Theil is the no-rank-window inequality form: broadcast joins and
+    hash aggregates only."""
+    plan = _plan(spark, sf_dir, "nation_spend_theil")
+    assert "Window" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_eb_shrinkage_broadcast_prior(spark, sf_dir):
+    """The single-row moment prior must broadcast back (nested-loop
+    broadcast of one row), with no window or sort anywhere."""
+    plan = _plan(spark, sf_dir, "part_return_eb_shrinkage")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_hll_partial_combined_register_agg(spark, sf_dir):
+    """HLL must partial-combine: the (type, register) max-rank aggregate
+    appears as partial+final HashAggregate pairs; no window, no sort."""
+    plan = _plan(spark, sf_dir, "events_hll_distinct")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
