@@ -261,6 +261,7 @@ EXTENSION = [
     "embedding_negative_pairs",
     "promo_price_mannwhitney_binned",
     "events_layout_pruning_compare",
+    "order_value_prf",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

@@ -14022,6 +14022,106 @@ def q_events_layout_pruning_compare(
 
 
 
+@query(
+    "order_value_prf",
+    oracle="""
+    WITH ol AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS rev,
+             CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS y
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT CASE WHEN rev >= 300000.0 THEN 1 ELSE 0 END AS p, y FROM ol
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM c
+    ), d AS (
+      SELECT n, tp, fp, fn, tn,
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+             CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS rec,
+             CAST(n AS DOUBLE) AS nd
+      FROM m
+    )
+    SELECT n, tp, fp, fn, tn,
+           round(prec, 6) AS precision_,
+           round(rec, 6) AS recall_,
+           round(2.0 * prec * rec / (prec + rec), 6) AS f1,
+           round(CAST(tp + tn AS DOUBLE) / nd, 6) AS accuracy,
+           round((CAST(tp + tn AS DOUBLE) / nd
+                  - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                     + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+                    / (nd * nd))
+                 / (1.0
+                    - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                       + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+                      / (nd * nd)), 6) AS kappa
+    FROM d
+    """,
+)
+def q_order_value_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-point eval completing the score-eval family (AUC =
+    ranking quality, calibration = probability quality, THIS = the
+    deployed-threshold confusion report): threshold the line-revenue
+    score at a declared 300k cut, compare against the true big-basket
+    label, and emit the full confusion row with precision / recall /
+    F1 / accuracy and Cohen's κ (chance-corrected agreement — the
+    honest headline when classes are imbalanced; the lang-ID fixture
+    was rejected for this family because its labels carry no text
+    signal, so its κ is structurally ~0). One order-grain rollup, one
+    single-row conditional agg — map-side everything; all ratios are
+    doubles of exact integers in pinned operand order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ol = li.groupBy("l_orderkey").agg(
+        exact_sum(F.col("l_extendedprice"), 4).alias("rev"),
+        (F.count(F.lit(1)) >= 4).cast("int").alias("y"),
+    )
+    p = (F.col("rev") >= 300000.0).cast("int")
+    c = ol.select(p.alias("p"), "y")
+    m = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("p") == 1) & (F.col("y") == 1)).cast("long")).alias(
+            "tp"
+        ),
+        F.sum(((F.col("p") == 1) & (F.col("y") == 0)).cast("long")).alias(
+            "fp"
+        ),
+        F.sum(((F.col("p") == 0) & (F.col("y") == 1)).cast("long")).alias(
+            "fn"
+        ),
+        F.sum(((F.col("p") == 0) & (F.col("y") == 0)).cast("long")).alias(
+            "tn"
+        ),
+    )
+    tp, fp, fn, tn = (F.col(x).cast("double") for x in ("tp", "fp", "fn", "tn"))
+    nd = F.col("n").cast("double")
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (nd * nd)
+    po = (tp + tn) / nd
+    return m.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision_"),
+        F.round(rec, 6).alias("recall_"),
+        F.round(2.0 * prec * rec / (prec + rec), 6).alias("f1"),
+        F.round(po, 6).alias("accuracy"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #
