@@ -218,3 +218,24 @@ def hilbert_sql_ctes(
         )
         lvl += 1
     return ", ".join(ctes), f"{prefix}{lvl}"
+
+
+def hilbert_layout(
+    df: DataFrame,
+    a_col: Column,
+    b_col: Column,
+    n_partitions: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Re-layout a frame in Hilbert order — ``zorder_layout``'s twin on
+    the connected curve: compute the index (one fused projection chain),
+    range-partition on it, sort within partitions. Every written file is
+    then a contiguous curve segment; whether that beats Morton's boxes
+    on a given table is DATA-SHAPED — measure with
+    ``events_layout_pruning_compare`` before choosing (this fixture
+    measures near-parity because the keys occupy a thin strip of the
+    grid). Same one-shuffle cost as the Morton path."""
+    out = hilbert_layout_index(df, a_col, b_col, "_h", bits)
+    return out.repartitionByRange(n_partitions, "_h").sortWithinPartitions(
+        "_h"
+    )

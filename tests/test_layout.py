@@ -56,3 +56,34 @@ def test_zorder_layout_tightens_bounding_boxes(spark):
     assert parts_overlapping_b_lt(zed, 8) <= 4
     # no rows lost
     assert zed.count() == 32 * 32
+
+
+def test_hilbert_layout_tightens_bounding_boxes(spark):
+    """Same pruning property on the Hilbert write path: partitions bound
+    BOTH dimensions, and every partition is a contiguous curve segment
+    (partition index ranges don't interleave)."""
+    from fxspark.ops.layout import hilbert_layout
+
+    rows = [Row(a=a, b=b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows)
+    hil = hilbert_layout(df, F.col("a"), F.col("b"), 8, bits=5)
+
+    parts = (
+        hil.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.min("b").alias("blo"),
+            F.max("b").alias("bhi"),
+            F.min("_h").alias("hlo"),
+            F.max("_h").alias("hhi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in parts) == 32 * 32
+    # b-predicate pruning: most partitions bound b away from b < 8
+    assert sum(1 for r in parts if r["blo"] < 8) <= 4
+    # contiguous curve segments: sorted index ranges must not overlap
+    spans = sorted((r["hlo"], r["hhi"]) for r in parts if r["n"] > 0)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 < l2, (spans,)
