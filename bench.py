@@ -262,6 +262,7 @@ EXTENSION = [
     "promo_price_mannwhitney_binned",
     "events_layout_pruning_compare",
     "order_value_prf",
+    "stream_topk_replay",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

@@ -14122,6 +14122,51 @@ def q_order_value_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "stream_topk_replay",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events
+    )
+    SELECT event_type, CAST(rk AS INTEGER) AS rk, event_id, value
+    FROM r WHERE rk <= 5
+    """,
+)
+def q_stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of ``streaming/stateful.stateful_topk``'s final
+    emission: per event type the top-5 values with ``(value DESC,
+    event_id ASC)`` ranks. The streaming operator's O(k) array state is
+    a MONOTONE fold on the insert-only stream (the candidate set only
+    grows), so its final emission over any prefix equals this rank
+    closed form — parity across real micro-batches pinned by
+    ``tests/test_streaming_multimodal.py::
+    test_stateful_topk_across_batches_matches_batch_rank``. Retraction
+    breaks the monotonicity; that regime is the batch operator
+    ``ops/ivm.topk_retraction`` (``orders_topk_retraction``) with its
+    bounded-buffer soundness rule — the two queries are the two halves
+    of the maintained-leaderboard story."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.col("event_id")
+    )
+    return (
+        events.select(
+            "event_type",
+            F.row_number().over(w).alias("rk"),
+            "event_id",
+            "value",
+        )
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "rk", "event_id", "value")
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

@@ -358,3 +358,68 @@ def stateful_debounce(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_OUT_SCHEMA = "event_type string, rk int, event_id long, value double"
+TOPK_STATE_SCHEMA = "ids array<long>, vals array<double>"
+
+
+def stateful_topk(
+    events: DataFrame,
+    k: int = 5,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming per-group top-k leaderboard — the INSERT-ONLY stream
+    twin of ``ops/ivm.topk_retraction``'s maintained view (a plain
+    stream cannot retract; deletes arrive only via a CDC change log,
+    which is the batch operator's tick model). State per group is two
+    k-bounded arrays (ids + values) — O(k) forever; each micro-batch
+    merges its rows into the buffer by ``(value DESC, id ASC)`` and
+    emits the current top-k with ranks. Without retraction the top-k
+    fold IS monotone, so no soundness bound is needed: final emission
+    over any prefix equals the batch rank closed form — pinned across
+    real micro-batches by tests/test_streaming_multimodal.py."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        ids, vals = state.get if state.exists else ([], [])
+        pairs = [(float(v), int(i)) for v, i in zip(vals, ids)]
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pairs += [
+                (float(v), int(i))
+                for v, i in zip(batch[value_col], batch[id_col])
+            ]
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:k]
+        state.update(
+            ([i for _, i in pairs], [v for v, _ in pairs])
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    group_col: key[0],
+                    "rk": r + 1,
+                    id_col: i,
+                    value_col: v,
+                }
+                for r, (v, i) in enumerate(pairs)
+            ],
+            columns=[group_col, "rk", id_col, value_col],
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        update,
+        TOPK_OUT_SCHEMA,
+        TOPK_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -903,3 +903,66 @@ def test_histogram_stream_derives_batch_quantiles(spark, tmp_path):
 
     for pct in (50, 90, 99):
         assert q_est(pct) == batch_est(pct)
+
+
+def test_stateful_topk_across_batches_matches_batch_rank(spark, tmp_path):
+    """Streaming per-group top-k (O(k) array state) must land exactly on
+    the batch rank closed form over the full prefix, including value
+    ties broken by id, with state carried across micro-batches."""
+    import json as _json
+
+    from fxspark.streaming.stateful import stateful_topk
+
+    rows = [
+        {"event_type": g, "event_id": i, "value": float(v)}
+        for g in ("a", "b")
+        for i, v in enumerate([5.0, 1.0, 5.0, 3.0, 9.0, 2.0, 9.0, 4.0])
+    ]
+    half = len(rows) // 2
+    drops = tmp_path / "tkdrops"
+    drops.mkdir()
+    for name, chunk in (("a.json", rows[:half]), ("b.json", rows[half:])):
+        with open(drops / name, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+
+    schema = "event_type string, event_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        stateful_topk(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("topk_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # The update-mode memory sink appends EVERY batch's emission and rows
+    # carry no batch id — but the buffer fold is monotone (the candidate
+    # set only grows), so the FINAL rank-r entry is the maximum over all
+    # emissions at rank r under the (value DESC, id ASC) total order.
+    got = {}
+    for r in spark.sql(
+        "SELECT event_type, rk, event_id, value FROM topk_stream"
+    ).collect():
+        key = (r["event_type"], r["rk"])
+        cand = (r["value"], -r["event_id"])
+        if key not in got or cand > got[key][0]:
+            got[key] = (cand, (r["event_id"], r["value"]))
+    got = {k: v[1] for k, v in got.items()}
+    # batch closed form per group: (value DESC, id ASC) top 3
+    for g in ("a", "b"):
+        vals = [(r["value"], r["event_id"]) for r in rows_as(rows, g)]
+        vals.sort(key=lambda p: (-p[0], p[1]))
+        for rk, (v, i) in enumerate(vals[:3], start=1):
+            assert got[(g, rk)] == (i, v), (g, rk, got[(g, rk)], (i, v))
+
+
+def rows_as(rows, g):
+    from pyspark.sql import Row
+
+    return [Row(**r) for r in rows if r["event_type"] == g]
