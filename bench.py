@@ -263,6 +263,7 @@ EXTENSION = [
     "events_layout_pruning_compare",
     "order_value_prf",
     "stream_topk_replay",
+    "order_value_isotonic_calibration",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))

@@ -14167,6 +14167,113 @@ def q_stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "order_value_isotonic_calibration",
+    oracle="""
+    WITH ol AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS rev,
+             CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS y
+      FROM lineitem GROUP BY 1
+    ), b AS (
+      SELECT least(9, CAST(floor(least(1.0, rev / 600000.0) * 10.0)
+                           AS INTEGER)) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS npos
+      FROM ol GROUP BY 1
+    ), iv AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(sum(l.npos) AS DOUBLE) / CAST(sum(l.n) AS DOUBLE) AS av
+      FROM b j JOIN b k ON j.bin <= k.bin
+      JOIN b l ON l.bin BETWEEN j.bin AND k.bin
+      GROUP BY 1, 2
+    ), mn AS (
+      SELECT i.bin AS bin, iv.j, min(iv.av) AS m
+      FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+      GROUP BY 1, 2
+    ), iso AS (
+      SELECT bin, max(m) AS iso FROM mn GROUP BY bin
+    )
+    SELECT b.bin, b.n AS n_orders,
+           round(CAST(b.npos AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+             AS frac_pos,
+           round(iso.iso, 6) AS iso_calibrated
+    FROM b JOIN iso USING (bin)
+    """,
+)
+def q_order_value_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (monotone) calibration of the big-basket score — what a
+    pipeline FITS after ``order_value_calibration`` diagnoses the raw
+    reliability curve: the weighted least-squares monotone fit of
+    per-bin positive rates, computed by the MINIMAX CLOSED FORM
+    ``iso_i = max_{j≤i} min_{k≥i} avg(y, bins j..k)`` (Barlow's
+    identity — the PAVA pool-adjacent-violators result WITHOUT the
+    sequential algorithm, so no iteration and no order-dependent state
+    anywhere). Everything past the order rollup runs on the 10-bin
+    frame: the interval grid is 10×10, the (i, j, k) lattice ≤ 1000
+    rows, all joins broadcast — bounded at ANY corpus size because the
+    bin count is declared. Interval averages are ratios of exact
+    integers; equal rationals round to identical doubles (IEEE division
+    is correctly rounded), so the minimax is hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ol = li.groupBy("l_orderkey").agg(
+        exact_sum(F.col("l_extendedprice"), 4).alias("rev"),
+        (F.count(F.lit(1)) >= 4).cast("int").alias("y"),
+    )
+    s = F.least(F.lit(1.0), F.col("rev") / 600000.0)
+    b = (
+        ol.select(
+            F.least(F.lit(9), F.floor(s * 10.0).cast("int")).alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos"))
+        .localCheckpoint(eager=False)
+    )
+    j = b.select(F.col("bin").alias("j"))
+    k = b.select(F.col("bin").alias("k"))
+    l = b.select(
+        F.col("bin").alias("l"), F.col("n").alias("ln"), F.col("npos").alias("lp")
+    )
+    iv = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(l),
+            (F.col("l") >= F.col("j")) & (F.col("l") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            (
+                F.sum("lp").cast("double") / F.sum("ln").cast("double")
+            ).alias("av")
+        )
+    )
+    i = b.select(F.col("bin").alias("i"))
+    mn = (
+        i.join(
+            F.broadcast(iv),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("av").alias("m"))
+    )
+    iso = mn.groupBy("i").agg(F.max("m").alias("iso"))
+    return b.join(
+        F.broadcast(iso), F.col("bin") == F.col("i")
+    ).select(
+        "bin",
+        F.col("n").alias("n_orders"),
+        F.round(
+            F.col("npos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("frac_pos"),
+        F.round(F.col("iso"), 6).alias("iso_calibrated"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).
 #

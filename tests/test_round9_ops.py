@@ -281,3 +281,60 @@ def test_ks_matches_bruteforce_cdf_gap(spark):
         assert r.ks_d == pytest.approx(want, abs=1e-12)
 
     check()
+
+
+def test_isotonic_minimax_identity_pools_violators():
+    """The minimax closed form used by order_value_isotonic_calibration
+    (iso_i = max_{j<=i} min_{k>=i} weighted-avg(y, j..k)) must equal
+    classic PAVA on a constructed NON-monotone curve — the fixture's
+    curve is already monotone, so the pooling regime is pinned here."""
+    import duckdb
+
+    bins = [  # (bin, n, npos) with two violations (bins 2 and 4 dip)
+        (0, 10, 1),
+        (1, 10, 4),
+        (2, 10, 2),
+        (3, 10, 6),
+        (4, 10, 3),
+        (5, 10, 9),
+    ]
+
+    def pava(ws, ys):
+        # classic pool-adjacent-violators, weighted L2
+        blocks = [[w, w * y] for w, y in zip(ws, ys)]  # [weight, weight*mean]
+        out = []
+        for b in blocks:
+            out.append(b)
+            while len(out) > 1 and out[-2][1] / out[-2][0] > out[-1][1] / out[-1][0]:
+                w2, s2 = out.pop()
+                out[-1][0] += w2
+                out[-1][1] += s2
+        fit = []
+        for w, sgm in out:
+            fit += [sgm / w] * int(round(w / 10))
+        return fit
+
+    want = pava([n for _, n, _ in bins], [p / n for _, n, p in bins])
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b (bin INT, n BIGINT, npos BIGINT)")
+    con.executemany("INSERT INTO b VALUES (?, ?, ?)", bins)
+    got = con.execute("""
+      WITH iv AS (
+        SELECT j.bin AS j, k.bin AS k,
+               CAST(sum(l.npos) AS DOUBLE) / CAST(sum(l.n) AS DOUBLE) AS av
+        FROM b j JOIN b k ON j.bin <= k.bin
+        JOIN b l ON l.bin BETWEEN j.bin AND k.bin
+        GROUP BY 1, 2
+      ), mn AS (
+        SELECT i.bin AS bin, iv.j, min(iv.av) AS m
+        FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+        GROUP BY 1, 2
+      )
+      SELECT bin, max(m) AS iso FROM mn GROUP BY bin ORDER BY bin
+    """).fetchall()
+    for (bin_, iso), w in zip(got, want):
+        assert iso == pytest.approx(w, abs=1e-12), (bin_, iso, w)
+    # and the result is monotone
+    vals = [iso for _, iso in got]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
