@@ -139,13 +139,20 @@ def topk_retraction(
       ``(value DESC, key ASC)``;
     - per tick, ``buffer = topB((buffer − deletes) ∪ inserts)`` — work
       O(|batch| + B) per tick, never a rescan of the base;
-    - SOUNDNESS BOUND: the emitted top-k equals the from-scratch top-k
-      as long as the deletes that actually HIT the buffer in a tick
-      number ≤ B − k (each hit can promote one unseen row; B − k spares
-      absorb them). The op counts the hits (a B-sized broadcast
-      semi-join) and, when the bound is violated, REBUILDS the buffer
-      from the full alive set via ``alive_at(tick)`` — the declared
-      fallback that keeps the output exact instead of silently wrong.
+    - SOUNDNESS BOUND: each delete that HITS the buffer permanently
+      consumes one of the B − k spare slots — a promoted replacement
+      may be a row the buffer never saw, so the spares do NOT
+      replenish on later ticks (a per-tick check would let two ticks
+      of B−k hits each silently corrupt the view while individually
+      "within bound"). The bound is therefore CUMULATIVE: after m
+      total buffer hits since the last rebuild, only the buffer's
+      top (B − m) prefix is guaranteed, and the emitted top-k stays
+      exact while m ≤ B − k. The op counts hits per tick (a B-sized
+      broadcast semi-join), accumulates them, and when the running
+      total crosses the bound REBUILDS the buffer from the full alive
+      set via ``alive_at(tick)`` (resetting the counter) — the
+      declared fallback that keeps the output exact instead of
+      silently wrong.
 
     ``ticks`` is a sequence of ``(inserts, deletes)`` frames
     (``deletes`` key-only or None); returns the union of per-tick
@@ -157,6 +164,7 @@ def topk_retraction(
     order = [F.col(value_col).desc(), F.col(key_col).asc()]
     buffer: DataFrame | None = None
     outs = []
+    cum_hits = 0  # buffer deletions since the last rebuild/bootstrap
     for i, (ins, dels) in enumerate(ticks):
         ins = ins.select(key_col, value_col)
         if buffer is None:
@@ -166,14 +174,17 @@ def topk_retraction(
         else:
             dkeys = dels.select(key_col)
             n_hit = buffer.join(F.broadcast(dkeys), key_col).count()
-            if n_hit > b - k:
+            cum_hits += n_hit
+            if cum_hits > b - k:
                 if alive_at is None:
                     raise ValueError(
-                        f"tick {i}: {n_hit} buffer deletions exceed the "
-                        f"B-k={b - k} soundness bound and no alive_at "
-                        "rebuild source was provided"
+                        f"tick {i}: {cum_hits} cumulative buffer deletions "
+                        f"since the last rebuild exceed the B-k={b - k} "
+                        "soundness bound and no alive_at rebuild source "
+                        "was provided"
                     )
                 cand = alive_at(i).select(key_col, value_col)
+                cum_hits = 0
             else:
                 cand = buffer.join(
                     F.broadcast(dkeys), key_col, "left_anti"

@@ -413,13 +413,19 @@ def mann_whitney_u(
     partitioning (Σ cnt·avg2 ≈ 2n² overflows a long near n=10⁹·√5).
     z and auc are double arithmetic on those exact sums, returned RAW
     (callers round to 6, the welch convention). Keys with an empty side
-    get NULL z/auc.
+    get NULL z/auc. Rows with a NULL ``value`` or NULL ``in_treatment``
+    are EXCLUDED up front (declared semantics, shared by
+    ``ks_two_sample`` so the twin operators report identical
+    n_treat/n_ctrl; a NULL flag silently counted as control would bias
+    U, and NULL values rank NULLS FIRST in Spark but NULLS LAST in the
+    DuckDB oracles).
 
     Returns ``(keys..., n_treat, n_ctrl, u_stat, z_stat, auc)``.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     from pyspark.sql import Window
 
+    df = df.filter(value.isNotNull() & in_treatment.isNotNull())
     g = df.groupBy(*keys, value.alias("_v")).agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum(in_treatment.cast("long")).alias("_cnt_t"),
@@ -480,10 +486,14 @@ def ks_two_sample(
     a ratio of exact integers — bit-stable, no ulp drift to absorb.
 
     Returns ``(keys..., n_treat, n_ctrl, ks_d)`` with ks_d a raw double.
+    Rows with a NULL ``value`` or NULL ``in_treatment`` are EXCLUDED up
+    front — the same declared rule as ``mann_whitney_u``, keeping the
+    twin operators' n_treat/n_ctrl identical on nullable inputs.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     from pyspark.sql import Window
 
+    df = df.filter(value.isNotNull() & in_treatment.isNotNull())
     g = df.groupBy(*keys, value.alias("_v")).agg(
         F.sum(in_treatment.cast("long")).alias("_ct"),
         F.sum((~in_treatment).cast("long")).alias("_cc"),
@@ -542,10 +552,15 @@ def spearman_rho(
     the exact moments, returned RAW (callers round to 6). The constant-x
     or constant-y degenerate key gets NULL rho.
 
-    Returns ``(keys..., n_rows, rho)``.
+    Returns ``(keys..., n_rows, rho)``. Rows where either coordinate
+    is NULL are EXCLUDED up front (pairwise-complete — NULLs rank
+    NULLS FIRST in Spark but NULLS LAST in the DuckDB twin, so leaving
+    them in would silently corrupt both the ranks and the moments).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     from pyspark.sql import Window
+
+    df = df.filter(x.isNotNull() & y.isNotNull())
 
     def avg2(col: Column, name: str) -> Column:
         wr = Window.partitionBy(*keys).orderBy(col)

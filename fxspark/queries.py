@@ -13109,24 +13109,30 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable across any partitioning, the sketch a 100 TB profiler
     keeps per column."""
     events = load_table(spark, sf_dir, "events")
-    hx = F.md5(F.col("event_id").cast("string"))
-    h = events.select(
+    # bind the md5 ONCE, then the ltrim'd rank substring once — the rank
+    # expression reads the bound columns, so each row pays one md5 (a
+    # review pass found the expr form re-deriving it four times)
+    h0 = events.select(
         "event_type",
-        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("reg"),
-        F.expr(
-            """
-            CASE WHEN length(TRIM(LEADING '0' FROM substr(md5(CAST(event_id AS STRING)), 3, 14))) = 0
-                 THEN 57
-                 ELSE (14 - length(TRIM(LEADING '0' FROM substr(md5(CAST(event_id AS STRING)), 3, 14)))) * 4
-                      + CASE substr(TRIM(LEADING '0' FROM substr(md5(CAST(event_id AS STRING)), 3, 14)), 1, 1)
-                          WHEN '1' THEN 3
-                          WHEN '2' THEN 2 WHEN '3' THEN 2
-                          WHEN '4' THEN 1 WHEN '5' THEN 1
-                          WHEN '6' THEN 1 WHEN '7' THEN 1
-                          ELSE 0 END
-                      + 1 END
-            """
-        ).alias("rnk"),
+        F.md5(F.col("event_id").cast("string")).alias("hx"),
+    ).select(
+        "event_type",
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("long").alias("reg"),
+        F.expr("TRIM(LEADING '0' FROM substr(hx, 3, 14))").alias("st"),
+    )
+    first = F.substring("st", 1, 1)
+    nib_lz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    h = h0.select(
+        "event_type",
+        "reg",
+        F.when(F.length("st") == 0, F.lit(57))
+        .otherwise((14 - F.length("st")) * 4 + nib_lz + 1)
+        .alias("rnk"),
     )
     rmax = h.groupBy("event_type", "reg").agg(F.max("rnk").alias("r"))
     spine = (
@@ -13356,9 +13362,11 @@ def q_orders_topk_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks monotone IVM (a delete inside the top-k promotes a row the
     state no longer holds), so the op keeps a 4k bounded buffer, folds
     each tick in O(batch + B), counts the deletes that actually hit the
-    buffer, and rebuilds from the alive set only when they exceed the
-    declared B−k soundness bound (never triggered on this fixture —
-    hits ≤ 11 vs bound 30; the bound check is what makes the
+    buffer, and rebuilds from the alive set only when the CUMULATIVE
+    hits since the last rebuild exceed the declared B−k soundness
+    bound (spares consumed by hits never replenish — a per-tick check
+    would go silently wrong; never triggered on this fixture —
+    cumulative hits 28 vs bound 30; the bound check is what makes the
     maintained answer EXACT rather than usually-right). The oracle is
     the closed form: per tick, rank the alive set from scratch —
     maintained ≡ from-scratch is the IVM correctness statement."""

@@ -23,6 +23,23 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _collect_batch(pdfs, sort_cols=None):
+    """Concatenate one key's Arrow chunks into a single frame and sort
+    ONCE — applyInPandasWithState may deliver a key's micro-batch as
+    multiple chunks, and any per-chunk sort would interleave them and
+    corrupt order-sensitive recurrences (ADVICE r8). Returns ``None``
+    for an empty iterator (a timed-out key under a future timeout
+    policy receives no data). One definition, four operators — the
+    chunk-handling rule must change in exactly one place."""
+    import pandas as pd
+
+    chunks = list(pdfs)
+    if not chunks:
+        return None
+    batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    return batch.sort_values(sort_cols) if sort_cols else batch
+
+
 OUT_SCHEMA = (
     "ccy_couple string, n_total long, ewma double, last_rate double"
 )
@@ -50,15 +67,8 @@ def stateful_pair_stats(
         import pandas as pd
 
         n, ewma, last = state.get if state.exists else (0, None, None)
-        # One key's micro-batch may arrive as MULTIPLE Arrow chunks —
-        # concatenate and sort ONCE so event-time order holds across
-        # chunk boundaries (per-chunk sorting would interleave chunks
-        # and corrupt the order-sensitive EWMA/last recurrences).
-        chunks = list(pdfs)
-        if chunks:
-            batch = (
-                pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            ).sort_values(order_col)
+        batch = _collect_batch(pdfs, order_col)
+        if batch is not None:
             for rate in batch[rate_col].astype(float):
                 ewma = rate if ewma is None else alpha * rate + (1 - alpha) * ewma
                 last = rate
@@ -111,14 +121,8 @@ def stateful_cusum(
         n, cum, low, n_alerts = (
             state.get if state.exists else (0, 0.0, 0.0, 0)
         )
-        # Concat-then-sort-once across Arrow chunks (see
-        # stateful_pair_stats): CUSUM is order-sensitive, so per-chunk
-        # sorting would process out-of-order at chunk boundaries.
-        chunks = list(pdfs)
-        if chunks:
-            batch = (
-                pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            ).sort_values(order_col)
+        batch = _collect_batch(pdfs, order_col)
+        if batch is not None:
             for v in batch[value_col].astype(float):
                 cum += v - target - slack
                 low = min(low, cum)
@@ -322,20 +326,11 @@ def stateful_debounce(
         gap_us = gap_seconds * 1_000_000
         (last_us,) = state.get if state.exists else (None,)
         kept = []
-        # applyInPandasWithState may deliver one key's batch as MULTIPLE
-        # chunks — concatenate and sort ONCE so the (ts, id) order holds
-        # across chunk boundaries, not just within each chunk. Guard the
-        # empty-iterator case: NoTimeout guarantees data today, but a
-        # timed-out key would receive an empty iterator and chunks[0]
-        # would raise.
-        chunks = list(pdfs)
-        if not chunks:
+        batch = _collect_batch(pdfs, [ts_col, id_col])
+        if batch is None:
             state.update((last_us,))
             yield pd.DataFrame([], columns=[key_col, id_col, ts_col])
             return
-        batch = (
-            pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        ).sort_values([ts_col, id_col])
         for ts, eid in zip(batch[ts_col], batch[id_col]):
             us = int(pd.Timestamp(ts).value // 1000)
             if last_us is None or us > last_us + gap_us:
@@ -391,9 +386,8 @@ def stateful_topk(
 
         ids, vals = state.get if state.exists else ([], [])
         pairs = [(float(v), int(i)) for v, i in zip(vals, ids)]
-        chunks = list(pdfs)
-        if chunks:
-            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        batch = _collect_batch(pdfs)
+        if batch is not None:
             pairs += [
                 (float(v), int(i))
                 for v, i in zip(batch[value_col], batch[id_col])

@@ -338,3 +338,45 @@ def test_isotonic_minimax_identity_pools_violators():
     # and the result is monotone
     vals = [iso for _, iso in got]
     assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+
+def test_topk_retraction_cumulative_bound(spark):
+    """The soundness bound must accumulate across ticks (code-review
+    finding): two ticks of B−k hits each are individually 'within
+    bound' but consume 2(B−k) spares — without the cumulative rule the
+    tick-2 emission would be the two low-value leftovers instead of
+    the true survivors {4, 5}."""
+    from fxspark.ops.ivm import topk_retraction
+
+    k, mult = 2, 2  # B=4, bound B−k=2
+    t0 = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "id long, v double"
+    )
+    # tick 1: delete {0,1} (2 buffer hits), insert two low rows
+    d1 = spark.createDataFrame([(0,), (1,)], "id long")
+    i1 = spark.createDataFrame([(100, 1.0), (101, 0.5)], "id long, v double")
+    # tick 2: delete {2,3} (2 more hits -> cumulative 4 > 2 -> rebuild)
+    d2 = spark.createDataFrame([(2,), (3,)], "id long")
+    i2 = spark.createDataFrame([(102, 0.25)], "id long, v double")
+
+    rebuilds = []
+
+    def alive_at(i):
+        rebuilds.append(i)
+        alive = [(j, float(100 - j)) for j in range(4, 10)] + [
+            (100, 1.0),
+            (101, 0.5),
+            (102, 0.25),
+        ]
+        return spark.createDataFrame(alive, "id long, v double")
+
+    out = topk_retraction(
+        [(t0, None), (i1, d1), (i2, d2)], "id", "v", k=k, buffer_mult=mult,
+        alive_at=alive_at,
+    )
+    rows = {(r.tick, r.rk): (r.id, r.v) for r in out.collect()}
+    assert rebuilds == [2]  # tick 1 within cumulative bound, tick 2 rebuilds
+    assert rows[(1, 1)] == (2, 98.0) and rows[(1, 2)] == (3, 97.0)
+    # the from-scratch top-2 after deleting 0..3 — reachable only via
+    # the rebuild (ids 4, 5 were evicted from the B=4 buffer at tick 0)
+    assert rows[(2, 1)] == (4, 96.0) and rows[(2, 2)] == (5, 95.0)
