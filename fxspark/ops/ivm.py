@@ -152,7 +152,10 @@ def topk_retraction(
       total crosses the bound REBUILDS the buffer from the full alive
       set via ``alive_at(tick)`` (resetting the counter) — the
       declared fallback that keeps the output exact instead of
-      silently wrong.
+      silently wrong. ``alive_at(i)`` should return the alive set
+      AFTER tick i's inserts and deletes; the rebuild path composes
+      the tick's deltas idempotently on top, so a start-of-tick
+      convention also yields the correct post-tick buffer.
 
     ``ticks`` is a sequence of ``(inserts, deletes)`` frames
     (``deletes`` key-only or None); returns the union of per-tick
@@ -183,14 +186,35 @@ def topk_retraction(
                         "soundness bound and no alive_at rebuild source "
                         "was provided"
                     )
-                cand = alive_at(i).select(key_col, value_col)
+                # alive_at(i) must return the alive set AFTER tick i's
+                # inserts and deletes are applied. Compose the tick's
+                # deltas defensively anyway so a caller supplying
+                # start-of-tick state gets the identical result: drop the
+                # tick's delete keys AND any rows carrying the tick's
+                # insert keys, then add the inserts — idempotent under
+                # either convention (each anti-join is a no-op when the
+                # delta was already applied, and the union then restores
+                # exactly the tick's insert rows).
+                ikeys = ins.select(key_col)
+                cand = (
+                    alive_at(i)
+                    .select(key_col, value_col)
+                    .join(F.broadcast(dkeys), key_col, "left_anti")
+                    .join(F.broadcast(ikeys), key_col, "left_anti")
+                    .unionByName(ins)
+                )
                 cum_hits = 0
             else:
                 cand = buffer.join(
                     F.broadcast(dkeys), key_col, "left_anti"
                 ).unionByName(ins)
         buffer = cand.orderBy(*order).limit(b).localCheckpoint(eager=False)
-        outs.append(buffer.limit(k).withColumn("tick", F.lit(i)))
+        # Re-sort before the k-cut: limit over a checkpointed frame does
+        # not contractually preserve the pre-checkpoint sort, and the
+        # re-sort is O(B) — free at buffer grain.
+        outs.append(
+            buffer.orderBy(*order).limit(k).withColumn("tick", F.lit(i))
+        )
     emitted = outs[0]
     for o in outs[1:]:
         emitted = emitted.unionByName(o)

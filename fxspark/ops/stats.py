@@ -643,4 +643,12 @@ def theil_index(
                 / F.max("n_pos").cast("double")
             ).alias("theil_t"),
         )
+        # Degenerate-scale guard: a key whose positive values all sit
+        # below ~0.5·10^-mean_scale rounds to mean_value == 0.0, turning
+        # ratio/ln into Inf/NaN. Emit NULL for such keys instead of
+        # letting NaN flow silently into downstream aggregates.
+        .withColumn(
+            "theil_t",
+            F.when(F.col("mean_value") > 0.0, F.col("theil_t")),
+        )
     )

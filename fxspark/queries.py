@@ -14298,13 +14298,21 @@ def q_order_value_isotonic_calibration(
 # ---------------------------------------------------------------------------
 
 
-def _driver_green_names() -> set[str]:
+def _driver_latest_green() -> dict[str, int]:
+    """Per-query LATEST round with a fully-green driver row, parsed from
+    the round number in each ``CORRECTNESS_r{NN}.json`` filename. A query
+    absent from the map has never been driver-green."""
     import glob
     import json as _json
+    import re as _re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rec = _json.load(fh)
@@ -14317,12 +14325,27 @@ def _driver_green_names() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
-    return green
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
-def _rotate_registry(front: list[str]) -> None:
-    ordered = [n for n in front if n in QUERIES]
+def _rotation_order(
+    names: list[str], latest_green: dict[str, int]
+) -> list[str]:
+    """Registry order for the driver's fixed-size sample window:
+    never-green queries first (new registrations must earn their first
+    green row), then greens by ASCENDING latest-green round — so the
+    least-recently-verified queries cycle through the window and every
+    query's driver evidence is periodically refreshed rather than
+    recorded once and left to go stale. Ties keep registration order
+    (Python sort is stable)."""
+    return sorted(
+        names, key=lambda n: latest_green.get(n, -1)
+    )
+
+
+def _rotate_registry(ordered: list[str]) -> None:
+    ordered = [n for n in ordered if n in QUERIES]
     ordered += [n for n in QUERIES if n not in set(ordered)]
     for reg in (QUERIES, ORACLE):
         snap = dict(reg)
@@ -14330,5 +14353,4 @@ def _rotate_registry(front: list[str]) -> None:
         reg.update((n, snap[n]) for n in ordered if n in snap)
 
 
-_GREEN = _driver_green_names()
-_rotate_registry([n for n in QUERIES if n not in _GREEN])
+_rotate_registry(_rotation_order(list(QUERIES), _driver_latest_green()))

@@ -377,6 +377,13 @@ def stateful_topk(
     over any prefix equals the batch rank closed form — pinned across
     real micro-batches by tests/test_streaming_multimodal.py."""
 
+    # applyInPandasWithState matches pandas column labels to the output
+    # schema BY NAME, so the schema strings must be built from the
+    # parameterized column names (TOPK_OUT_SCHEMA documents the default).
+    out_schema = (
+        f"{group_col} string, rk int, {id_col} long, {value_col} double"
+    )
+
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator["pd.DataFrame"],  # noqa: F821
@@ -412,7 +419,7 @@ def stateful_topk(
 
     return events.groupBy(group_col).applyInPandasWithState(
         update,
-        TOPK_OUT_SCHEMA,
+        out_schema,
         TOPK_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,

@@ -38,20 +38,22 @@ def test_all_queries_run(spark, sf_dir):
         df.limit(5).collect()
 
 
-def test_gate_rotation_fronts_never_green_queries():
-    """The registry front (the driver's 50-entry check window) must consist
-    of queries with no fully-green row in any committed CORRECTNESS record,
-    in registration order — the property the data-driven rotation exists
-    to maintain."""
-    from fxspark.queries import _driver_green_names
+def test_gate_rotation_cycles_least_recently_verified():
+    """The registry front (the driver's 50-entry check window) must hold
+    the never-green queries first, then the greens whose LATEST green row
+    is oldest — so all queries cycle through the driver window and their
+    recorded evidence is periodically refreshed rather than left stale
+    after a single green row."""
+    from fxspark.queries import _driver_latest_green
 
-    green = _driver_green_names()
+    latest = _driver_latest_green()
     names = list(QUERIES)
-    never = [n for n in names if n not in green]
-    # every never-green query precedes every green one
-    assert names[: len(never)] == never
+    # the realized registry order is non-decreasing in latest-green round
+    # (never-green sorts as -1, i.e. first)
+    rounds = [latest.get(n, -1) for n in names]
+    assert rounds == sorted(rounds)
     # sanity: the records exist and some queries ARE green (r01-r03 landed)
-    assert green & set(names), "no green rows found — records missing?"
+    assert set(latest) & set(names), "no green rows found — records missing?"
     # every query in the driver's 50-entry check window has an oracle, so
     # the window can convert fully green (no no_oracle rows) — future
     # registrations must not push an oracle-less query into the window
@@ -60,3 +62,15 @@ def test_gate_rotation_fronts_never_green_queries():
     window = names[:50]
     missing = [n for n in window if n not in ORACLE]
     assert not missing, f"gate-window queries without an oracle: {missing}"
+
+
+def test_rotation_order_pure_function():
+    """_rotation_order: never-green first (registration order preserved),
+    then greens ascending by latest-green round, ties stable."""
+    from fxspark.queries import _rotation_order
+
+    names = ["a", "b", "c", "d", "e"]
+    latest = {"a": 7, "b": 2, "d": 2, "e": 9}  # c never green
+    assert _rotation_order(names, latest) == ["c", "b", "d", "a", "e"]
+    # empty record ⇒ registration order unchanged
+    assert _rotation_order(names, {}) == names
