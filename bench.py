@@ -9,7 +9,10 @@ Execution is forced with a noop sink (full compute, no driver materialization
 cost). Headline timing is median of REPS runs taken AFTER (a) one untimed
 sweep of the whole headline list (absorbs JVM/JIT ramp session-wide) and
 (b) a per-query warm-up. A fixed calibration micro-query is timed before and
-after the headline loop; >40% drift marks the record load-contaminated.
+after the headline loop; >20% drift triggers one full headline recapture, and
+a retry that still drifts marks the record load-contaminated. Extension
+queries whose warm-up exceeds 2 s are promoted to median-of-3 (sweep-context
+single-rep timings of the slow tail produced false regressions — NOTES_r9).
 """
 
 from __future__ import annotations
@@ -264,6 +267,8 @@ EXTENSION = [
     "order_value_prf",
     "stream_topk_replay",
     "order_value_isotonic_calibration",
+    "part_copurchase_clustering_sampled",
+    "part_copurchase_ppr_topk",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))
@@ -322,19 +327,28 @@ def main() -> None:
     spark = get_spark("fxspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def timed(name, reps, sink):
+    def timed(name, reps, sink, adaptive_secs=None):
         """One warm-up + reps timed runs; a failing query records -1 and the
-        sweep continues (one regression must not blank the whole record)."""
+        sweep continues (one regression must not blank the whole record).
+        With ``adaptive_secs``, a query whose warm-up exceeds the threshold
+        is promoted to median-of-≥3 — the expensive extensions are exactly
+        the ones whose single-rep sweep-context timings produced false
+        regressions (NOTES_r9: part_copurchase_clustering 23 s in-sweep vs
+        9.5 s solo), and the extra reps cost is bounded to the slow tail."""
         fn = QUERIES[name]
         try:
+            t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm = time.perf_counter() - t0
+            if adaptive_secs is not None and warm > adaptive_secs:
+                reps = max(reps, 3)
             runs = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             sink[name] = round(statistics.median(runs), 4)
-            print(f"# {name}: {sink[name]:.3f}s", file=sys.stderr)
+            print(f"# {name}: {sink[name]:.3f}s (reps {reps})", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001
             sink[name] = -1.0
             print(f"# {name}: ERROR {str(ex)[:200]}", file=sys.stderr)
@@ -342,8 +356,10 @@ def main() -> None:
     def calibration_probe() -> float:
         """Fixed synthetic micro-query (no I/O, one shuffle) timed as a load
         canary: median of 3 post-warm-up runs. Compared before/after the
-        headline loop — >40% drift means the host was loaded or the JVM was
-        still ramping during the capture, and the record says so."""
+        headline loop — >20% drift means the host was loaded or the JVM was
+        still ramping during the capture: the headline phase recaptures
+        once, and a still-drifting retry marks the record contaminated
+        (the extension sweep keeps the looser 40% flag)."""
         from pyspark.sql import functions as PF
 
         def probe_run():
@@ -375,25 +391,40 @@ def main() -> None:
             pass  # the timed loop records the failure properly
     print("# session warm-up sweep done", file=sys.stderr)
 
-    calib_before = calibration_probe()
-    print(f"# calibration before: {calib_before:.3f}s", file=sys.stderr)
+    def headline_capture():
+        """Calibration probe → timed headline loop → calibration probe.
+        Returns (timings, calib_before, calib_after, drift)."""
+        calib_before = calibration_probe()
+        print(f"# calibration before: {calib_before:.3f}s", file=sys.stderr)
+        timings: dict[str, float] = {}
+        for name in [n for n in HEADLINE if n in QUERIES]:
+            timed(name, REPS, timings)
+        calib_after = calibration_probe()
+        drift = abs(calib_after - calib_before) / max(
+            min(calib_before, calib_after), 1e-9
+        )
+        print(
+            f"# calibration after: {calib_after:.3f}s (drift {drift:.0%})",
+            file=sys.stderr,
+        )
+        return timings, calib_before, calib_after, drift
 
-    timings: dict[str, float] = {}
-    for name in [n for n in HEADLINE if n in QUERIES]:
-        timed(name, REPS, timings)
-
-    calib_after = calibration_probe()
-    drift = abs(calib_after - calib_before) / max(min(calib_before, calib_after), 1e-9)
-    load_contaminated = drift > 0.40
-    print(
-        f"# calibration after: {calib_after:.3f}s (drift {drift:.0%}"
-        f"{', LOAD-CONTAMINATED' if load_contaminated else ''})",
-        file=sys.stderr,
-    )
+    # The headline phase is the graded number, so it gets the tight drift
+    # gate: >20% calibration drift (r9's record showed 32% drift slip past
+    # the old 40% threshold and inflate the floor-bound queries) triggers
+    # ONE full recapture; if the retry still drifts, the record is marked
+    # contaminated rather than silently inflated.
+    timings, calib_before, calib_after, drift = headline_capture()
+    headline_retried = False
+    if drift > 0.20:
+        print("# headline drift >20% — recapturing once", file=sys.stderr)
+        headline_retried = True
+        timings, calib_before, calib_after, drift = headline_capture()
+    load_contaminated = drift > 0.20
 
     ext_timings: dict[str, float] = {}
     for name in [n for n in EXTENSION if n in QUERIES]:
-        timed(name, EXT_REPS, ext_timings)
+        timed(name, EXT_REPS, ext_timings, adaptive_secs=2.0)
 
     # FX flagship at >=1e6 synthetic rows (BASELINE.md's FX-specific bench):
     # the reference's whole analytics query, 10x the largest fixture.
@@ -774,6 +805,7 @@ def main() -> None:
             "calibration_after_s": calib_after,
             "calibration_drift": round(drift, 3),
             "load_contaminated": load_contaminated,
+            "headline_retried": headline_retried,
             "calibration_final_s": calib_final,
             "ext_calibration_drift": round(ext_drift, 3),
             "ext_load_contaminated": ext_contaminated,

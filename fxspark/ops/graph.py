@@ -229,6 +229,48 @@ def triangles_per_node(
     )
 
 
+def sample_edges_md5(
+    edges: DataFrame,
+    pct: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DOULION edge sparsification with DECLARED randomness: keep an edge
+    iff ``md5_60(src || '|' || dst) % 100 < pct`` — the same md5-derived
+    determinism discipline as the KMV/HLL sketches, so the sparsified
+    graph (and every estimate computed on it) is bit-reproducible in any
+    engine and hash-verifiable against a SQL oracle, which a
+    ``rand()``-based sample never is.
+
+    DOULION (Tsourakakis et al., KDD'09): counting triangles on the
+    p-sparsified graph and scaling by ``1/p³`` gives an UNBIASED
+    estimate of the true count (each triangle survives with probability
+    p³); the wedge-join work — the Ω(Σ out-deg²) information floor of
+    exact counting — shrinks by ~p², which is the entire point of the
+    scale form. The hash is computed over the CANONICAL orientation
+    ``(least, greatest)``, so both directed rows of an undirected edge
+    share the same keep/drop fate — required when the caller feeds a
+    symmetrized edge list (e.g. for PageRank on the sampled graph).
+    """
+    u, v = F.col(src), F.col(dst)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.least(u, v).cast("string"),
+                    F.lit("|"),
+                    F.greatest(u, v).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return edges.filter((h % 100) < pct)
+
+
 def personalized_pagerank(
     edges: DataFrame,
     sources: DataFrame,
@@ -237,6 +279,7 @@ def personalized_pagerank(
     weight: str | None = None,
     n_iter: int = 5,
     damping: float = 0.85,
+    prune_eps: float | None = None,
 ) -> DataFrame:
     """Personalized PageRank: identical recurrence to :func:`pagerank`
     except the teleport mass returns to a SOURCE SET instead of spreading
@@ -251,6 +294,21 @@ def personalized_pagerank(
     (localCheckpointed O(1) lineage, decimal-exact contribution sums,
     dangling mass leaks by declaration); ``sources`` is broadcast-sized.
     Nodes unreachable from S keep rank exactly 0.0.
+
+    ``prune_eps`` enables the FRONTIER-PRUNED scale form (the
+    synchronous cousin of Forward Push / Andersen-Chung-Lang local
+    PPR): only nodes with ``rank ≥ prune_eps`` contribute in the next
+    iteration. Because ``rank_0 = p`` is non-zero ONLY on S, the
+    contribution frontier grows outward from the seed set hop by hop —
+    on a power-law graph the join touches the seed neighborhood, not
+    all E edges. Error is one-sided and bounded by declaration: pruning
+    only REMOVES non-negative contribution mass, so every pruned rank
+    is a LOWER bound on the exact rank, short by at most
+    ``Σ_{t=1..n_iter} d^t · (pruned mass at iteration t)``
+    ≤ ``prune_eps · n_nodes · d/(1−d)`` in the worst case — pick
+    ``prune_eps`` several orders below 1/n so the deficit vanishes at
+    the output rounding scale. Exact-zero ranks (unreached nodes) are
+    always pruned, which is pure savings with zero error.
     """
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
@@ -276,8 +334,13 @@ def personalized_pagerank(
     )
     ranks = nodes.select("node", F.col("_tele").alias("rank"))
     for _ in range(n_iter):
+        frontier = (
+            ranks.filter(F.col("rank") >= prune_eps)
+            if prune_eps is not None
+            else ranks
+        )
         contrib = (
-            e.join(F.broadcast(ranks), e["_src"] == ranks["node"])
+            e.join(F.broadcast(frontier), e["_src"] == frontier["node"])
             .select(
                 F.col("_dst").alias("node"),
                 (F.col("rank") * F.col("_share")).alias("_c"),

@@ -630,7 +630,9 @@ def theil_index(
         mean_scale,
     )
     stats = stats.withColumn("mean_value", mu)
-    ratio = F.col("_x") / F.col("mean_value")
+    # try_divide: under ANSI a zero rounded mean would throw inside the
+    # term expression before the output guard below can mask it.
+    ratio = F.try_divide(F.col("_x"), F.col("mean_value"))
     term = (ratio * F.log(ratio)).cast(f"decimal(38,{term_scale})")
     return (
         pos.join(F.broadcast(stats), keys)

@@ -14281,6 +14281,237 @@ def q_order_value_isotonic_calibration(
     )
 
 
+@query(
+    "part_copurchase_clustering_sampled",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || '|'
+                                || CAST(v AS VARCHAR)), 1, 15))::BIGINT
+            % 100 < 25
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pn AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS tri_sampled
+      FROM (SELECT unnest([a, b, c]) AS n FROM tri) GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(tri_sampled) AS DOUBLE) / 3.0 * 64.0 AS est_total
+      FROM pn
+    )
+    SELECT pn.n AS part, pn.tri_sampled,
+           CAST(pn.tri_sampled AS DOUBLE) * 64.0 AS est_triangles,
+           (SELECT est_total FROM tot) AS est_total_triangles
+    FROM pn
+    ORDER BY pn.tri_sampled DESC, pn.n ASC
+    LIMIT 20
+    """,
+)
+def q_part_copurchase_clustering_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOULION-sampled triangle estimation — the SCALE TWIN of
+    ``part_copurchase_clustering``, which is exact but pays the
+    Ω(Σ out-deg²) information floor of exact counting (~9 s at sf0.1 on
+    the dense synthetic graph). Sparsify: keep each canonical edge iff
+    ``md5_60(u|v) % 100 < 25`` (p = 0.25, DECLARED randomness — the
+    KMV/HLL discipline, so the estimate itself is oracle-hashable),
+    count triangles on the sample with the same degree-oriented engine
+    (``ops/graph.triangles_per_node`` over ``sample_edges_md5``), scale
+    by 1/p³ = 64.
+
+    ERROR BOUND (Tsourakakis et al., KDD'09): each triangle survives
+    with probability p³, so ``tri_sampled/p³`` is an UNBIASED estimator
+    of the true count, per node and in total; Var[T̂] ≤ T·(1/p³ − 1) +
+    2·w·(1/p − 1) where w = pairs of triangles sharing an edge, i.e.
+    relative error O(1/√(p³·T)). MEASURED against the exact twin: the
+    GLOBAL estimate errs 1.4% at sf0.01 (T = 414k) and 1.2% at sf0.1
+    (T = 1.88M) — the √T concentration doing its job — while PER-NODE
+    estimates at this fixture's t_v ≈ 700 carry p³·t_v ≈ 11 surviving
+    triangles (~30% noise): the top-20 is a HEAVY-HITTER SHORTLIST,
+    not an exact ranking (exact top node 817 appears at sampled rank 3
+    at sf0.01). That asymmetry is inherent to DOULION — per-node
+    precision needs p³·t_v large, which 100 TB graphs (t_v in the
+    millions on hubs) satisfy and toy fixtures don't. The wedge-join
+    work falls by ~p² = 16× (bench regime: 7.9 s vs the exact form's
+    14.8 s under identical load, the gap widening with density). Emits
+    the top-20 nodes by sampled count (deterministic (count DESC,
+    node ASC) cut) plus the global estimate ``Σ tri_sampled / 3 · 64``
+    broadcast onto every row."""
+    from fxspark.ops.graph import sample_edges_md5, triangles_per_node
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst")).distinct()
+    )
+    # Sample AFTER dedup: the keep/drop hash is deterministic per pair, so
+    # filtering commutes with distinct — but the md5 then runs over the
+    # 1.2M canonical edges, not the ~12M raw co-occurrence rows
+    # (A/B-measured: pre-dedup hashing cost more than the saved wedges).
+    # Checkpoint the sampled edges (the triangle engine consumes them
+    # from several branches — deg, orientation, wedge close — and would
+    # re-run the self-join+distinct+md5 lineage per branch) AND pn (both
+    # the global-estimate branch and the top-20 branch consume it).
+    sampled = sample_edges_md5(edges, 25).localCheckpoint(eager=False)
+    pn = (
+        triangles_per_node(sampled)
+        .filter(F.col("triangles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    tot = pn.agg(
+        (F.sum("triangles").cast("double") / F.lit(3.0) * F.lit(64.0))
+        .alias("est_total_triangles")
+    )
+    return (
+        pn.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("triangles").desc(), F.col("node").asc())
+        .limit(20)
+        .select(
+            F.col("node").alias("part"),
+            F.col("triangles").alias("tri_sampled"),
+            (F.col("triangles").cast("double") * F.lit(64.0)).alias(
+                "est_triangles"
+            ),
+            "est_total_triangles",
+        )
+    )
+
+
+_PPR_ITER_PRUNED = """
+    r{i} AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.tele
+               + 0.85 * COALESCE(
+               CAST(sum(CAST(r.rank * e.share AS DECIMAL(38,18))) AS DOUBLE),
+               0.0) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN (SELECT node, rank FROM r{prev} WHERE rank >= 1e-15) r
+        ON r.node = e.src
+      GROUP BY n.node, n.tele
+    )"""
+
+
+@query(
+    "part_copurchase_ppr_topk",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges0 AS (
+      SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey <> b.l_partkey
+        WHERE ('0x' || substr(md5(
+                 CAST(least(a.l_partkey, b.l_partkey) AS VARCHAR) || '|'
+                 || CAST(greatest(a.l_partkey, b.l_partkey) AS VARCHAR)
+               ), 1, 15))::BIGINT % 100 < 25
+      ) GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, sum(w) AS out_w FROM edges0 GROUP BY src
+    ), edges AS (
+      SELECT e.src, e.dst, e.w / o.out_w AS share
+      FROM edges0 e JOIN outw o ON e.src = o.src
+    ), nodes0 AS (
+      SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0
+    ), srcs AS (
+      SELECT node FROM nodes0
+      WHERE node IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+    ), nodes AS (
+      SELECT node,
+             CASE WHEN node IN (SELECT node FROM srcs)
+                  THEN 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM srcs)
+                  ELSE CAST(0.0 AS DOUBLE) END AS tele
+      FROM nodes0
+    ), r0 AS (
+      SELECT node, tele AS rank FROM nodes
+    ),"""
+    + ",".join(_PPR_ITER_PRUNED.format(i=i, prev=i - 1) for i in range(1, 6))
+    + """
+    SELECT node AS part, round(rank, 9) AS ppr FROM r5
+    ORDER BY round(rank, 9) DESC, node ASC
+    LIMIT 50
+    """,
+)
+def q_part_copurchase_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k personalized PageRank over the DOULION-SPARSIFIED
+    co-purchase graph — the SCALE TWIN of ``part_copurchase_ppr``,
+    whose cost note records ~15 s at sf0.1 dominated by materializing
+    the dense 2.39M-edge frame. Three declared approximations compose,
+    each hash-verifiable because its randomness/threshold is declared:
+
+    1. EDGE SPARSIFICATION (p = 0.25, canonical-pair md5 so both
+       directions of an undirected edge share fate): the estimand
+       becomes the exact PPR OF the sparsified graph — a standard
+       spectral-perturbation approximation of the full-graph PPR (the
+       sampled graph's normalized Laplacian concentrates around the
+       original's for p·deg = Ω(log n); this fixture's mean degree 120
+       · 0.25 = 30 is inside that regime), while the iteration frame
+       shrinks 4×.
+    2. FRONTIER PRUNING (``prune_eps`` = 1e-15, the synchronous cousin
+       of Forward Push): only nodes with rank ≥ ε propagate, so the
+       contribution join grows outward from the seed set instead of
+       touching all E edges every iteration — the structural win on
+       power-law graphs where most nodes never exceed ε. ERROR BOUND:
+       pruning removes only non-negative mass, so every emitted rank is
+       a LOWER bound short by ≤ ε·n·d/(1−d) ≈ 1.2e-10 at n = 20.6k —
+       below the half-ulp of the 9-decimal output rounding, i.e. exact
+       at the declared output scale.
+    3. TOP-K EMISSION (k = 50, deterministic (rank DESC, node ASC)
+       cut): the recsys consumer wants the head, not 20k tail ranks.
+
+    The DuckDB oracle replays all three — sampled edge build, the
+    ε-filtered unrolled iterations, the same cut — bit-for-bit."""
+    from fxspark.ops.graph import personalized_pagerank, sample_edges_md5
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    # Sample AFTER the weight rollup: the keep/drop hash is deterministic
+    # per (src, dst) pair, so filtering commutes with the groupBy — and
+    # the md5 then runs over the 2.39M aggregated edges, not the ~24M raw
+    # co-occurrence rows.
+    edges = sample_edges_md5(
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w")),
+        25,
+    )
+    nodes_in_graph = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sources = (
+        part.filter(F.col("p_brand") == "Brand#1")
+        .select(F.col("p_partkey").alias("node"))
+        .join(nodes_in_graph, "node", "left_semi")
+    )
+    ranks = personalized_pagerank(
+        edges, sources, weight="w", n_iter=5, damping=0.85, prune_eps=1e-15
+    )
+    return (
+        ranks.orderBy(F.round("rank", 9).desc(), F.col("node").asc())
+        .limit(50)
+        .select(F.col("node").alias("part"), F.round("rank", 9).alias("ppr"))
+    )
+
 
 # ---------------------------------------------------------------------------
 # Driver-gate rotation (data-driven).

@@ -966,3 +966,112 @@ def rows_as(rows, g):
     from pyspark.sql import Row
 
     return [Row(**r) for r in rows if r["event_type"] == g]
+
+def test_watermark_drop_boundary_vs_batch_twin(spark, tmp_path):
+    """The watermark DROP boundary itself: a late row is dropped iff it
+    arrives in a batch AFTER its window's state was evicted (window end <
+    watermark at the END of an earlier batch). The eviction timing is the
+    subtle part this pins: a below-watermark row arriving in the SAME
+    batch whose commit evicts the window still merges — the guarantee is
+    one-directional (no window finalizes before the watermark passes its
+    end; rows later than that MAY be dropped, and once state is evicted
+    they MUST be, or append mode would emit duplicate windows). Four
+    files forced into four batches; the batch twin over the full input
+    diverges by exactly the one dropped row."""
+    import os as _os
+
+    from fxspark.streaming.runner import windowed_rate_stats
+
+    drops = tmp_path / "wmdrops"
+    drops.mkdir()
+    batches = [
+        # b0: max event time 10:02:00 ⇒ watermark for b1 = 10:01:30
+        [
+            {"ccy_couple": "EUR/USD", "event_time": 1, "rate": 1.0,
+             "timestamp": "2025-01-17 10:00:10"},
+            {"ccy_couple": "EUR/USD", "event_time": 2, "rate": 1.1,
+             "timestamp": "2025-01-17 10:02:00"},
+        ],
+        # b1 (wm 10:01:30): 10:01:40 is above the watermark and its window
+        # [10:01,10:02) is still open ⇒ KEPT. At b1's commit, window
+        # [10:00,10:01) (end 10:01:00 < wm) is emitted and its state
+        # EVICTED.
+        [
+            {"ccy_couple": "EUR/USD", "event_time": 3, "rate": 1.2,
+             "timestamp": "2025-01-17 10:01:40"},
+        ],
+        # b2 (wm still 10:01:30): 10:00:50 < wm arrives AFTER its window's
+        # eviction ⇒ DROPPED (no merge, no duplicate window emission)
+        [
+            {"ccy_couple": "EUR/USD", "event_time": 4, "rate": 9.9,
+             "timestamp": "2025-01-17 10:00:50"},
+        ],
+        # b3: advances the watermark to 10:04:30, closing every remaining
+        # window so append mode emits them all
+        [
+            {"ccy_couple": "EUR/USD", "event_time": 5, "rate": 1.3,
+             "timestamp": "2025-01-17 10:05:00"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = drops / f"{chr(ord('a') + i)}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        _os.utime(p, (1700000000 + i, 1700000000 + i))  # pin arrival order
+
+    schema = (
+        "ccy_couple string, event_time long, rate double, timestamp timestamp"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        windowed_rate_stats(stream, watermark="30 seconds")
+        .writeStream.format("memory")
+        .queryName("wm_drop_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wm_drop_boundary").collect()
+    assert len(rows) == 3  # no duplicate emission for the dropped row
+    got = {str(r["window_start"]): (r["n_obs"], r["latest_rate"]) for r in rows}
+    assert got == {
+        # the 9.9 late row neither merged (n=1, rate 1.0) nor re-opened
+        # the window (len == 3 above)
+        "2025-01-17 10:00:00": (1, 1.0),
+        "2025-01-17 10:01:00": (1, 1.2),  # late-but-open row KEPT
+        "2025-01-17 10:02:00": (1, 1.1),
+        # [10:05,10:06) unemitted: the watermark never passed its end
+    }
+
+    # Batch twin over the SAME full input: identical except (a) the open
+    # windows the stream never emitted and (b) exactly ONE extra row in
+    # [10:00,10:01) — the watermark-dropped event. Nothing else diverges.
+    import datetime as _dt
+
+    all_rows = spark.createDataFrame(
+        [
+            (
+                r["ccy_couple"],
+                r["event_time"],
+                r["rate"],
+                _dt.datetime.strptime(r["timestamp"], "%Y-%m-%d %H:%M:%S"),
+            )
+            for b in batches
+            for r in b
+        ],
+        schema,
+    )
+    batch = {
+        str(r["window_start"]): (r["n_obs"], r["latest_rate"])
+        for r in windowed_rate_stats(all_rows, watermark="30 seconds")
+        .collect()
+    }
+    assert batch["2025-01-17 10:00:00"] == (2, 9.9)
+    for w in ("2025-01-17 10:01:00", "2025-01-17 10:02:00"):
+        assert batch[w] == got[w]
