@@ -505,3 +505,50 @@ def test_hll_partial_combined_register_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_hll_distinct")
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4, plan[:3000]
+
+
+def test_mann_whitney_binned_grain_capped(spark, sf_dir):
+    """SCALE.md §23's executable rank-statistic scale form: the binned MW
+    variant's declared 1024-bin cap must reach the physical plan (the
+    least(1023, ...) quantization expression), and the rank window must
+    sort the tie-group AGGREGATE, never raw rows — together those bound
+    the window grain at 1024 per key by construction."""
+    plan = _plan(spark, sf_dir, "promo_price_mannwhitney_binned")
+    assert "least(1023" in plan, plan[:3000]
+    seg = plan[plan.index("Window"):]
+    assert "HashAggregate" in seg, seg[:2000]
+    assert "BroadcastHashJoin" in plan
+
+def test_doulion_sampled_triangles_plan_shape(spark, sf_dir):
+    """The DOULION scale twin: the md5 sampling filter must sit in the
+    edge-build sub-plan (the final executed plan is truncated at the
+    localCheckpoint, so assert the op-level plan), and the query-level
+    emission must be a TakeOrdered cut with no CartesianProduct."""
+    from pyspark.sql import functions as F
+
+    from fxspark.ops.graph import sample_edges_md5
+
+    edges = spark.range(100).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    op_plan = (
+        sample_edges_md5(edges, 25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "md5" in op_plan, op_plan[:2000]
+    plan = _plan(spark, sf_dir, "part_copurchase_clustering_sampled")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_ppr_topk_emission_is_topk_cut(spark, sf_dir):
+    """The pruned-PPR scale twin's emission must be a TakeOrdered cut
+    (never a global sort of all ranks) and CartesianProduct-free. The
+    frontier filter itself lives between per-iteration localCheckpoints
+    (invisible in any returned frame's plan); its BEHAVIOR is pinned by
+    tests/test_round10_ops.py::test_ppr_prune_eps_is_lower_bound_and_tiny_eps_exact."""
+    plan = _plan(spark, sf_dir, "part_copurchase_ppr_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
