@@ -1075,3 +1075,76 @@ def test_watermark_drop_boundary_vs_batch_twin(spark, tmp_path):
     assert batch["2025-01-17 10:00:00"] == (2, 9.9)
     for w in ("2025-01-17 10:01:00", "2025-01-17 10:02:00"):
         assert batch[w] == got[w]
+
+def test_dedup_state_expiry_reemission_boundary(spark, tmp_path):
+    """The OTHER half of dropDuplicatesWithinWatermark's contract (the
+    within-watermark drop is pinned above): dedup state is TIME-SCOPED.
+    Eviction is commit-gated like window finalization — batch N evicts
+    with the watermark computed from batch N-1, AFTER N's lookups — so
+    a key expires one batch after the watermark passes its event time +
+    delay, and a fresh-timestamped duplicate arriving in a LATER batch
+    is RE-EMITTED, while a key whose state is still live keeps dropping
+    duplicates. This is the declared divergence from batch
+    dropDuplicates (one row per key over any horizon), and the reason
+    the batch form remains the compaction authority."""
+    import os as _os
+
+    from fxspark.streaming.runner import dedup_stream
+
+    drops = tmp_path / "ddexp"
+    drops.mkdir()
+    batches = [
+        # b0 (wm 1970): A and B emitted; commit computes wm = 10:01:30
+        [
+            {"ccy_couple": "A", "date": "d", "rate": 1.0,
+             "timestamp": "2025-01-17 10:00:00"},
+            {"ccy_couple": "B", "date": "d", "rate": 2.0,
+             "timestamp": "2025-01-17 10:02:00"},
+        ],
+        # b1 (wm 10:01:30): filler C emitted; b1's COMMIT evicts A
+        # (expires 10:00:30 < wm) and keeps B (expires 10:02:30 > wm)
+        [
+            {"ccy_couple": "C", "date": "d", "rate": 3.0,
+             "timestamp": "2025-01-17 10:02:05"},
+        ],
+        # b2: duplicate A finds no state ⇒ RE-EMITTED; duplicate B hits
+        # live state ⇒ dropped
+        [
+            {"ccy_couple": "A", "date": "d", "rate": 9.0,
+             "timestamp": "2025-01-17 10:02:10"},
+            {"ccy_couple": "B", "date": "d", "rate": 8.0,
+             "timestamp": "2025-01-17 10:02:20"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = drops / f"{chr(ord('a') + i)}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        _os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    schema = "ccy_couple string, date string, rate double, timestamp timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        dedup_stream(stream, keys=["ccy_couple", "date"])
+        .writeStream.format("memory")
+        .queryName("dedup_expiry_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT ccy_couple, rate FROM dedup_expiry_boundary"
+    ).collect()
+    got = sorted((r["ccy_couple"], r["rate"]) for r in out)
+    assert got == [
+        ("A", 1.0),
+        ("A", 9.0),  # re-emitted: state evicted at b1's commit
+        ("B", 2.0),  # B's duplicate dropped: state still within watermark
+        ("C", 3.0),
+    ]
