@@ -421,6 +421,12 @@ def main() -> None:
         headline_retried = True
         timings, calib_before, calib_after, drift = headline_capture()
     load_contaminated = drift > 0.20
+    if load_contaminated:
+        print(
+            "# headline LOAD-CONTAMINATED: retry still drifted "
+            f"{drift:.0%} — headline numbers are suspect",
+            file=sys.stderr,
+        )
 
     ext_timings: dict[str, float] = {}
     for name in [n for n in EXTENSION if n in QUERIES]:

@@ -355,7 +355,6 @@ def stateful_debounce(
     )
 
 
-TOPK_OUT_SCHEMA = "event_type string, rk int, event_id long, value double"
 TOPK_STATE_SCHEMA = "ids array<long>, vals array<double>"
 
 
@@ -378,10 +377,15 @@ def stateful_topk(
     real micro-batches by tests/test_streaming_multimodal.py."""
 
     # applyInPandasWithState matches pandas column labels to the output
-    # schema BY NAME, so the schema strings must be built from the
-    # parameterized column names (TOPK_OUT_SCHEMA documents the default).
+    # schema BY NAME, so the schema is built from the parameterized
+    # column names — and the group column's TYPE from the input schema
+    # (an int-typed group key would otherwise mismatch at runtime). The
+    # id/value columns stay long/double: the update fn itself casts to
+    # int()/float() (the state arrays are long/double by declaration).
+    group_type = events.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} string, rk int, {id_col} long, {value_col} double"
+        f"{group_col} {group_type}, rk int, {id_col} long, "
+        f"{value_col} double"
     )
 
     def update(

@@ -196,3 +196,25 @@ def test_stateful_topk_custom_column_names(spark, tmp_path):
     assert list(a.item) == [2, 1] and list(a.score) == [9.0, 5.0]
     assert list(res[res.grp == "b"].item) == [3]
     assert isinstance(res, pd.DataFrame)
+
+    # INT-typed group column: the output schema derives the group type
+    # from the input schema, not a hard-coded string
+    src_i = spark.createDataFrame(
+        [(7, 1, 5.0), (7, 2, 9.0)], "gk int, item long, score double"
+    )
+    path_i = str(tmp_path / "in_int")
+    src_i.write.parquet(path_i)
+    stream_i = spark.readStream.schema(src_i.schema).parquet(path_i)
+    out_i = stateful_topk(
+        stream_i, k=1, group_col="gk", id_col="item", value_col="score"
+    )
+    qi = (
+        out_i.writeStream.format("memory")
+        .queryName("topk_int_group")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qi.awaitTermination(120)
+    res_i = spark.sql("select * from topk_int_group").toPandas()
+    assert list(res_i.gk) == [7] and list(res_i.item) == [2]
