@@ -1148,3 +1148,97 @@ def test_dedup_state_expiry_reemission_boundary(spark, tmp_path):
         ("B", 2.0),  # B's duplicate dropped: state still within watermark
         ("C", 3.0),
     ]
+
+
+def test_stream_stream_join_state_eviction_boundary(spark, tmp_path):
+    """Completes the state-eviction trilogy (windowed agg + dedup above):
+    a click's join state is evicted once the GLOBAL watermark (min across
+    both sides) passes c_ts + lookback, so a late purchase arriving after
+    eviction finds no match — the streamed result misses exactly the
+    pairs whose click was evicted before the purchase arrived, while
+    live rows in the same batch still join. The batch twin over the full
+    input shows the one-pair divergence."""
+    import json as _json
+    import os as _os
+
+    from fxspark.streaming.runner import stream_stream_interval_join
+
+    pdir, cdir = tmp_path / "purch2", tmp_path / "clicks2"
+    pdir.mkdir(); cdir.mkdir()
+    pbatches = [
+        # b0: the 14:00 row advances the purchase-side watermark to 13:00
+        [(1, "2025-01-16 10:00:00"), (9, "2025-01-16 14:00:00")],
+        # b1: filler keeps the purchase stream non-empty
+        [(9, "2025-01-16 14:05:00")],
+        # b2: filler — eviction is commit-gated one batch behind the
+        # watermark (the agg/dedup pins above), so b2's COMMIT is where
+        # the 09:30 click's state actually leaves the store
+        [(9, "2025-01-16 14:10:00")],
+        # b3: LATE purchase for the evicted click + a live pair's purchase
+        [(1, "2025-01-16 10:15:00"), (2, "2025-01-16 12:45:00")],
+    ]
+    cbatches = [
+        # b0: joins with (1, 10:00) same-batch; evictable once global
+        # wm > 10:30
+        [(1, "2025-01-16 09:30:00")],
+        # b1: advances the click-side watermark to 12:00 ⇒ global wm
+        # (min of sides) = 12:00 from b1's commit onward ⇒ the 09:30
+        # click (c_ts + 1h = 10:30 < 12:00) becomes evictable; also
+        # joins (9, 14:00)
+        [(9, "2025-01-16 13:00:00")],
+        # b2: filler chosen to pair with nothing (12:50 is outside every
+        # purchase's [p_ts-1h, p_ts] interval) and to keep the click-side
+        # watermark non-regressing
+        [(9, "2025-01-16 12:50:00")],
+        # b3: live click for the live purchase in the same batch
+        [(2, "2025-01-16 12:30:00")],
+    ]
+    for d, col, batches in ((pdir, "p_ts", pbatches), (cdir, "c_ts", cbatches)):
+        for i, rows in enumerate(batches):
+            p = d / f"{chr(ord('a') + i)}.json"
+            with open(p, "w") as f:
+                for uid, ts in rows:
+                    f.write(_json.dumps({"user_id": uid, col: ts}) + "\n")
+            _os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    pschema = "user_id long, p_ts timestamp"
+    cschema = "user_id long, c_ts timestamp"
+    ps = (
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(pdir))
+    )
+    cs = (
+        spark.readStream.schema(cschema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(cdir))
+    )
+    q = (
+        stream_stream_interval_join(ps, cs)
+        .writeStream.format("memory")
+        .queryName("ssj_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["p_ts"]), str(r["c_ts"]))
+        for r in spark.sql("SELECT * FROM ssj_evict").collect()
+    }
+    assert got == {
+        (1, "2025-01-16 10:00:00", "2025-01-16 09:30:00"),  # same-batch pair
+        (9, "2025-01-16 14:00:00", "2025-01-16 13:00:00"),  # cross-batch pair
+        (2, "2025-01-16 12:45:00", "2025-01-16 12:30:00"),  # live pair in b2
+        # MISSING by design: (1, 10:15, 09:30) — the click was evicted at
+        # b1's commit before the late purchase arrived in b2
+    }
+
+    # batch twin over the full input finds the evicted pair too
+    pb = spark.read.schema(pschema).json(str(pdir))
+    cb = spark.read.schema(cschema).json(str(cdir))
+    expect = {
+        (r["user_id"], str(r["p_ts"]), str(r["c_ts"]))
+        for r in stream_stream_interval_join(pb, cb).collect()
+    }
+    assert expect == got | {(1, "2025-01-16 10:15:00", "2025-01-16 09:30:00")}
