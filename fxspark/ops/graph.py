@@ -173,6 +173,14 @@ def triangles_per_node(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # Checkpoint the canonical edge frame: the engine consumes it from
+        # several branches (degree rollup, orientation join, final join),
+        # each of which would otherwise re-run the caller's whole edge
+        # build — 34 base-table scans in part_copurchase_clustering's
+        # executed plan without this. A/B-measured neutral at local
+        # fixture scale (r9 note: recompute is not the local cost); at
+        # cluster scale re-reading the base N times is the difference.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -187,12 +195,14 @@ def triangles_per_node(
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # Checkpointed for the same reason as e: three consumers below (lo,
+    # hi, and the closing semi-join) would each re-run the degree joins.
     oe = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=False)
     # wedges from shared oriented source, ordered by (deg, id) so each
     # unordered out-neighbor pair appears once
     lo = oe.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))

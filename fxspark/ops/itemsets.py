@@ -98,16 +98,23 @@ def frequent_triples(
 
     ONE basket-grain pair enumeration feeds both the frequent-pair counts
     and the candidate stage (measured ~4.2 → ~3.0 s warm at sf0.1 vs the
-    naive recompute). An eager localCheckpoint of the distinct item frame
-    was A/B-measured WORSE (≈6.3 s vs 3.0 s): the materialization job
-    costs more than the recompute it saves at this scale — the same
-    verdict as source_token_kl's shared-rollup A/B; revisit only if the
-    basket join ever dominates end-to-end.
+    naive recompute), and the pair frame is LAZILY localCheckpointed:
+    without it the multi-consumer lineage (pairs → f2, pairs → bp → cand
+    twice) compounds to 68 base-table scans in the executed plan — fatal
+    at cluster scale — while the checkpoint A/B-measures neutral locally
+    (4.0 s both ways at sf0.1, bench regime). Checkpointing the LARGER
+    frames is a different story: an eager checkpoint of the distinct item
+    frame (≈6.3 s vs 3.0 s) and a lazy checkpoint of the basket-grain bp
+    frame (6.0 s vs 4.0 s) both A/B-measured WORSE — materializing
+    basket-grain rows costs more than recomputing them from the
+    checkpointed pairs.
 
     Returns ``(i1, i2, i3, support)`` with ``i1 < i2 < i3``.
     """
     sup = _min_support(baskets, basket_col, rel_support_ppm)
-    pairs = _basket_pairs(baskets, basket_col, item_col, sup)
+    pairs = _basket_pairs(
+        baskets, basket_col, item_col, sup
+    ).localCheckpoint(eager=False)
     f2 = _pair_counts(pairs, sup)
     bp = pairs.join(
         F.broadcast(f2.select("i1", "i2")), ["i1", "i2"], "left_semi"

@@ -6103,9 +6103,17 @@ def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_cn") != F.col("_sn"))
     )
-    edges = base.select(
-        F.least("_cn", "_sn").alias("a"), F.greatest("_cn", "_sn").alias("b")
-    ).distinct()
+    # ≤ C(25,2) = 300 rows, but its lineage is the whole 6-table join —
+    # checkpointed so the three triple-join branches below don't each
+    # re-run it (18 base scans in the executed plan otherwise)
+    edges = (
+        base.select(
+            F.least("_cn", "_sn").alias("a"),
+            F.greatest("_cn", "_sn").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     e1 = edges.select(F.col("a").alias("n1"), F.col("b").alias("n2"))
     e2 = edges.select(F.col("a").alias("n2"), F.col("b").alias("n3"))
     e3 = edges.select(F.col("a").alias("n1"), F.col("b").alias("n3"))
@@ -6614,6 +6622,10 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
         .distinct()
+        # five consumers below (denominator, marginals, both self-join
+        # sides) — without the checkpoint each re-runs the join+dedup
+        # (10 base scans in the executed plan)
+        .localCheckpoint(eager=False)
     )
     n_orders = bk.agg(F.countDistinct("o").alias("n_orders"))
     c = bk.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
@@ -8020,15 +8032,31 @@ def q_funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "user_id", "ts", "event_type",
         ["signup", "click", "purchase"],
     )
-    l1 = f.filter(F.col("t_click").isNotNull()).select(
-        F.lit("signup->click").alias("stage_pair"),
-        (F.unix_micros("t_click") - F.unix_micros("t_signup")).alias("us"),
+    # One pass over the funnel frame: a union of two filtered branches
+    # would re-run the whole stage-window pipeline per branch (10 events
+    # scans in the executed plan); the explode emits both transitions
+    # from the same row.
+    pairs = F.array(
+        F.struct(
+            F.lit("signup->click").alias("stage_pair"),
+            (F.unix_micros("t_click") - F.unix_micros("t_signup")).alias(
+                "us"
+            ),
+            F.col("t_click").isNotNull().alias("ok"),
+        ),
+        F.struct(
+            F.lit("click->purchase").alias("stage_pair"),
+            (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias(
+                "us"
+            ),
+            F.col("t_purchase").isNotNull().alias("ok"),
+        ),
     )
-    l2 = f.filter(F.col("t_purchase").isNotNull()).select(
-        F.lit("click->purchase").alias("stage_pair"),
-        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("us"),
+    lat = (
+        f.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.ok"))
+        .select(F.col("p.stage_pair").alias("stage_pair"), F.col("p.us").alias("us"))
     )
-    lat = l1.unionByName(l2)
     return lat.groupBy("stage_pair").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.round(
@@ -11209,11 +11237,17 @@ def q_events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
     ref = events.filter(F.col("ts") < split)
     cur = events.filter(F.col("ts") >= split)
-    st = ref.groupBy("event_type").agg(
-        F.min("value").alias("mn"),
-        ((F.max("value") - F.min("value")) / 16).alias("width"),
-        F.count(F.lit(1)).alias("n_ref"),
-    ).filter(F.col("width") > 0)
+    st = (
+        ref.groupBy("event_type")
+        .agg(
+            F.min("value").alias("mn"),
+            ((F.max("value") - F.min("value")) / 16).alias("width"),
+            F.count(F.lit(1)).alias("n_ref"),
+        )
+        .filter(F.col("width") > 0)
+        # per-type grid, three consumers (n_cur gate + both binned passes)
+        .localCheckpoint(eager=False)
+    )
     nc = cur.join(F.broadcast(st.select("event_type")), "event_type").groupBy(
         "event_type"
     ).agg(F.count(F.lit(1)).alias("n_cur"))
@@ -11695,6 +11729,9 @@ def q_region_nation_revenue_share(
         )
         .groupBy("r_name", "n_name")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rv"))
+        # 25-row rollup whose lineage is the whole orders join — both the
+        # grand-total branch and the window branch consume it
+        .localCheckpoint(eager=False)
     )
     tot = rev.agg(F.sum("rv").alias("gt"))
     wreg = Window.partitionBy("r_name")

@@ -117,6 +117,22 @@ def _unpartitioned_windows(plan: str) -> list[str]:
     return hits
 
 
+# Base-table scan budget: a plan whose scan count far exceeds the tables it
+# references is recomputing a multi-consumer frame instead of checkpointing
+# it — locally invisible (partial combines make fixture scans cheap), fatal
+# at 100 TB where every extra scan re-reads the base. The round-10 sweep
+# found and fixed 68-scan (apriori), 34-scan (triangles), 18-scan
+# (trade_triangles) and 2^stages (funnel) shapes; this bound keeps the
+# class from regressing. Queries allowed above the bound must state why.
+SCAN_BUDGET = 10
+SCAN_BUDGET_OK = {
+    # Tick-replay harnesses: each synthesized tick filters the base table,
+    # so scans grow with the DECLARED tick count (a real CDC feed arrives
+    # as deltas; the re-scan is the replay fixture, not the operator).
+    "orders_delta_join_ticks": "per-tick replay synthesis (fixed tick count)",
+}
+
+
 def test_every_query_plan_respects_global_bans(spark, sf_dir):
     violations: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
@@ -125,6 +141,9 @@ def test_every_query_plan_respects_global_bans(spark, sf_dir):
         gw = _unpartitioned_windows(plan)
         if gw and name not in GLOBAL_WINDOW_OK:
             hits.append(f"unpartitioned Window: {gw}")
+        n_scans = plan.count("Scan parquet")
+        if n_scans > SCAN_BUDGET and name not in SCAN_BUDGET_OK:
+            hits.append(f"{n_scans} base-table scans (budget {SCAN_BUDGET})")
         if hits:
             violations[name] = hits
     assert not violations, violations
