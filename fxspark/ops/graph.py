@@ -173,13 +173,20 @@ def triangles_per_node(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # Checkpoint the canonical edge frame: the engine consumes it from
-        # several branches (degree rollup, orientation join, final join),
-        # each of which would otherwise re-run the caller's whole edge
-        # build — 34 base-table scans in part_copurchase_clustering's
-        # executed plan without this. A/B-measured neutral at local
-        # fixture scale (r9 note: recompute is not the local cost); at
-        # cluster scale re-reading the base N times is the difference.
+        # Materialize the canonical edge frame: the engine consumes it
+        # from several branches (degree rollup, orientation join, final
+        # join), each of which would otherwise re-run the caller's whole
+        # edge build — 34 base-table scans in
+        # part_copurchase_clustering's executed plan without this.
+        # localCheckpoint, NOT persist: persist registers in the session
+        # CacheManager by canonicalized plan, so a REBUILT identical
+        # query silently serves cached results (A/B: 0.8 s cache-read vs
+        # 4.1 s compute) — corrupting benchmark semantics and
+        # accumulating session-lifetime cache entries. The trade is that
+        # checkpoint blocks don't survive executor loss; a cluster
+        # deployment with executor churn swaps this for
+        # persist-with-managed-lifecycle or reliable checkpointing
+        # (SCALE.md §1).
         .localCheckpoint(eager=False)
     )
     deg = (
@@ -195,7 +202,7 @@ def triangles_per_node(
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # Checkpointed for the same reason as e: three consumers below (lo,
+    # Materialized for the same reason as e: three consumers below (lo,
     # hi, and the closing semi-join) would each re-run the degree joins.
     oe = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),

@@ -30,12 +30,21 @@ from pyspark.sql import functions as F
 
 def _min_support(baskets: DataFrame, basket_col: str, rel_ppm: int):
     """Scalar frame: n_baskets and the absolute support floor
-    ``ceil(n * rel_ppm / 1e6)`` in exact integer arithmetic."""
-    return baskets.select(basket_col).distinct().agg(
-        F.count(F.lit(1)).alias("_nb")
-    ).select(
-        "_nb",
-        F.expr(f"(_nb * {rel_ppm} + 999999) div 1000000").alias("_minsup"),
+    ``ceil(n * rel_ppm / 1e6)`` in exact integer arithmetic.
+    Materialized: every broadcast of this one-row frame (item cut, pair
+    cut, triple cut) would otherwise re-run the full distinct+count
+    scan of the basket source."""
+    return (
+        baskets.select(basket_col)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .select(
+            "_nb",
+            F.expr(f"(_nb * {rel_ppm} + 999999) div 1000000").alias(
+                "_minsup"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -98,23 +107,24 @@ def frequent_triples(
 
     ONE basket-grain pair enumeration feeds both the frequent-pair counts
     and the candidate stage (measured ~4.2 → ~3.0 s warm at sf0.1 vs the
-    naive recompute), and the pair frame is LAZILY localCheckpointed:
-    without it the multi-consumer lineage (pairs → f2, pairs → bp → cand
-    twice) compounds to 68 base-table scans in the executed plan — fatal
-    at cluster scale — while the checkpoint A/B-measures neutral locally
-    (4.0 s both ways at sf0.1, bench regime). Checkpointing the LARGER
-    frames is a different story: an eager checkpoint of the distinct item
-    frame (≈6.3 s vs 3.0 s) and a lazy checkpoint of the basket-grain bp
-    frame (6.0 s vs 4.0 s) both A/B-measured WORSE — materializing
-    basket-grain rows costs more than recomputing them from the
-    checkpointed pairs.
+    naive recompute), and the pair frame is lazily localCheckpointed:
+    without it the multi-consumer lineage (pairs → f2, pairs → bp →
+    cand twice) compounds to 68 base-table scans in the executed plan —
+    fatal at cluster scale — while the materialization A/B-measures
+    neutral locally (4.0 s both ways at sf0.1, bench regime).
+    localCheckpoint, not persist — persist's CacheManager registration
+    makes rebuilt identical queries serve cached results (benchmark
+    corruption + session-lifetime accumulation; see graph.py for the
+    measured A/B). Materializing the LARGER frames is a different
+    story: the distinct item frame (≈6.3 s vs 3.0 s) and the
+    basket-grain bp frame (6.0 s vs 4.0 s) both A/B-measured WORSE —
+    materializing basket-grain rows costs more than recomputing them
+    from the checkpointed pairs.
 
     Returns ``(i1, i2, i3, support)`` with ``i1 < i2 < i3``.
     """
     sup = _min_support(baskets, basket_col, rel_support_ppm)
-    pairs = _basket_pairs(
-        baskets, basket_col, item_col, sup
-    ).localCheckpoint(eager=False)
+    pairs = _basket_pairs(baskets, basket_col, item_col, sup).localCheckpoint(eager=False)
     f2 = _pair_counts(pairs, sup)
     bp = pairs.join(
         F.broadcast(f2.select("i1", "i2")), ["i1", "i2"], "left_semi"

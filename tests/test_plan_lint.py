@@ -118,12 +118,20 @@ def _unpartitioned_windows(plan: str) -> list[str]:
 
 
 # Base-table scan budget: a plan whose scan count far exceeds the tables it
-# references is recomputing a multi-consumer frame instead of checkpointing
+# references is recomputing a multi-consumer frame instead of materializing
 # it — locally invisible (partial combines make fixture scans cheap), fatal
 # at 100 TB where every extra scan re-reads the base. The round-10 sweep
 # found and fixed 68-scan (apriori), 34-scan (triangles), 18-scan
 # (trade_triangles) and 2^stages (funnel) shapes; this bound keeps the
 # class from regressing. Queries allowed above the bound must state why.
+#
+# KNOWN BLIND SPOT: scans inside a persisted/localCheckpointed subtree do
+# not appear in the outer executed plan (InMemoryTableScan / ExistingRDD),
+# so a materialization wrapped around a still-recomputing subtree passes
+# unseen. The budget therefore bounds RECOMPUTED scans across consumers —
+# the class the sweep targeted — not total scans per materialization;
+# inner-subtree duplication is the code-review checklist's job (check
+# every frame with 2+ consumers inside an op before materializing it).
 SCAN_BUDGET = 10
 SCAN_BUDGET_OK = {
     # Tick-replay harnesses: each synthesized tick filters the base table,
@@ -147,6 +155,27 @@ def test_every_query_plan_respects_global_bans(spark, sf_dir):
         if hits:
             violations[name] = hits
     assert not violations, violations
+
+
+def test_scan_budget_allowlist_has_no_stale_entries(spark, sf_dir):
+    """Every SCAN_BUDGET_OK entry must still (a) be registered and
+    (b) actually exceed the budget — the same staleness rule as the
+    window allowlist, so a refactored-below-budget query can't leave a
+    dead entry that silently re-admits the recompute class."""
+    stale = []
+    for name in SCAN_BUDGET_OK:
+        if name not in QUERIES:
+            stale.append(f"{name}: not registered")
+            continue
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if plan.count("Scan parquet") <= SCAN_BUDGET:
+            stale.append(f"{name}: within budget, entry is dead weight")
+    assert not stale, stale
 
 
 def test_global_window_allowlist_has_no_stale_entries(spark, sf_dir):
