@@ -419,7 +419,17 @@ def main() -> None:
     if drift > 0.20:
         print("# headline drift >20% — recapturing once", file=sys.stderr)
         headline_retried = True
-        timings, calib_before, calib_after, drift = headline_capture()
+        retry = headline_capture()
+        # Keep whichever capture drifted LESS — an unconditional replace
+        # can publish the worse of the two when the retry drifts harder.
+        if retry[3] <= drift:
+            timings, calib_before, calib_after, drift = retry
+        else:
+            print(
+                f"# retry drifted worse ({retry[3]:.0%} > {drift:.0%}) — "
+                "keeping first capture",
+                file=sys.stderr,
+            )
     load_contaminated = drift > 0.20
     if load_contaminated:
         print(

@@ -268,6 +268,17 @@ def sample_edges_md5(
     ``(least, greatest)``, so both directed rows of an undirected edge
     share the same keep/drop fate — required when the caller feeds a
     symmetrized edge list (e.g. for PageRank on the sampled graph).
+
+    NULL endpoints: ``concat`` of a NULL src/dst yields a NULL hash, so
+    the keep predicate is NULL and the edge is DROPPED. A NULL endpoint
+    is not an edge (there is nothing to connect), so dropping is the
+    correct semantics for sampling — but it would also silently mask an
+    upstream data problem, so the drop is made explicit and loud here:
+    the filter excludes NULLs by construction, and callers who need to
+    surface bad rows should anti-join against ``isnull(src) |
+    isnull(dst)`` BEFORE sampling (the co-purchase edge builders derive
+    endpoints from inner joins on non-null keys, so no NULLs reach this
+    in the registered queries).
     """
     u, v = F.col(src), F.col(dst)
     h = F.conv(
@@ -285,7 +296,9 @@ def sample_edges_md5(
         16,
         10,
     ).cast("bigint")
-    return edges.filter((h % 100) < pct)
+    # Explicit, not incidental: NULL endpoints are excluded by a named
+    # predicate rather than relying on NULL-hash three-valued logic.
+    return edges.filter(u.isNotNull() & v.isNotNull()).filter((h % 100) < pct)
 
 
 def personalized_pagerank(

@@ -5823,6 +5823,11 @@ def q_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        # ≤ 625 rows (nation × nation) whose lineage is the whole 6-table
+        # join; pagerank's out-weight join consumes the edge frame twice
+        # ABOVE its internal checkpoint, so without this the join pipeline
+        # runs twice (round-11 audit, A/B 3.96 s → 2.99 s median at sf0.1).
+        .localCheckpoint(eager=False)
     )
     ranks = pagerank(edges, "src", "dst", weight="w", n_iter=5, damping=0.85)
     return ranks.select(
@@ -12208,6 +12213,61 @@ _PPR_ITER = """
     )"""
 
 
+def _copurchase_weighted_edges(
+    spark: SparkSession, sf_dir: str, sample_pct: int | None = None
+) -> DataFrame:
+    """Shared weighted co-purchase edge build for the PPR family:
+    canonical pairs (src < dst) from the order-keyed self-join, optional
+    DOULION md5 sampling, co-occurrence-count weights, ONE materialization,
+    then a mirror union to the symmetric directed edge list.
+
+    Three measured design points (sf0.1, interleaved 3-rep medians,
+    round 11):
+
+    - CANONICAL-THEN-MIRROR, not directed enumeration: the self-join
+      emits 12M canonical rows instead of 24M directed ones, halving the
+      join output and the rollup shuffle; the mirror union reads the
+      CHECKPOINTED 1.2M-edge aggregate twice, which is cheap. (Round 10
+      measured canonical+mirror as WORSE — but that A/B predated the
+      checkpoint, so each union branch re-ran the whole build; with the
+      materialization the verdict flips: exact PPR 15.5 s → 9.1 s.)
+    - SAMPLE BEFORE THE ROLLUP: the keep/drop hash depends only on the
+      group keys, so the filter commutes with the groupBy; hashing 12M
+      raw pairs map-side is cheaper than shuffling 4× the rows into the
+      rollup and hashing the aggregate after (topk 9.5 s → 8.4 s).
+    - CHECKPOINT THE UNDIRECTED AGGREGATE (the narrowest frame): the
+      consumers above personalized_pagerank's internal checkpoint —
+      nodes_in_graph's two union branches, the seed semi-join, and the
+      out-weight join — would otherwise each re-run the 12M-row build
+      (the apriori ``_min_support`` pattern, round-10 audit class).
+
+    Weights are bit-identical to the directed enumeration: the
+    co-occurrence count of (u,v) equals that of (v,u), and share
+    normalization divides integer-valued doubles (< 2^53, exact sums in
+    any order), so both PPR oracles are unchanged.
+    """
+    from fxspark.ops.graph import sample_edges_md5
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
+    if sample_pct is not None:
+        pairs = sample_edges_md5(pairs, sample_pct)
+    und = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    return und.select("src", "dst", "w").union(
+        und.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+
+
+
 @query(
     "part_copurchase_ppr",
     oracle="""
@@ -12254,26 +12314,19 @@ def q_part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAST-AS-DOUBLE on both sides: the decimal-literal-folding trap).
     Personalization set = brand parts PRESENT in the graph, so the
     teleport norm is well-defined on both sides. Unreachable parts keep
-    rank exactly 0."""
+    rank exactly 0.
+
+    Cost note (sf0.1, interleaved 3-rep medians, round 11): 15.5 s with
+    the round-10 directed un-materialized build → 9.1 s on the shared
+    ``_copurchase_weighted_edges`` helper (canonical pairs + checkpoint
+    + mirror — the full A/B table is in the helper's docstring). What
+    remains is the irreducible pair enumeration: op-distinct + the
+    order-keyed self-join emitting 12M canonical co-occurrence rows —
+    the edge build IS the workload on this dense fixture."""
     from fxspark.ops.graph import personalized_pagerank
 
-    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    # cost note (sf0.1, bench config): ~15 s, dominated by materializing
-    # the dense 2.39M-edge frame (the checkpoint the iterations then
-    # reuse at ~1.1 s/iteration); a canonical-pair+mirror rewrite was
-    # A/B-measured WORSE (cp recomputes per union branch). Same dense
-    # fixture graph as part_copurchase_clustering — the edge build IS
-    # the workload here.
+    edges = _copurchase_weighted_edges(spark, sf_dir)
     nodes_in_graph = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -14522,25 +14575,29 @@ def q_part_copurchase_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        cut): the recsys consumer wants the head, not 20k tail ranks.
 
     The DuckDB oracle replays all three — sampled edge build, the
-    ε-filtered unrolled iterations, the same cut — bit-for-bit."""
-    from fxspark.ops.graph import personalized_pagerank, sample_edges_md5
+    ε-filtered unrolled iterations, the same cut — bit-for-bit.
 
-    li = load_table(spark, sf_dir, "lineitem")
+    Cost note (sf0.1, interleaved 3-rep medians, round 11): 13.6 s with
+    the round-10 sample-after-rollup directed build → 8.4 s on the
+    shared ``_copurchase_weighted_edges`` helper, which samples BEFORE
+    the rollup on canonical pairs (the commuting-filter argument and the
+    full A/B table are in the helper's docstring). REGIME NOTE for the
+    twin's margin: after the shared-build fix the exact form is 9.1 s,
+    so at sf0.1 the sampled twin wins only ~8% — because on THIS fixture
+    the irreducible pair enumeration (12M rows, paid identically by both
+    forms) dominates, and sampling can only shrink what comes after it
+    (rollup shuffle 4×, iteration edge frame 4×). The twin's win scales
+    with the part of the cost it actually attacks: more iterations,
+    graphs whose edge aggregate is large relative to the raw pair
+    stream (power-law real graphs, where co-occurrence multiplicity is
+    low and the rollup shuffle dominates), or any deployment where the
+    per-iteration edge frame is the memory/shuffle bottleneck — there
+    the 4× edge-frame reduction is the whole game, as the DOULION
+    clustering twin (wedge work ~p² = 16×) already demonstrates."""
+    from fxspark.ops.graph import personalized_pagerank
+
     part = load_table(spark, sf_dir, "part")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    # Sample AFTER the weight rollup: the keep/drop hash is deterministic
-    # per (src, dst) pair, so filtering commutes with the groupBy — and
-    # the md5 then runs over the 2.39M aggregated edges, not the ~24M raw
-    # co-occurrence rows.
-    edges = sample_edges_md5(
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w")),
-        25,
-    )
+    edges = _copurchase_weighted_edges(spark, sf_dir, sample_pct=25)
     nodes_in_graph = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

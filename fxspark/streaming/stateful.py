@@ -382,10 +382,13 @@ def stateful_topk(
     # (an int-typed group key would otherwise mismatch at runtime). The
     # id/value columns stay long/double: the update fn itself casts to
     # int()/float() (the state arrays are long/double by declaration).
+    # Identifiers are backtick-quoted in the DDL string so a group/id/
+    # value column whose name needs quoting (reserved word, dots,
+    # spaces) still parses at runtime.
     group_type = events.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} {group_type}, rk int, {id_col} long, "
-        f"{value_col} double"
+        f"`{group_col}` {group_type}, rk int, `{id_col}` long, "
+        f"`{value_col}` double"
     )
 
     def update(

@@ -21,6 +21,8 @@ floor rules.
 
 from __future__ import annotations
 
+import re
+
 from fxspark.queries import QUERIES
 
 BANNED = ("CartesianProduct", "BatchEvalPython")
@@ -133,6 +135,23 @@ def _unpartitioned_windows(plan: str) -> list[str]:
 # inner-subtree duplication is the code-review checklist's job (check
 # every frame with 2+ consumers inside an op before materializing it).
 SCAN_BUDGET = 10
+
+
+def _count_scans(plan: str) -> int:
+    """Count base-table scan nodes in an executed-plan string.
+
+    Matches any DSv1/DSv2 source node (``FileScan parquet``, ``FileScan
+    csv``, ``BatchScan``, ``Scan ExistingRDD`` is deliberately EXCLUDED —
+    that's a materialized frame, not a base re-read). Regex on the node
+    name rather than a ``"Scan parquet"`` substring so non-parquet
+    sources count too and Spark-version formatting drift (v1 vs v2 scan
+    exec naming) fails loudly here instead of silently weakening the
+    lint. Assumption: plan strings name scan nodes ``FileScan <fmt>`` or
+    ``BatchScan``; pinned by test_count_scans_matches_known_shapes.
+    """
+    return len(re.findall(r"\b(?:FileScan \w+|BatchScan)\b", plan))
+
+
 SCAN_BUDGET_OK = {
     # Tick-replay harnesses: each synthesized tick filters the base table,
     # so scans grow with the DECLARED tick count (a real CDC feed arrives
@@ -149,7 +168,7 @@ def test_every_query_plan_respects_global_bans(spark, sf_dir):
         gw = _unpartitioned_windows(plan)
         if gw and name not in GLOBAL_WINDOW_OK:
             hits.append(f"unpartitioned Window: {gw}")
-        n_scans = plan.count("Scan parquet")
+        n_scans = _count_scans(plan)
         if n_scans > SCAN_BUDGET and name not in SCAN_BUDGET_OK:
             hits.append(f"{n_scans} base-table scans (budget {SCAN_BUDGET})")
         if hits:
@@ -173,7 +192,7 @@ def test_scan_budget_allowlist_has_no_stale_entries(spark, sf_dir):
             .executedPlan()
             .toString()
         )
-        if plan.count("Scan parquet") <= SCAN_BUDGET:
+        if _count_scans(plan) <= SCAN_BUDGET:
             stale.append(f"{name}: within budget, entry is dead weight")
     assert not stale, stale
 
@@ -196,3 +215,22 @@ def test_global_window_allowlist_has_no_stale_entries(spark, sf_dir):
         if not _unpartitioned_windows(plan):
             stale.append(f"{name}: no unpartitioned window in plan")
     assert not stale, stale
+
+
+def test_count_scans_matches_known_shapes(spark, sf_dir):
+    """Pin the _count_scans node-name assumption against a live plan
+    (a parquet read must count as exactly one scan; a joined pair as
+    two) and against synthetic strings for the formats/engines this
+    Spark version doesn't exercise locally (csv, DSv2 BatchScan)."""
+    one = spark.read.parquet(f"{sf_dir}/region.parquet")
+    plan1 = one._jdf.queryExecution().executedPlan().toString()
+    assert _count_scans(plan1) == 1, plan1
+    two = one.crossJoin(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    plan2 = two._jdf.queryExecution().executedPlan().toString()
+    assert _count_scans(plan2) == 2, plan2
+    # Synthetic coverage for node names not produced locally:
+    assert _count_scans("+- FileScan csv [a#1] Batched: false") == 1
+    assert _count_scans("+- BatchScan[a#1] class org.x.Y") == 1
+    # Materialized frames are NOT base re-reads:
+    assert _count_scans("+- Scan ExistingRDD[a#1]") == 0
+    assert _count_scans("+- InMemoryTableScan [a#1]") == 0
