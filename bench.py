@@ -269,6 +269,21 @@ EXTENSION = [
     "order_value_isotonic_calibration",
     "part_copurchase_clustering_sampled",
     "part_copurchase_ppr_topk",
+    # Round 11: the 13 registered-but-unbenched remainder, so the sweep
+    # covers the whole registry (bench_compare then tracks every query).
+    "active_events",
+    "customer_set_ops",
+    "customers_without_recent_orders",
+    "dedup_latest_events",
+    "doc_token_topk",
+    "embedding_knn_join",
+    "json_props_extract",
+    "media_features",
+    "order_pct_change",
+    "promo_revenue_share",
+    "rate_change_report_left",
+    "second_latest_before_cutoff",
+    "user_activity_summary",
 ]
 
 REPS = int(os.environ.get("FXSPARK_BENCH_REPS", "5"))
@@ -825,6 +840,15 @@ def main() -> None:
             "calibration_final_s": calib_final,
             "ext_calibration_drift": round(ext_drift, 3),
             "ext_load_contaminated": ext_contaminated,
+            # DECLARED expected in-sweep bands for context-sensitive
+            # probes (sec). tokens_mg_pass_200k measures a single-pass
+            # Misra-Gries sketch over 24M synthetic tokens: ~1.0 s solo,
+            # 3-6 s at the END of the 240-query sweep (JVM heap full of
+            # checkpoint blocks, code cache hot-swapped) — a recurring
+            # false regression in bench_compare since r8. Readings inside
+            # the band are reported as in-band, not flagged; readings
+            # OUTSIDE it (either side) still get the normal median rule.
+            "probe_bands": {"tokens_mg_pass_200k": [0.7, 7.0]},
         },
     }
     # Full record (per-extension timings) goes to a file + stderr; the FINAL

@@ -234,3 +234,54 @@ def test_count_scans_matches_known_shapes(spark, sf_dir):
     # Materialized frames are NOT base re-reads:
     assert _count_scans("+- Scan ExistingRDD[a#1]") == 0
     assert _count_scans("+- InMemoryTableScan [a#1]") == 0
+
+
+# Op-level scan budget: the global budget above counts scans in the OUTER
+# executed plan, so scans hidden INSIDE a localCheckpointed subtree are
+# invisible to it (the documented blind spot). This lint closes that hole
+# for the checkpoint-heavy modules by intercepting localCheckpoint itself:
+# every frame a representative query materializes gets its PRE-checkpoint
+# plan scan-counted at call time, so a materialization wrapped around a
+# still-recomputing subtree (e.g. a union whose branches each re-run a
+# 6-table join) fails here even though the outer plan shows one ExistingRDD.
+INNER_SCAN_BUDGET = 10
+CHECKPOINT_HEAVY = [
+    "part_copurchase_ppr",           # graph.py: shared edge build + iterations
+    "part_copurchase_clustering",    # graph.py: triangle engine internals
+    "minhash_lsh_pairs",             # dedup.py: shingle sets + signatures
+    "brand_triples_apriori",         # itemsets.py: pair frame + support scalar
+    "event_funnel_stages",           # windows.py: per-iteration checkpoint
+]
+
+
+def test_checkpointed_subtrees_respect_scan_budget(spark, sf_dir):
+    # Patch the CONCRETE class: in PySpark 4 `pyspark.sql.DataFrame` is the
+    # abstract facade and the classic session's frames override
+    # localCheckpoint on pyspark.sql.classic.dataframe.DataFrame — patching
+    # the facade would never be hit.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame
+
+    recorded: list[tuple[str, int]] = []
+    original = DataFrame.localCheckpoint
+
+    def recording(self, eager=True):
+        plan = self._jdf.queryExecution().executedPlan().toString()
+        recorded.append((plan.splitlines()[0][:60], _count_scans(plan)))
+        return original(self, eager=eager)
+
+    DataFrame.localCheckpoint = recording
+    try:
+        violations = {}
+        for name in CHECKPOINT_HEAVY:
+            recorded.clear()
+            QUERIES[name](spark, sf_dir).count()
+            over = [(h, n) for h, n in recorded if n > INNER_SCAN_BUDGET]
+            if over:
+                violations[name] = over
+            assert recorded, f"{name}: no localCheckpoint observed (update list)"
+    finally:
+        DataFrame.localCheckpoint = original
+    assert not violations, violations

@@ -29,6 +29,21 @@ def load(path: str) -> dict[str, float]:
     return {k: v for k, v in out.items() if isinstance(v, (int, float)) and v > 0}
 
 
+def load_bands(path: str) -> dict[str, list[float]]:
+    """Per-probe DECLARED expected bands from the record's capture block.
+
+    Some bench-only probes are sweep-context-sensitive (tokens_mg_pass_200k:
+    ~1.0 s solo, 3-6 s after the 240-query sweep has filled the JVM heap
+    with checkpoint blocks and code-cache — a recurring false regression
+    since r8). bench.py declares the expected IN-SWEEP range for those
+    probes; a new reading inside its declared band is reported separately
+    and never flagged as a regression.
+    """
+    with open(path) as fh:
+        d = json.load(fh)
+    return dict((d.get("capture") or {}).get("probe_bands", {}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("new")
@@ -38,18 +53,24 @@ def main() -> None:
     args = ap.parse_args()
 
     new = load(args.new)
+    bands = load_bands(args.new)
     olds = [load(p) for p in args.old]
-    flagged, improved = [], []
+    flagged, improved, in_band = [], [], []
     for q, v in sorted(new.items()):
         hist = [o[q] for o in olds if q in o]
         if not hist:
             continue
         ref = statistics.median(hist)
+        if q in bands and bands[q][0] <= v <= bands[q][1]:
+            in_band.append((q, bands[q], v))
+            continue
         if v > max(ref * args.band, args.floor):
             flagged.append((v / ref, q, ref, v))
         elif ref > args.floor and v < ref / args.band:
             improved.append((ref / v, q, ref, v))
 
+    for q, b, v in in_band:
+        print(f"IN DECLARED BAND: {q} now={v:.2f}s band=[{b[0]}, {b[1]}]")
     for label, rows in (("REGRESSED", flagged), ("IMPROVED", improved)):
         print(f"{label}: {len(rows)}")
         for r, q, ref, v in sorted(rows, reverse=True):
