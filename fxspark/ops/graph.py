@@ -218,8 +218,22 @@ def triangles_per_node(
         (F.col("dx") < F.col("dy"))
         | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
     )
+    # Close wedges with a SHUFFLE-HASH semi-join, not sort-merge: the
+    # wedge frame is the largest intermediate of the whole algorithm
+    # (Σ out-deg² rows — 83M on the dense sf0.1 fixture) and a semi-join
+    # gains nothing from sorting it; SHJ builds a per-partition hash of
+    # the |E|/numPartitions closing-edge slice and streams the wedges.
+    # Scale-safe (unlike broadcasting the edge set, which caps |E| at
+    # executor memory — A/B-measured equal locally, 3.0 s both, but the
+    # broadcast form breaks at billion-edge scale); the SHJ build side
+    # is bounded per partition, the streamed side never sorts. Local
+    # A/B (solo, 3-rep medians): SMJ 3.34 s / SHJ 3.05 s / broadcast
+    # 3.01 s — the win is the removed O(W log W) sort, which grows with
+    # exactly the wedge count that dominates at scale.
     tri = wedge.join(
-        oe.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        oe.select(F.col("a").alias("x"), F.col("b").alias("y")).hint(
+            "shuffle_hash"
+        ),
         ["x", "y"],
         "left_semi",
     )

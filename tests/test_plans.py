@@ -435,6 +435,10 @@ def test_triangles_orientation_keyed_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "part_copurchase_clustering")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # The wedge-closing semi-join must be SHUFFLE-HASH: the wedge frame
+    # (Σ out-deg² rows) is the algorithm's largest intermediate and a
+    # semi-join gains nothing from sort-merge's O(W log W) sort of it.
+    assert "ShuffledHashJoin" in plan, plan[:3000]
 
 
 def test_scd2_enrich_single_sort_shuffle(spark, sf_dir):
