@@ -454,7 +454,21 @@ def main() -> None:
         )
 
     ext_timings: dict[str, float] = {}
-    for name in [n for n in EXTENSION if n in QUERIES]:
+    # Periodic block cleanup (round-11 measured mechanism): localCheckpoint
+    # RDD blocks are released by the ContextCleaner only when JVM GC
+    # processes its weak references — Python gc alone leaves them pinned
+    # (measured: 358 MB / 12 RDDs after 10 checkpoint-heavy queries, still
+    # pinned after gc.collect()+3 s; 7.5 MB / 1 RDD after an explicit
+    # System.gc()). Over the 240-query sweep the residue reaches GBs and
+    # contributes to the late-sweep inflation of the big graph entries
+    # (clustering 3.3 s solo vs 10.1 s at sweep position ~240). The
+    # cleanup runs OUTSIDE the timed regions every 25 queries.
+    import gc as _gc
+
+    for i, name in enumerate([n for n in EXTENSION if n in QUERIES]):
+        if i > 0 and i % 25 == 0:
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
         timed(name, EXT_REPS, ext_timings, adaptive_secs=2.0)
 
     # FX flagship at >=1e6 synthetic rows (BASELINE.md's FX-specific bench):
@@ -813,7 +827,14 @@ def main() -> None:
     ext_drift = abs(calib_final - calib_before) / max(
         min(calib_before, calib_final), 1e-9
     )
-    ext_contaminated = ext_drift > 0.40
+    # One-sided gate: contamination means EXTERNAL LOAD inflated the sweep,
+    # and load only ever makes the probe SLOWER. A final probe FASTER than
+    # the clean pre-headline baseline is the opposite signal — since the
+    # round-11 periodic block cleanup, the post-sweep JVM is cleaner than
+    # it used to be and the final probe routinely beats the baseline
+    # (measured 0.162 s vs 0.242 s), which the old two-sided gate
+    # misflagged as contamination. The raw signed drift is still recorded.
+    ext_contaminated = ext_drift > 0.40 and calib_final > calib_before
     print(
         f"# calibration final: {calib_final:.3f}s (ext drift {ext_drift:.0%}"
         f"{', EXT LOAD-CONTAMINATED' if ext_contaminated else ''})",
