@@ -12073,12 +12073,15 @@ def q_part_copurchase_clustering(
     brute canonical triple-join oracle finds the identical triangles
     (each exactly once as a<b<c). Uses the part co-purchase graph, NOT
     the nation trade graph (a star — NOTES_r7 degenerate-fixture list).
-    Cost note: the SYNTHETIC graph is dense (sf0.1: 20k nodes, 1.2M
-    edges, mean degree 120 — random part selection, no preferential
-    structure), so the oriented wedge count is a genuine 83M rows and
-    the query runs ~9 s at sf0.1 — Ω(Σ out-deg²) is the information
-    floor for exact triangle counts; checkpointing the oriented edges
-    was A/B-measured neutral (recompute is not the cost). Real
+    Cost note (r11): the SYNTHETIC graph is dense (sf0.1: 20k nodes,
+    1.2M edges, mean degree 120 — random part selection, no
+    preferential structure), so the oriented wedge count is a genuine
+    83M rows — Ω(Σ out-deg²) is the information floor for exact
+    triangle counts. ~3.3 s solo at sf0.1 / ~6.4 s in-sweep (the r10
+    "~9-15 s" records were sweep-context readings — SCALE.md §25.4);
+    the wedge close is a shuffle-hash semi-join so the 83M-row frame is
+    never sorted; checkpointing the oriented edges was A/B-measured
+    neutral (recompute is not the cost). Real
     co-purchase graphs are power-law sparse; orientation is what keeps
     their hubs from going quadratic."""
     from fxspark.ops.graph import triangles_per_node
@@ -14420,7 +14423,8 @@ def q_part_copurchase_clustering_sampled(
 ) -> DataFrame:
     """DOULION-sampled triangle estimation — the SCALE TWIN of
     ``part_copurchase_clustering``, which is exact but pays the
-    Ω(Σ out-deg²) information floor of exact counting (~9 s at sf0.1 on
+    Ω(Σ out-deg²) information floor of exact counting (~3.3 s solo /
+    ~6.4 s in-sweep at sf0.1 after the r11 shuffle-hash wedge close, on
     the dense synthetic graph). Sparsify: keep each canonical edge iff
     ``md5_60(u|v) % 100 < 25`` (p = 0.25, DECLARED randomness — the
     KMV/HLL discipline, so the estimate itself is oracle-hashable),
@@ -14441,8 +14445,11 @@ def q_part_copurchase_clustering_sampled(
     at sf0.01). That asymmetry is inherent to DOULION — per-node
     precision needs p³·t_v large, which 100 TB graphs (t_v in the
     millions on hubs) satisfy and toy fixtures don't. The wedge-join
-    work falls by ~p² = 16× (bench regime: 7.9 s vs the exact form's
-    14.8 s under identical load, the gap widening with density). Emits
+    work falls by ~p² = 16× (r11 committed sweep: 3.02 s vs the exact
+    form's 6.38 s under identical load — and the exact form itself got
+    2.5× faster this round via the shuffle-hash wedge close and the
+    sweep-residue cleanup, so the twin's RELATIVE margin narrowed while
+    both absolute costs fell; the gap still widens with density). Emits
     the top-20 nodes by sampled count (deterministic (count DESC,
     node ASC) cut) plus the global estimate ``Σ tri_sampled / 3 · 64``
     broadcast onto every row."""
@@ -14550,8 +14557,8 @@ _PPR_ITER_PRUNED = """
 def q_part_copurchase_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k personalized PageRank over the DOULION-SPARSIFIED
     co-purchase graph — the SCALE TWIN of ``part_copurchase_ppr``,
-    whose cost note records ~15 s at sf0.1 dominated by materializing
-    the dense 2.39M-edge frame. Three declared approximations compose,
+    whose r11 cost note records ~9 s at sf0.1 on the shared
+    canonical-pair edge build. Three declared approximations compose,
     each hash-verifiable because its randomness/threshold is declared:
 
     1. EDGE SPARSIFICATION (p = 0.25, canonical-pair md5 so both
