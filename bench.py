@@ -465,10 +465,21 @@ def main() -> None:
     # cleanup runs OUTSIDE the timed regions every 25 queries.
     import gc as _gc
 
+    # Calibration TIMELINE: the sweep runs ~13 minutes and this shared
+    # host gets intermittent multi-minute load bursts that hit a SEGMENT
+    # of entries while both endpoint calibrations read clean (observed
+    # twice in round 11: positions 158-194 in one capture, 205-215 in the
+    # next — different queries each time, all solo-remeasure clean). A
+    # probe at every cleanup boundary makes the burst visible in the
+    # record: bench_compare consumers can map a flagged query's sweep
+    # position to the nearest timeline entries and adjudicate
+    # burst-vs-regression from the record alone.
+    calib_timeline: list[list] = []
     for i, name in enumerate([n for n in EXTENSION if n in QUERIES]):
         if i > 0 and i % 25 == 0:
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
+            calib_timeline.append([i, round(calibration_probe(), 4)])
         timed(name, EXT_REPS, ext_timings, adaptive_secs=2.0)
 
     # FX flagship at >=1e6 synthetic rows (BASELINE.md's FX-specific bench):
@@ -824,17 +835,23 @@ def main() -> None:
     # the headline loop, so it gets its own contamination check (the r7
     # lesson: a concurrent plan-compile session inflated only extensions)
     calib_final = calibration_probe()
-    ext_drift = abs(calib_final - calib_before) / max(
-        min(calib_before, calib_final), 1e-9
+    # The sweep verdict reads the TIMELINE, not a single endpoint probe:
+    # one noisy probe at either end misflags a whole clean sweep (observed
+    # immediately after the timeline landed: nine mid-sweep probes at
+    # 0.12-0.20 s, lowest extension total on record, and a single 0.204 s
+    # final probe tripped the old endpoint gate). The median of the
+    # mid-sweep probes + the final one is robust to any single outlier;
+    # a genuine sustained burst moves several probes and still trips it.
+    ext_probes = [c for _, c in calib_timeline] + [calib_final]
+    ext_probe = statistics.median(ext_probes)
+    ext_drift = abs(ext_probe - calib_before) / max(
+        min(calib_before, ext_probe), 1e-9
     )
-    # One-sided gate: contamination means EXTERNAL LOAD inflated the sweep,
-    # and load only ever makes the probe SLOWER. A final probe FASTER than
-    # the clean pre-headline baseline is the opposite signal — since the
-    # round-11 periodic block cleanup, the post-sweep JVM is cleaner than
-    # it used to be and the final probe routinely beats the baseline
-    # (measured 0.162 s vs 0.242 s), which the old two-sided gate
-    # misflagged as contamination. The raw signed drift is still recorded.
-    ext_contaminated = ext_drift > 0.40 and calib_final > calib_before
+    # One-sided: contamination means EXTERNAL LOAD inflated the sweep, and
+    # load only ever makes probes SLOWER — a faster-than-baseline probe is
+    # the post-cleanup JVM, not contamination (measured 0.162 s vs 0.242 s
+    # baseline after the round-11 periodic block cleanup landed).
+    ext_contaminated = ext_drift > 0.40 and ext_probe > calib_before
     print(
         f"# calibration final: {calib_final:.3f}s (ext drift {ext_drift:.0%}"
         f"{', EXT LOAD-CONTAMINATED' if ext_contaminated else ''})",
@@ -861,6 +878,9 @@ def main() -> None:
             "calibration_final_s": calib_final,
             "ext_calibration_drift": round(ext_drift, 3),
             "ext_load_contaminated": ext_contaminated,
+            # [sweep position, calibration seconds] at each cleanup
+            # boundary — the mid-sweep burst detector (see loop comment).
+            "calibration_timeline": calib_timeline,
             # DECLARED expected in-sweep bands for context-sensitive
             # probes (sec). tokens_mg_pass_200k measures a single-pass
             # Misra-Gries sketch over 24M synthetic tokens: ~1.0 s solo,

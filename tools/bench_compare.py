@@ -44,6 +44,40 @@ def load_bands(path: str) -> dict[str, list[float]]:
     return dict((d.get("capture") or {}).get("probe_bands", {}))
 
 
+def load_burst_note(path: str):
+    """Return fn(query) -> annotation for mid-sweep load bursts.
+
+    The capture's ``calibration_timeline`` holds [sweep position,
+    calibration seconds] at each cleanup boundary; the record's
+    ``extensions`` dict preserves sweep order, so a query's position is
+    its key index. A flagged query whose NEAREST timeline probes read
+    >1.5x the sweep's best probe sat inside a load burst — annotate it
+    so the reader adjudicates burst-vs-regression from the record alone
+    (round-11 observed two such bursts, different query segments, both
+    solo-remeasure clean while endpoint calibrations read clean too).
+    """
+    with open(path) as fh:
+        d = json.load(fh)
+    timeline = (d.get("capture") or {}).get("calibration_timeline") or []
+    pos = {q: i for i, q in enumerate(d.get("extensions", {}))}
+    if not timeline:
+        return lambda q: ""
+    best = min(c for _, c in timeline)
+
+    def note(q: str) -> str:
+        if q not in pos:
+            return ""
+        near = [c for p, c in timeline if abs(p - pos[q]) <= 25]
+        if near and max(near) > 1.5 * best:
+            return (
+                f"  [burst-adjacent: calib {max(near):.2f}s near pos "
+                f"{pos[q]}, sweep best {best:.2f}s]"
+            )
+        return ""
+
+    return note
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("new")
@@ -54,6 +88,7 @@ def main() -> None:
 
     new = load(args.new)
     bands = load_bands(args.new)
+    burst_note = load_burst_note(args.new)
     olds = [load(p) for p in args.old]
     flagged, improved, in_band = [], [], []
     for q, v in sorted(new.items()):
@@ -74,7 +109,11 @@ def main() -> None:
     for label, rows in (("REGRESSED", flagged), ("IMPROVED", improved)):
         print(f"{label}: {len(rows)}")
         for r, q, ref, v in sorted(rows, reverse=True):
-            print(f"  {r:5.2f}x  {q:40s} median(old)={ref:6.2f}s now={v:6.2f}s")
+            note = burst_note(q) if label == "REGRESSED" else ""
+            print(
+                f"  {r:5.2f}x  {q:40s} median(old)={ref:6.2f}s "
+                f"now={v:6.2f}s{note}"
+            )
     if not flagged:
         print("no drift outside the noise band")
 
