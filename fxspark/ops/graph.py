@@ -218,22 +218,22 @@ def triangles_per_node(
         (F.col("dx") < F.col("dy"))
         | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
     )
-    # Close wedges with a SHUFFLE-HASH semi-join, not sort-merge: the
-    # wedge frame is the largest intermediate of the whole algorithm
-    # (Σ out-deg² rows — 83M on the dense sf0.1 fixture) and a semi-join
-    # gains nothing from sorting it; SHJ builds a per-partition hash of
-    # the |E|/numPartitions closing-edge slice and streams the wedges.
-    # Scale-safe (unlike broadcasting the edge set, which caps |E| at
-    # executor memory — A/B-measured equal locally, 3.0 s both, but the
-    # broadcast form breaks at billion-edge scale); the SHJ build side
-    # is bounded per partition, the streamed side never sorts. Local
-    # A/B (solo, 3-rep medians): SMJ 3.34 s / SHJ 3.05 s / broadcast
-    # 3.01 s — the win is the removed O(W log W) sort, which grows with
-    # exactly the wedge count that dominates at scale.
+    # The wedge close is the algorithm's largest join: Σ out-deg² wedge
+    # rows (83M on the dense sf0.1 fixture) semi-probed against the
+    # oriented edge set. The INITIAL plan is SMJ (the checkpointed edge
+    # frame has no planning-time stats), but the session enables AQE's
+    # full join ladder (session.py: shuffledHashJoinLocalMapThreshold),
+    # so at runtime this becomes broadcast when |E| fits the 64m
+    # threshold (this fixture) and SHUFFLED HASH when per-partition
+    # build slices fit 128m (cluster scale) — the streamed wedge frame
+    # is never sorted in either case. A hard `shuffle_hash` hint was
+    # measured equal locally (SMJ-initial 3.34 s / SHJ 3.05 s /
+    # broadcast 3.01 s, overlapping reps) and REJECTED because user
+    # hints pin AQE: the hint forced the wedge shuffle even where the
+    # runtime broadcast avoids shuffling the wedges at all. Pinned by
+    # tests/test_plans.py on the runtime-final plan.
     tri = wedge.join(
-        oe.select(F.col("a").alias("x"), F.col("b").alias("y")).hint(
-            "shuffle_hash"
-        ),
+        oe.select(F.col("a").alias("x"), F.col("b").alias("y")),
         ["x", "y"],
         "left_semi",
     )

@@ -70,6 +70,20 @@ def get_spark(app_name: str = "fxspark", master: str | None = None) -> SparkSess
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Complete AQE's join ladder: broadcast when the build side fits
+        # (above) → SHUFFLED HASH when every build partition fits a local
+        # map (this config) → sort-merge only as the true fallback. Off by
+        # default in Spark; without it AQE's only runtime upgrade is
+        # SMJ→broadcast, so a semi/anti/inner join whose build side
+        # exceeds the broadcast threshold SORTS the streamed side even
+        # when hashing a ≤128m-per-partition build is strictly cheaper —
+        # the triangle engine's wedge close (83M streamed rows) is the
+        # canonical case (SCALE.md §25). 128m clears the 64m advisory
+        # partition size (the config is inert below it) and stays a safe
+        # per-task build bound on any executor profile.
+        .config(
+            "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "128m"
+        )
         .config("spark.driver.memory", os.environ.get("FXSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -435,10 +435,27 @@ def test_triangles_orientation_keyed_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "part_copurchase_clustering")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
-    # The wedge-closing semi-join must be SHUFFLE-HASH: the wedge frame
-    # (Σ out-deg² rows) is the algorithm's largest intermediate and a
-    # semi-join gains nothing from sort-merge's O(W log W) sort of it.
-    assert "ShuffledHashJoin" in plan, plan[:3000]
+    # The wedge close must not SORT the Σ out-deg² wedge frame at
+    # RUNTIME: with the session's full AQE join ladder the final plan's
+    # closing semi-join is broadcast (edge set fits here) or shuffled
+    # hash (cluster regime) — never a surviving sort-merge. The INITIAL
+    # plan legitimately shows SMJ (checkpointed frames carry no
+    # planning-time stats), so this pin executes the query and reads
+    # the AQE-final plan — the round-11 lesson: initial-plan lints
+    # mislead under AQE (a "SortMergeJoin" in the pre-execution string
+    # ran as broadcast all along).
+    from fxspark.queries import QUERIES
+
+    df = QUERIES["part_copurchase_clustering"](spark, sf_dir)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in full, full[:500]
+    # The AQE plan string appends the superseded "== Initial Plan =="
+    # section after the final plan — assert on the FINAL section only.
+    final = full.split("== Initial Plan ==")[0]
+    semi = [l for l in final.splitlines() if "Join" in l and "LeftSemi" in l]
+    assert semi, final[:3000]
+    assert all("SortMergeJoin" not in l for l in semi), semi
 
 
 def test_scd2_enrich_single_sort_shuffle(spark, sf_dir):
