@@ -12079,8 +12079,8 @@ def q_part_copurchase_clustering(
     83M rows — Ω(Σ out-deg²) is the information floor for exact
     triangle counts. ~3.3 s solo at sf0.1 / ~6.4 s in-sweep (the r10
     "~9-15 s" records were sweep-context readings — SCALE.md §25.4);
-    the wedge close is a shuffle-hash semi-join so the 83M-row frame is
-    never sorted; checkpointing the oriented edges was A/B-measured
+    the wedge close never sorts the 83M-row frame at runtime (AQE's
+    full join ladder — session.py — picks broadcast/shuffled-hash); checkpointing the oriented edges was A/B-measured
     neutral (recompute is not the cost). Real
     co-purchase graphs are power-law sparse; orientation is what keeps
     their hubs from going quadratic."""
@@ -14424,7 +14424,8 @@ def q_part_copurchase_clustering_sampled(
     """DOULION-sampled triangle estimation — the SCALE TWIN of
     ``part_copurchase_clustering``, which is exact but pays the
     Ω(Σ out-deg²) information floor of exact counting (~3.3 s solo /
-    ~6.4 s in-sweep at sf0.1 after the r11 shuffle-hash wedge close, on
+    ~6.4 s in-sweep at sf0.1 after the r11 wedge-close fix (AQE join
+    ladder; the close never sorts the wedge frame at runtime), on
     the dense synthetic graph). Sparsify: keep each canonical edge iff
     ``md5_60(u|v) % 100 < 25`` (p = 0.25, DECLARED randomness — the
     KMV/HLL discipline, so the estimate itself is oracle-hashable),
@@ -14447,7 +14448,7 @@ def q_part_copurchase_clustering_sampled(
     millions on hubs) satisfy and toy fixtures don't. The wedge-join
     work falls by ~p² = 16× (r11 committed sweep: 3.02 s vs the exact
     form's 6.38 s under identical load — and the exact form itself got
-    2.5× faster this round via the shuffle-hash wedge close and the
+    2.5× faster this round via the AQE-ladder wedge close and the
     sweep-residue cleanup, so the twin's RELATIVE margin narrowed while
     both absolute costs fell; the gap still widens with density). Emits
     the top-20 nodes by sampled count (deterministic (count DESC,
