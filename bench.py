@@ -882,14 +882,25 @@ def main() -> None:
             # boundary — the mid-sweep burst detector (see loop comment).
             "calibration_timeline": calib_timeline,
             # DECLARED expected in-sweep bands for context-sensitive
-            # probes (sec). tokens_mg_pass_200k measures a single-pass
-            # Misra-Gries sketch over 24M synthetic tokens: ~1.0 s solo,
-            # 3-6 s at the END of the 240-query sweep (JVM heap full of
-            # checkpoint blocks, code cache hot-swapped) — a recurring
-            # false regression in bench_compare since r8. Readings inside
-            # the band are reported as in-band, not flagged; readings
-            # OUTSIDE it (either side) still get the normal median rule.
-            "probe_bands": {"tokens_mg_pass_200k": [0.7, 7.0]},
+            # probes (sec). tokens_mg_pass_* measures a single-pass
+            # Misra-Gries sketch over doc_rows*120 synthetic tokens:
+            # ~1.0 s solo, 3-6 s at the END of the 240-query sweep (JVM
+            # heap full of checkpoint blocks, code cache hot-swapped) — a
+            # recurring false regression in bench_compare since r8. The
+            # key is built from the SAME f-string as the extension label
+            # (r12 ADVICE: a hardcoded key silently never applied under a
+            # non-default FXSPARK_BENCH_DOC_ROWS). The band covers ONLY
+            # the in-sweep regime this capture can produce (the probe
+            # always runs after the full extension sweep; solo ~1.0 s
+            # readings never enter a capture), so a sub-2 s in-sweep
+            # reading now surfaces under the normal median rule instead
+            # of hiding in a solo-wide band. In-band readings are not
+            # flagged as regressions but STILL get the improvement check.
+            "probe_bands": {f"tokens_mg_pass_{doc_rows // 1000}k":
+                            [2.0, 7.0]},
+            # Context declaration for the bands above: every banded probe
+            # in this capture ran at the end of the extension sweep.
+            "probe_band_context": "ext_sweep_end",
         },
     }
     # Full record (per-extension timings) goes to a file + stderr; the FINAL

@@ -40,7 +40,10 @@ def count_scans(plan: str) -> int:
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
-    from pyspark.sql.classic.dataframe import DataFrame
+    try:  # PySpark >= 4.0 moved the concrete class under .classic
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover — pre-4.0 fallback
+        from pyspark.sql import DataFrame
 
     from fxspark.queries import QUERIES
     from fxspark.session import get_spark

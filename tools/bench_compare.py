@@ -96,11 +96,16 @@ def main() -> None:
         if not hist:
             continue
         ref = statistics.median(hist)
-        if q in bands and bands[q][0] <= v <= bands[q][1]:
+        # A declared band suppresses only the REGRESSION flag (the band
+        # documents expected in-sweep elevation); the improvement check
+        # still runs so a banded probe getting faster is never hidden
+        # (r12 ADVICE: the old `continue` swallowed improvements too).
+        banded = q in bands and bands[q][0] <= v <= bands[q][1]
+        if banded:
             in_band.append((q, bands[q], v))
-            continue
         if v > max(ref * args.band, args.floor):
-            flagged.append((v / ref, q, ref, v))
+            if not banded:
+                flagged.append((v / ref, q, ref, v))
         elif ref > args.floor and v < ref / args.band:
             improved.append((ref / v, q, ref, v))
 
