@@ -892,12 +892,18 @@ def main() -> None:
             # non-default FXSPARK_BENCH_DOC_ROWS). The band covers ONLY
             # the in-sweep regime this capture can produce (the probe
             # always runs after the full extension sweep; solo ~1.0 s
-            # readings never enter a capture), so a sub-2 s in-sweep
-            # reading now surfaces under the normal median rule instead
-            # of hiding in a solo-wide band. In-band readings are not
-            # flagged as regressions but STILL get the improvement check.
+            # readings never enter a capture), so a sub-band in-sweep
+            # reading surfaces under the normal median rule instead of
+            # hiding in a solo-wide band. The endpoints were measured at
+            # the DEFAULT 200k corpus and the probe is a single linear
+            # pass, so they scale linearly with doc_rows (r13 ADVICE: a
+            # fixed [2.0, 7.0] under a small corpus would sit entirely
+            # above any reading and the band would never apply). In-band
+            # readings are not flagged as regressions but STILL get the
+            # improvement check.
             "probe_bands": {f"tokens_mg_pass_{doc_rows // 1000}k":
-                            [2.0, 7.0]},
+                            [round(2.0 * doc_rows / 200000, 3),
+                             round(7.0 * doc_rows / 200000, 3)]},
             # Context declaration for the bands above: every banded probe
             # in this capture ran at the end of the extension sweep.
             "probe_band_context": "ext_sweep_end",

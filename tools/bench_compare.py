@@ -32,12 +32,16 @@ def load(path: str) -> dict[str, float]:
 def load_bands(path: str) -> dict[str, list[float]]:
     """Per-probe DECLARED expected bands from the record's capture block.
 
-    Some bench-only probes are sweep-context-sensitive (tokens_mg_pass_200k:
-    ~1.0 s solo, 3-6 s after the 240-query sweep has filled the JVM heap
-    with checkpoint blocks and code-cache — a recurring false regression
-    since r8). bench.py declares the expected IN-SWEEP range for those
-    probes; a new reading inside its declared band is reported separately
-    and never flagged as a regression.
+    Some bench-only probes are sweep-context-sensitive (the Misra-Gries
+    token pass, keyed ``tokens_mg_pass_{doc_rows//1000}k`` — the key is
+    derived from FXSPARK_BENCH_DOC_ROWS, not hardcoded: ~1.0 s solo, 3-6 s
+    after the 240-query sweep has filled the JVM heap with checkpoint
+    blocks and code-cache — a recurring false regression since r8).
+    bench.py declares the expected range for ONLY the in-sweep regime the
+    capture can produce (the band floor starts at 2.0 s so a solo-fast
+    reading still surfaces under the median rule); a new reading inside
+    its declared band is reported separately and never flagged as a
+    regression, but still gets the improvement check.
     """
     with open(path) as fh:
         d = json.load(fh)
