@@ -1,0 +1,640 @@
+"""Seeded ad-hoc SQL differential fuzzer for the ``register_views`` surface.
+
+The reference's users speak raw SQL first (``Fx_1min.py:147-217`` drives
+MySQL with hand-written SELECTs); the engine's migration path for any query
+NOT on the curated registry is ``fxspark.session.register_views`` +
+``spark.sql``.  Until round 13 that surface had exactly one
+oracle-differential twin (``RATE_CHANGE_SQL``).  This module closes the
+evidence gap: a deterministic generator emits a few hundred SELECTs over the
+star schema — joins, grouped aggregates with HAVING, window ranks, scalar /
+EXISTS / IN subqueries, CASE buckets, set ops, ROLLUP — and each generated
+string is executed VERBATIM by both Spark SQL (over the registered views)
+and DuckDB (over the same parquet files), then compared with the same
+order-insensitive canonicalization the driver's correctness gate uses
+(``tests/oracle_diff.py``).
+
+Determinism contract
+--------------------
+* ``generate(seed, n)`` is a pure function of its arguments: a
+  ``random.Random(seed)`` drives every choice, so a failing query name
+  (``fz{seed}_{i:03d}_{template}``) reproduces exactly from the seed.
+* Every emitted query is ENGINE-DETERMINISTIC by construction — the same
+  SQL string must denote one well-defined result set in both dialects, so
+  the comparator can demand bit-equality (full-precision float repr), not
+  tolerance.  The rules that buy that (each is a real Spark-vs-DuckDB
+  divergence found while building the generator):
+
+  D1  Integer ``SUM`` is always wrapped ``CAST(SUM(x) AS BIGINT)`` —
+      DuckDB widens to HUGEINT (float64 via pandas), Spark stays BIGINT.
+  D2  Floating-point ``SUM`` goes through the exact-decimal route
+      ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`` — both engines sum
+      decimals exactly, so partial-aggregation order (which differs and is
+      nondeterministic in BOTH engines) cannot move the last ulp.  Same
+      discipline as ``fxspark.queries.exact_sum``.
+  D3  Averages are emitted as exact-sum / COUNT — ``AVG(double)`` is
+      order-sensitive in the last ulp.
+  D4  Every non-constant denominator is guarded with ``NULLIF(d, 0)``:
+      both engines (Spark under its default ANSI mode, DuckDB always)
+      raise on division by zero.
+  D5  Window ``ORDER BY`` always ends in a unique key, and rank filters
+      use ``RANK()`` (tie-complete) — ``ROW_NUMBER`` over a non-unique
+      order is nondeterministic in any engine.
+  D6  ``LIMIT`` only appears under a total order on a unique key.
+  D7  ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it at
+      microsecond precision (``nanosAsLong`` + floor-div in
+      ``load_table``), DuckDB keeps nanos.  ``ts`` therefore appears only
+      in predicates against whole-second literals (floor-truncation can
+      never cross a whole-second boundary, so comparisons agree) and under
+      ``date_trunc`` — never projected raw or min/max-aggregated.
+      ``o_orderdate`` / ``l_shipdate`` are micros in the file and safe.
+  D8  ``ORDER BY`` keys are non-nullable source columns (default NULL
+      ordering differs: Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST).
+  D9  ROLLUP group keys are strings only — an integer group column that
+      gains subtotal NULLs changes pandas dtype (int→float) differently
+      per driver version; strings stay object-typed.
+  D10 ``documents.text`` and ``events.props`` (free text / JSON) and
+      ``embeddings.embedding`` (list column — breaks the row sort) are
+      excluded from the fuzz surface; the curated registry covers them.
+  D11 No ``DECIMAL`` value ever reaches the output schema (Spark surfaces
+      ``Decimal`` objects, DuckDB float64) — every decimal aggregate is
+      cast back to DOUBLE (D2) or BIGINT (D1).
+  D12 DECLARED DIALECT DIFFERENCE (found by the rotating-seed fuzz run in
+      round 13, minimized in ``tests/test_sql_fuzz.py::
+      test_rollup_empty_input_divergence``): ``GROUP BY ROLLUP/CUBE``
+      over an EMPTY input yields the grand-total grouping-set row in
+      DuckDB (and PostgreSQL — the SQL-standard reading: the ``()``
+      grouping set aggregates the empty input like a plain ungrouped
+      aggregate) but ZERO rows in Spark.  The rollup template appends
+      ``HAVING COUNT(*) > 0``, which is a no-op on every row a non-empty
+      input can produce (all rollup subtotals aggregate ≥1 row) and
+      filters exactly the divergent empty-input row.
+
+Literal pools are frozen constants drawn from the public testdata
+generator's category values and value ranges (``TESTDATA.md``); they are
+scale-factor-independent, so the same generated corpus is valid at any
+``sf*`` directory.
+
+Reference anchor: the generated shapes deliberately cover the §2 query
+inventory the reference exercises — CTE-style projection chains, grouped
+max, top-1-per-group, theta self-joins, CASE/pct scalars
+(``update_exchange_rates.py:60-153``) — plus the star-schema joins any
+SQL-first user would bring.
+"""
+
+from __future__ import annotations
+
+import random
+
+__all__ = ["generate", "TEMPLATES", "DEFAULT_SEED", "DEFAULT_N"]
+
+DEFAULT_SEED = 13
+DEFAULT_N = 240
+
+# ---------------------------------------------------------------------------
+# Schema model.  kind: i=integral, f=double, s=string, d=timestamp(us),
+# T=timestamp(ns) (predicate/date_trunc only — rule D7).
+# ---------------------------------------------------------------------------
+COLS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "i", "r_name": "s"},
+    "nation": {"n_nationkey": "i", "n_name": "s", "n_regionkey": "i"},
+    "customer": {
+        "c_custkey": "i", "c_name": "s", "c_nationkey": "i",
+        "c_acctbal": "f", "c_mktsegment": "s",
+    },
+    "supplier": {
+        "s_suppkey": "i", "s_name": "s", "s_nationkey": "i", "s_acctbal": "f",
+    },
+    "part": {
+        "p_partkey": "i", "p_name": "s", "p_brand": "s", "p_type": "s",
+        "p_size": "i", "p_retailprice": "f",
+    },
+    "orders": {
+        "o_orderkey": "i", "o_custkey": "i", "o_orderstatus": "s",
+        "o_totalprice": "f", "o_orderdate": "d", "o_orderpriority": "s",
+    },
+    "lineitem": {
+        "l_orderkey": "i", "l_partkey": "i", "l_suppkey": "i",
+        "l_linenumber": "i", "l_quantity": "f", "l_extendedprice": "f",
+        "l_discount": "f", "l_tax": "f", "l_returnflag": "s",
+        "l_linestatus": "s", "l_shipdate": "d",
+    },
+    "events": {
+        "event_id": "i", "ts": "T", "user_id": "i", "event_type": "s",
+        "value": "f",
+    },
+    "documents": {"doc_id": "i", "lang": "s", "source": "s", "n_chars": "i"},
+    "embeddings": {"vec_id": "i", "label": "i"},
+}
+
+# Unique row key per table (composite for lineitem) — rules D5/D6.
+UNIQUE: dict[str, list[str]] = {
+    "region": ["r_regionkey"], "nation": ["n_nationkey"],
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "part": ["p_partkey"], "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"], "events": ["event_id"],
+    "documents": ["doc_id"], "embeddings": ["vec_id"],
+}
+
+# FK edges (child col = parent col) — the star-schema join graph.
+FKS: list[tuple[str, str, str, str]] = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+# Frozen literal pools (TESTDATA.md generator output; SF-independent).
+STR_LITS: dict[str, list[str]] = {
+    "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                     "MACHINERY"],
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                        "5-LOW"],
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+    "event_type": ["click", "error", "purchase", "signup", "view"],
+    "lang": ["de", "en", "es", "fr", "zh"],
+    "source": ["src1", "src5", "src12", "src19"],
+    "p_brand": ["Brand#3", "Brand#13", "Brand#21", "Brand#25"],
+    "p_type": ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"],
+    "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+}
+NUM_LITS: dict[str, list] = {
+    "c_acctbal": [0.0, 2500.0, 5000.0, 7500.0],
+    "s_acctbal": [0.0, 2500.0, 5000.0, 7500.0],
+    "p_size": [10, 20, 30, 40],
+    "p_retailprice": [920.0, 950.0, 980.0],
+    "o_totalprice": [50000.0, 100000.0, 200000.0],
+    "l_quantity": [10.0, 25.0, 40.0],
+    "l_extendedprice": [10000.0, 25000.0, 45000.0],
+    "l_discount": [0.02, 0.05, 0.08],
+    "l_tax": [0.02, 0.04, 0.06],
+    "value": [5.0, 50.0, 150.0],
+    "n_chars": [100, 200, 350, 450],
+    "label": [2, 5, 8],
+    "n_regionkey": [1, 2, 3],
+    "c_nationkey": [5, 10, 15, 20],
+    "s_nationkey": [5, 10, 15, 20],
+    "l_linenumber": [2, 3, 4],
+}
+DATE_LITS: dict[str, list[str]] = {
+    "o_orderdate": ["1996-01-01", "1997-06-01", "1999-01-01", "2000-06-01"],
+    "l_shipdate": ["1996-01-01", "1997-06-01", "1999-01-01", "2000-06-01"],
+    "ts": ["2024-01-08 00:00:00", "2024-01-15 00:00:00",
+           "2024-01-22 00:00:00"],
+}
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _cols_of(t: str, kinds: str) -> list[str]:
+    return [c for c, k in COLS[t].items() if k in kinds]
+
+
+# ---------------------------------------------------------------------------
+# Expression builders.  ``a`` is the table alias prefix ("" or "t0.").
+# ---------------------------------------------------------------------------
+def _pred(r: random.Random, t: str, a: str = "") -> str:
+    """One deterministic predicate on a column of ``t``."""
+    kindpool = [c for c in COLS[t]
+                if c in STR_LITS or c in NUM_LITS or c in DATE_LITS]
+    c = r.choice(kindpool)
+    col = a + c
+    if c in STR_LITS:
+        form = r.randrange(4)
+        if form == 0:
+            return f"{col} = {_q(r.choice(STR_LITS[c]))}"
+        if form == 1:
+            picks = r.sample(STR_LITS[c], min(2, len(STR_LITS[c])))
+            return f"{col} IN ({', '.join(_q(p) for p in picks)})"
+        if form == 2:
+            return f"{col} <> {_q(r.choice(STR_LITS[c]))}"
+        return f"{col} LIKE {_q(r.choice(STR_LITS[c])[:2] + '%')}"
+    if c in DATE_LITS:
+        lits = DATE_LITS[c]
+        form = r.randrange(3)
+        if form == 0:
+            return f"{col} >= TIMESTAMP {_q(r.choice(lits))}"
+        if form == 1:
+            return f"{col} < TIMESTAMP {_q(r.choice(lits))}"
+        lo, hi = sorted(r.sample(range(len(lits)), 2))
+        return (f"{col} BETWEEN TIMESTAMP {_q(lits[lo])}"
+                f" AND TIMESTAMP {_q(lits[hi])}")
+    lit = r.choice(NUM_LITS[c])
+    op = r.choice([">", ">=", "<", "<=", "="])
+    if op == "=" and isinstance(lit, float):
+        op = "<="  # float equality is a degenerate filter on continuous cols
+    return f"{col} {op} {lit}"
+
+
+def _where(r: random.Random, t: str, a: str = "", n: int | None = None) -> str:
+    n = n if n is not None else r.randrange(1, 3)
+    parts = [_pred(r, t, a) for _ in range(n)]
+    return " AND ".join(dict.fromkeys(parts))  # dedup, keep order
+
+
+def _sum_exact(col: str) -> str:
+    """Rule D2: order-insensitive float sum via exact decimals."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _agg(r: random.Random, t: str, a: str, alias: str) -> str:
+    """One aggregate expression honoring rules D1-D3, with alias."""
+    fcols = _cols_of(t, "f")
+    icols = _cols_of(t, "i")
+    choices = ["count"]
+    if fcols:
+        choices += ["fsum", "fmin", "fmax", "favg"]
+    if icols:
+        choices += ["isum", "imin", "imax", "cntd"]
+    kind = r.choice(choices)
+    if kind == "count":
+        return f"CAST(COUNT(*) AS BIGINT) AS {alias}"
+    if kind == "cntd":
+        c = a + r.choice(icols)
+        return f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {alias}"
+    if kind.startswith("f"):
+        c = a + r.choice(fcols)
+        if kind == "fsum":
+            return f"{_sum_exact(c)} AS {alias}"
+        if kind == "favg":
+            return f"{_sum_exact(c)} / COUNT({c}) AS {alias}"
+        return f"{kind[1:].upper()}({c}) AS {alias}"
+    c = a + r.choice(icols)
+    if kind == "isum":
+        return f"CAST(SUM({c}) AS BIGINT) AS {alias}"
+    return f"CAST({kind[1:].upper()}({c}) AS BIGINT) AS {alias}"
+
+
+def _scalar(r: random.Random, t: str, a: str, alias: str) -> str:
+    """A per-row scalar expression (same IEEE tree both engines)."""
+    fcols = _cols_of(t, "f")
+    scols = _cols_of(t, "s")
+    icols = _cols_of(t, "i")
+    forms = []
+    if len(fcols) >= 2:
+        forms.append("arith")
+    if fcols:
+        forms += ["case", "guard_div"]
+    if scols:
+        forms += ["strfun", "concat"]
+    if icols:
+        forms.append("mod")
+    form = r.choice(forms)
+    if form == "arith":
+        x, y = r.sample(fcols, 2)
+        op = r.choice(["+", "-", "*"])
+        return f"({a}{x} {op} {a}{y}) AS {alias}"
+    if form == "guard_div":
+        x = r.choice(fcols)
+        y = r.choice(fcols)
+        return f"({a}{x} / NULLIF({a}{y}, 0.0)) AS {alias}"
+    if form == "case":
+        x = r.choice(fcols)
+        lits = NUM_LITS.get(x, [1.0, 10.0])
+        lo, hi = min(lits), max(lits)
+        return (f"CASE WHEN {a}{x} < {lo} THEN 'lo' "
+                f"WHEN {a}{x} < {hi} THEN 'mid' ELSE 'hi' END AS {alias}")
+    if form == "strfun":
+        s = r.choice(scols)
+        fn = r.choice([f"UPPER({a}{s})", f"LOWER({a}{s})",
+                       f"SUBSTR({a}{s}, 1, 3)",
+                       f"CAST(LENGTH({a}{s}) AS BIGINT)"])
+        return f"{fn} AS {alias}"
+    if form == "concat":
+        s = r.choice(scols)
+        s2 = r.choice(scols)
+        return f"CONCAT({a}{s}, '-', {a}{s2}) AS {alias}"
+    x = r.choice(icols)
+    return f"({a}{x} % {r.choice([7, 10, 13])}) AS {alias}"
+
+
+def _join_chain(r: random.Random, depth: int) -> tuple[list[str], list[str]]:
+    """Random FK walk: returns (tables, join conditions) with aliases t0..tn.
+
+    t0 is a fact table; each hop follows a child→parent FK edge from any
+    table already in the chain, so every join is a key-equality the
+    optimizer can reorder/broadcast.
+    """
+    t0 = r.choice(["lineitem", "orders", "events", "customer"])
+    tables = [t0]
+    conds: list[str] = []
+    for _ in range(depth):
+        opts = [
+            (i, ck, pt, pk)
+            for i, ct in enumerate(tables)
+            for (c, ck, pt, pk) in FKS
+            if c == ct and pt not in tables
+        ]
+        if not opts:
+            break
+        i, ck, pt, pk = r.choice(opts)
+        conds.append(f"t{i}.{ck} = t{len(tables)}.{pk}")
+        tables.append(pt)
+    return tables, conds
+
+
+# ---------------------------------------------------------------------------
+# Templates.  Each takes the seeded Random and returns one SQL string.
+# ---------------------------------------------------------------------------
+def t_filter_project(r: random.Random) -> str:
+    t = r.choice(list(COLS))
+    keys = ", ".join(UNIQUE[t])
+    sc1 = _scalar(r, t, "", "c0")
+    sc2 = _scalar(r, t, "", "c1")
+    return (f"SELECT {keys}, {sc1}, {sc2} FROM {t} "
+            f"WHERE {_where(r, t)}")
+
+
+def t_group_agg(r: random.Random) -> str:
+    t = r.choice([x for x in COLS if _cols_of(x, "s")])
+    g = r.choice(_cols_of(t, "s"))
+    a1 = _agg(r, t, "", "a0")
+    a2 = _agg(r, t, "", "a1")
+    having = f"COUNT(*) >= {r.choice([2, 5, 10])}"
+    return (f"SELECT {g}, {a1}, {a2} FROM {t} WHERE {_where(r, t)} "
+            f"GROUP BY {g} HAVING {having}")
+
+
+def t_join_agg(r: random.Random) -> str:
+    tables, conds = _join_chain(r, r.randrange(1, 4))
+    if not conds:
+        return t_group_agg(r)
+    gi, gt = r.choice([(i, t) for i, t in enumerate(tables)
+                       if _cols_of(t, "s")] or [(0, tables[0])])
+    gcols = _cols_of(gt, "s")
+    g = f"t{gi}." + (r.choice(gcols) if gcols else UNIQUE[gt][0])
+    ai, at = r.choice(list(enumerate(tables)))
+    a1 = _agg(r, at, f"t{ai}.", "a0")
+    frm = " , ".join(f"{t} t{i}" for i, t in enumerate(tables))
+    wi, wt = r.choice(list(enumerate(tables)))
+    where = " AND ".join(conds + [_where(r, wt, f"t{wi}.", 1)])
+    return (f"SELECT {g} AS g0, {a1} FROM {frm} WHERE {where} "
+            f"GROUP BY {g}")
+
+
+def t_explicit_join(r: random.Random) -> str:
+    tables, conds = _join_chain(r, r.randrange(1, 3))
+    if not conds:
+        return t_group_agg(r)
+    frm = f"{tables[0]} t0"
+    for j in range(1, len(tables)):
+        frm += f" JOIN {tables[j]} t{j} ON {conds[j - 1]}"
+    gi, gt = r.choice([(i, t) for i, t in enumerate(tables)
+                       if _cols_of(t, "s")] or [(0, tables[0])])
+    gcols = _cols_of(gt, "s")
+    g = f"t{gi}." + (r.choice(gcols) if gcols else UNIQUE[gt][0])
+    a1 = _agg(r, tables[0], "t0.", "a0")
+    a2 = _agg(r, tables[-1], f"t{len(tables) - 1}.", "a1")
+    wi, wt = r.choice(list(enumerate(tables)))
+    return (f"SELECT {g} AS g0, {a1}, {a2} FROM {frm} "
+            f"WHERE {_where(r, wt, f't{wi}.', 1)} GROUP BY {g}")
+
+
+def t_left_join(r: random.Random) -> str:
+    child, ck, parent, pk = r.choice(
+        [(c, ck, p, pk) for (c, ck, p, pk) in FKS
+         if c in ("orders", "events", "lineitem")]
+    )
+    # parent LEFT JOIN child: unmatched parents produce NULL aggregates.
+    fcols = _cols_of(child, "f")
+    f = r.choice(fcols)
+    pkey = UNIQUE[parent][0]
+    return (
+        f"SELECT t0.{pkey} AS g0, CAST(COUNT(t1.{ck}) AS BIGINT) AS a0, "
+        f"COALESCE({_sum_exact('t1.' + f)}, 0.0) AS a1 "
+        f"FROM {parent} t0 LEFT JOIN {child} t1 ON t0.{pk} = t1.{ck} "
+        f"AND {_pred(r, child, 't1.')} "
+        f"WHERE {_pred(r, parent, 't0.')} GROUP BY t0.{pkey}"
+    )
+
+
+def t_theta_join(r: random.Random) -> str:
+    days = r.choice([30, 60, 90])
+    return (
+        "SELECT t1.l_returnflag AS g0, CAST(COUNT(*) AS BIGINT) AS a0, "
+        f"{_sum_exact('t1.l_extendedprice')} AS a1 "
+        "FROM orders t0 JOIN lineitem t1 ON t0.o_orderkey = t1.l_orderkey "
+        f"AND t1.l_shipdate <= t0.o_orderdate + INTERVAL {days} DAY "
+        f"WHERE {_pred(r, 'orders', 't0.')} GROUP BY t1.l_returnflag"
+    )
+
+
+def t_window_rank(r: random.Random) -> str:
+    t = r.choice(["orders", "lineitem", "events", "customer", "part",
+                  "documents"])
+    scols = _cols_of(t, "s")
+    g = r.choice(scols)
+    x = r.choice(_cols_of(t, "f") or _cols_of(t, "i"))
+    u = ", ".join(UNIQUE[t])
+    k = r.choice([2, 3, 5])
+    fn = r.choice(["RANK()", "DENSE_RANK()"])
+    keys = ", ".join(UNIQUE[t])
+    return (
+        f"SELECT g0, {keys}, rk FROM ("
+        f"SELECT {g} AS g0, {keys}, {fn} OVER "
+        f"(PARTITION BY {g} ORDER BY {x} DESC, {u}) AS rk "
+        f"FROM {t} WHERE {_where(r, t, '', 1)}) q WHERE rk <= {k}"
+    )
+
+
+def t_window_running(r: random.Random) -> str:
+    # Running exact-decimal sum per order, frame defined by the unique
+    # (l_orderkey, l_linenumber) order — rule D5.
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER "
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber) AS DOUBLE) AS c0 "
+        f"FROM lineitem WHERE {_pred(r, 'lineitem')}"
+    )
+
+
+def t_scalar_subquery(r: random.Random) -> str:
+    t = r.choice(["orders", "lineitem", "customer", "events", "part"])
+    x = r.choice(_cols_of(t, "f"))
+    keys = ", ".join(UNIQUE[t])
+    return (
+        f"SELECT {keys}, {x} FROM {t} WHERE {x} > "
+        f"(SELECT {_sum_exact(x)} / COUNT(*) FROM {t}) "
+        f"AND {_pred(r, t)}"
+    )
+
+
+def t_exists(r: random.Random) -> str:
+    child, ck, parent, pk = r.choice(FKS)
+    neg = r.choice(["EXISTS", "NOT EXISTS"])
+    pcols = _cols_of(parent, "s") or [UNIQUE[parent][0]]
+    g = r.choice(pcols)
+    return (
+        f"SELECT t0.{g} AS g0, CAST(COUNT(*) AS BIGINT) AS a0 "
+        f"FROM {parent} t0 WHERE {neg} "
+        f"(SELECT 1 FROM {child} t1 WHERE t1.{ck} = t0.{pk} "
+        f"AND {_pred(r, child, 't1.')}) GROUP BY t0.{g}"
+    )
+
+
+def t_in_subquery(r: random.Random) -> str:
+    child, ck, parent, pk = r.choice(FKS)
+    ccols = _cols_of(child, "s") or [UNIQUE[child][0]]
+    g = r.choice(ccols)
+    return (
+        f"SELECT {g} AS g0, CAST(COUNT(*) AS BIGINT) AS a0 FROM {child} "
+        f"WHERE {ck} IN (SELECT {pk} FROM {parent} "
+        f"WHERE {_pred(r, parent)}) GROUP BY {g}"
+    )
+
+
+def t_case_bucket(r: random.Random) -> str:
+    t = r.choice(["orders", "lineitem", "customer", "events", "part",
+                  "documents"])
+    x = r.choice(_cols_of(t, "f") or _cols_of(t, "i"))
+    lits = sorted(NUM_LITS.get(x, [10, 100]))
+    lo, hi = lits[0], lits[-1]
+    a1 = _agg(r, t, "", "a0")
+    return (
+        f"SELECT CASE WHEN {x} < {lo} THEN 'lo' WHEN {x} < {hi} "
+        f"THEN 'mid' ELSE 'hi' END AS g0, {a1} FROM {t} "
+        f"WHERE {_pred(r, t)} GROUP BY 1"
+    )
+
+
+def t_union(r: random.Random) -> str:
+    t = r.choice([x for x in COLS if _cols_of(x, "s")])
+    g = r.choice(_cols_of(t, "s"))
+    p1, p2 = _pred(r, t), _pred(r, t)
+    return (
+        f"SELECT g0, CAST(COUNT(*) AS BIGINT) AS a0 FROM ("
+        f"SELECT {g} AS g0 FROM {t} WHERE {p1} "
+        f"UNION ALL SELECT {g} AS g0 FROM {t} WHERE {p2}) u GROUP BY g0"
+    )
+
+
+def t_rollup(r: random.Random) -> str:
+    # Rule D9: string keys only.
+    t = r.choice([x for x in COLS if len(_cols_of(x, "s")) >= 2])
+    g1, g2 = r.sample(_cols_of(t, "s"), 2)
+    a1 = _agg(r, t, "", "a0")
+    # HAVING COUNT(*) > 0 is rule D12: it only ever filters the
+    # empty-input grand-total row, where the engines genuinely disagree.
+    return (
+        f"SELECT {g1} AS g0, {g2} AS g1, {a1} FROM {t} "
+        f"WHERE {_pred(r, t)} GROUP BY ROLLUP({g1}, {g2}) "
+        f"HAVING COUNT(*) > 0"
+    )
+
+
+def t_distinct(r: random.Random) -> str:
+    t = r.choice([x for x in COLS if len(_cols_of(x, "s")) >= 1])
+    scols = _cols_of(t, "s")
+    picks = r.sample(scols, min(2, len(scols)))
+    sel = ", ".join(picks)
+    return f"SELECT DISTINCT {sel} FROM {t} WHERE {_where(r, t, '', 1)}"
+
+
+def t_order_limit(r: random.Random) -> str:
+    t = r.choice(list(COLS))
+    x = r.choice(_cols_of(t, "f") or _cols_of(t, "i"))
+    u = ", ".join(UNIQUE[t])
+    keys = ", ".join(UNIQUE[t])
+    d = r.choice(["ASC", "DESC"])
+    # Alias the sort column: when it IS the unique key the bare projection
+    # would duplicate a name, which DuckDB auto-renames (col_1) and Spark
+    # keeps — a schema mismatch in the comparator, not a value divergence.
+    return (
+        f"SELECT {keys}, {x} AS c0 FROM {t} WHERE {_pred(r, t)} "
+        f"ORDER BY {x} {d}, {u} LIMIT {r.choice([20, 50, 100])}"
+    )
+
+
+def t_date_group(r: random.Random) -> str:
+    t, dc = r.choice([("orders", "o_orderdate"), ("lineitem", "l_shipdate")])
+    part = r.choice(["YEAR", "MONTH"])
+    a1 = _agg(r, t, "", "a0")
+    form = r.randrange(2)
+    if form == 0:
+        g = f"CAST(EXTRACT({part} FROM {dc}) AS BIGINT)"
+    else:
+        g = f"DATE_TRUNC('{part}', {dc})"
+    return (f"SELECT {g} AS g0, {a1} FROM {t} WHERE {_pred(r, t)} "
+            f"GROUP BY {g}")
+
+
+def t_ts_trunc(r: random.Random) -> str:
+    # events.ts under rule D7: predicate on whole-second literals,
+    # projection only through date_trunc.
+    unit = r.choice(["day", "hour"])
+    return (
+        f"SELECT DATE_TRUNC('{unit}', ts) AS g0, event_type AS g1, "
+        f"CAST(COUNT(*) AS BIGINT) AS a0, {_sum_exact('value')} AS a1 "
+        f"FROM events WHERE {_pred(r, 'events')} "
+        f"GROUP BY DATE_TRUNC('{unit}', ts), event_type"
+    )
+
+
+TEMPLATES = [
+    t_filter_project, t_group_agg, t_join_agg, t_explicit_join, t_left_join,
+    t_theta_join, t_window_rank, t_window_running, t_scalar_subquery,
+    t_exists, t_in_subquery, t_case_bucket, t_union, t_rollup, t_distinct,
+    t_order_limit, t_date_group, t_ts_trunc,
+]
+
+
+def generate(seed: int = DEFAULT_SEED, n: int = DEFAULT_N
+             ) -> list[tuple[str, str]]:
+    """Return ``n`` (name, sql) pairs, a pure function of ``(seed, n)``.
+
+    Templates are cycled so every shape gets ~n/len(TEMPLATES) instances;
+    each instance draws from its own child Random seeded by (seed, i) so
+    inserting a template never reshuffles the queries after it.
+    """
+    out: list[tuple[str, str]] = []
+    for i in range(n):
+        tmpl = TEMPLATES[i % len(TEMPLATES)]
+        r = random.Random(f"{seed}:{i}")
+        name = f"fz{seed}_{i:03d}_{tmpl.__name__[2:]}"
+        out.append((name, tmpl(r)))
+    return out
+
+
+def main() -> None:  # pragma: no cover — manual differential runner
+    """CLI: ``python -m fxspark.sqlfuzz [seed] [n] [sf_dir]`` — run the
+    full differential and print one line per query + failing SQL verbatim
+    (the reproduction recipe is the seed)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from fxspark.session import get_spark, register_views
+    from tests.oracle_diff import compare, diff_report, duck_connect
+
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_SEED
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_N
+    sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+
+    spark = get_spark("sqlfuzz")
+    register_views(spark, sf)
+    con = duck_connect(sf)
+    bad = 0
+    for name, sql in generate(seed, n):
+        try:
+            res = compare(spark.sql(sql).toPandas(),
+                          con.execute(sql).fetchdf())
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            print(f"{name}: ERROR {ex!r}\n  SQL: {sql}", flush=True)
+            bad += 1
+            continue
+        print(diff_report(name, res), flush=True)
+        if not res["ok"]:
+            print(f"  SQL: {sql}", flush=True)
+            bad += 1
+    print(f"\n{n - bad}/{n} match")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
