@@ -12228,12 +12228,35 @@ def _copurchase_weighted_edges(
     round 11):
 
     - CANONICAL-THEN-MIRROR, not directed enumeration: the self-join
-      emits 12M canonical rows instead of 24M directed ones, halving the
-      join output and the rollup shuffle; the mirror union reads the
-      CHECKPOINTED 1.2M-edge aggregate twice, which is cheap. (Round 10
+      emits 1.20M canonical rows instead of 2.4M directed ones, halving
+      the join output and the rollup shuffle; the mirror union reads the
+      CHECKPOINTED 1.196M-edge aggregate twice, which is cheap. (Round 10
       measured canonical+mirror as WORSE — but that A/B predated the
       checkpoint, so each union branch re-ran the whole build; with the
-      materialization the verdict flips: exact PPR 15.5 s → 9.1 s.)
+      materialization the verdict flips: exact PPR 15.5 s → 9.1 s.
+      Round-13 correction: the r11 docstring said "12M/24M" — the
+      measured counts are Σ_orders C(k,2) = 1,199,575 canonical pairs at
+      sf0.1; the 10× figure was wrong, the halving ratio and both A/B
+      verdicts stand.)
+
+    Enumeration-cost scaling (round-13 measurement, DuckDB row counts):
+
+      sf     orders   avg k  max k  canonical pairs  distinct edges  pairs/edge
+      0.001   1,473   4.03    11         11,722          8,899        1.32
+      0.01   14,743   4.07    13        119,239        115,729        1.03
+      0.1   147,236   4.07    17      1,199,575      1,196,000        1.00
+
+    The basket size k is CONSTANT in sf (avg 4.07, max growing ~log sf),
+    so the Ω(Σ C(k,2)) enumeration both PPR forms share is LINEAR in
+    orders — the irreducible floor scales 1:1 with data, not
+    quadratically, and per-order skew is bounded (worst order costs
+    C(17,2) = 136 pairs). Two consequences at 100 TB: (a) linearity
+    holds as long as the basket-size distribution stays bounded — a
+    power-law basket regime would shift cost toward Σ k² and only then
+    would a degree-capped enumeration matter; (b) pairs/edge → 1.0, so
+    the co-occurrence rollup performs almost NO reduction at scale —
+    map-side combine buys nothing, and the checkpoint earns its keep by
+    deduplicating the four consumers above it, not by shrinking rows.
     - SAMPLE BEFORE THE ROLLUP: the keep/drop hash depends only on the
       group keys, so the filter commutes with the groupBy; hashing 12M
       raw pairs map-side is cheaper than shuffling 4× the rows into the

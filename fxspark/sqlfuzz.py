@@ -577,11 +577,39 @@ def t_ts_trunc(r: random.Random) -> str:
     )
 
 
+def t_cte_chain(r: random.Random) -> str:
+    # The reference's CTE-chaining shape (update_exchange_rates.py: a WITH
+    # pipeline where each stage reads the previous) on the raw-SQL surface.
+    t = r.choice(["orders", "lineitem", "events", "customer"])
+    g = r.choice(_cols_of(t, "s"))
+    f = r.choice(_cols_of(t, "f"))
+    return (
+        f"WITH base AS (SELECT {g} AS g0, {f} AS x FROM {t} "
+        f"WHERE {_pred(r, t)}), "
+        f"agg AS (SELECT g0, {_sum_exact('x')} AS sx, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY g0) "
+        f"SELECT g0, sx, cnt, sx / cnt AS c0 FROM agg "
+        f"WHERE cnt >= {r.choice([2, 5])}"
+    )
+
+
+def t_setop(r: random.Random) -> str:
+    # INTERSECT / EXCEPT carry DISTINCT set semantics in both dialects.
+    t = r.choice([x for x in COLS if _cols_of(x, "s")])
+    g = r.choice(_cols_of(t, "s"))
+    op = r.choice(["INTERSECT", "EXCEPT"])
+    p1, p2 = _pred(r, t), _pred(r, t)
+    return (
+        f"SELECT {g} AS g0 FROM {t} WHERE {p1} "
+        f"{op} SELECT {g} AS g0 FROM {t} WHERE {p2}"
+    )
+
+
 TEMPLATES = [
     t_filter_project, t_group_agg, t_join_agg, t_explicit_join, t_left_join,
     t_theta_join, t_window_rank, t_window_running, t_scalar_subquery,
     t_exists, t_in_subquery, t_case_bucket, t_union, t_rollup, t_distinct,
-    t_order_limit, t_date_group, t_ts_trunc,
+    t_order_limit, t_date_group, t_ts_trunc, t_cte_chain, t_setop,
 ]
 
 

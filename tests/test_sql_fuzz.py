@@ -3,10 +3,11 @@
 The one user surface with no oracle coverage before round 13: arbitrary
 Spark SQL over the registered views (the migration path for the
 reference's SQL-first users — ``Fx_1min.py:147-217``). The seeded
-generator in ``fxspark.sqlfuzz`` emits 240 SELECTs across 18 templates
+generator in ``fxspark.sqlfuzz`` emits 240 SELECTs across 20 templates
 (joins, grouped aggregates + HAVING, window ranks, scalar/EXISTS/IN
 subqueries, CASE buckets, UNION ALL, ROLLUP, ORDER-BY-LIMIT, date
-grouping); every string runs VERBATIM on Spark (views) and DuckDB (same
+grouping, CTE chains, INTERSECT/EXCEPT); every string runs VERBATIM on
+Spark (views) and DuckDB (same
 parquet) and must match rows + columns + full-precision values under the
 driver-style canonicalization.
 
@@ -51,7 +52,7 @@ def test_generator_covers_all_templates():
 def test_generated_sql_is_single_statement():
     for name, sql in sqlfuzz.generate(SEED, N):
         assert ";" not in sql, name
-        assert sql.upper().startswith("SELECT "), name
+        assert sql.upper().startswith(("SELECT ", "WITH ")), name
 
 
 def test_rollup_empty_input_divergence(spark):
