@@ -104,6 +104,20 @@ def test_fuzz_differential(fuzz_env):
     assert nonempty >= N * 2 // 3, nonempty
 
 
+def test_fuzz_plans_respect_global_bans(fuzz_env):
+    """The registry's absolute plan bans hold for the ad-hoc surface too:
+    no CartesianProduct (every generated join is a key equality or a
+    scalar-subquery broadcast) and no row-at-a-time Python eval anywhere
+    in the 240 fuzz physical plans. This is the scale story for arbitrary
+    user SQL: the views + Catalyst alone, with no curated-query help,
+    must not produce an unbounded cross product."""
+    spark, _ = fuzz_env
+    for name, sql in sqlfuzz.generate(SEED, N):
+        plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        for bad in ("CartesianProduct", "BatchEvalPython"):
+            assert bad not in plan, (name, bad, sql)
+
+
 def test_fuzz_differential_alt_seed(fuzz_env):
     """A rotating non-default seed (derived from the round's default corpus
     so it drifts when the generator changes) keeps the fuzz from
