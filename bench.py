@@ -408,13 +408,28 @@ def main() -> None:
 
     def headline_capture():
         """Calibration probe → timed headline loop → calibration probe.
-        Returns (timings, calib_before, calib_after, drift)."""
+        Returns (timings, calib_before, calib_after, drift, timeline).
+
+        The timeline extends the extension sweep's burst detector into the
+        headline phase (r11 capture G vs F: the headline swung 4.56→6.64 s
+        under host load with only ENDPOINT probes covering those ~25 s —
+        a mid-phase burst was unadjudicable from the record). One probe
+        runs BETWEEN query entries, outside every timed region; entries
+        are [query index in capture order, calibration seconds], with the
+        endpoint probes included at positions -1 and len(queries) so the
+        timeline is self-contained. The probe cost (~1 s × 8 gaps) is
+        untimed and does not enter any reported number."""
         calib_before = calibration_probe()
         print(f"# calibration before: {calib_before:.3f}s", file=sys.stderr)
         timings: dict[str, float] = {}
-        for name in [n for n in HEADLINE if n in QUERIES]:
+        names = [n for n in HEADLINE if n in QUERIES]
+        timeline: list[list] = [[-1, calib_before]]
+        for i, name in enumerate(names):
             timed(name, REPS, timings)
+            if i < len(names) - 1:
+                timeline.append([i, round(calibration_probe(), 4)])
         calib_after = calibration_probe()
+        timeline.append([len(names), calib_after])
         drift = abs(calib_after - calib_before) / max(
             min(calib_before, calib_after), 1e-9
         )
@@ -422,14 +437,14 @@ def main() -> None:
             f"# calibration after: {calib_after:.3f}s (drift {drift:.0%})",
             file=sys.stderr,
         )
-        return timings, calib_before, calib_after, drift
+        return timings, calib_before, calib_after, drift, timeline
 
     # The headline phase is the graded number, so it gets the tight drift
     # gate: >20% calibration drift (r9's record showed 32% drift slip past
     # the old 40% threshold and inflate the floor-bound queries) triggers
     # ONE full recapture; if the retry still drifts, the record is marked
     # contaminated rather than silently inflated.
-    timings, calib_before, calib_after, drift = headline_capture()
+    timings, calib_before, calib_after, drift, hl_timeline = headline_capture()
     headline_retried = False
     if drift > 0.20:
         print("# headline drift >20% — recapturing once", file=sys.stderr)
@@ -438,7 +453,7 @@ def main() -> None:
         # Keep whichever capture drifted LESS — an unconditional replace
         # can publish the worse of the two when the retry drifts harder.
         if retry[3] <= drift:
-            timings, calib_before, calib_after, drift = retry
+            timings, calib_before, calib_after, drift, hl_timeline = retry
         else:
             print(
                 f"# retry drifted worse ({retry[3]:.0%} > {drift:.0%}) — "
@@ -881,6 +896,12 @@ def main() -> None:
             # [sweep position, calibration seconds] at each cleanup
             # boundary — the mid-sweep burst detector (see loop comment).
             "calibration_timeline": calib_timeline,
+            # Same detector for the HEADLINE phase (r11 next-round item 4):
+            # one probe between each pair of headline entries, positions
+            # are indices into the `queries` capture order, endpoints at
+            # -1/len. bench_compare consults this for headline flags the
+            # way it consults calibration_timeline for extension flags.
+            "headline_calibration_timeline": hl_timeline,
             # DECLARED expected in-sweep bands for context-sensitive
             # probes (sec). tokens_mg_pass_* measures a single-pass
             # Misra-Gries sketch over doc_rows*120 synthetic tokens:

@@ -59,24 +59,36 @@ def load_burst_note(path: str):
     so the reader adjudicates burst-vs-regression from the record alone
     (round-11 observed two such bursts, different query segments, both
     solo-remeasure clean while endpoint calibrations read clean too).
+
+    Headline queries get the same adjudication from the capture's
+    ``headline_calibration_timeline`` (one probe between each pair of
+    headline entries, positions = indices into the ``queries`` capture
+    order) — before r13 the headline phase had only endpoint probes, so a
+    mid-phase burst (r11 capture G: 4.56→6.64 s swing) was unadjudicable.
     """
     with open(path) as fh:
         d = json.load(fh)
-    timeline = (d.get("capture") or {}).get("calibration_timeline") or []
-    pos = {q: i for i, q in enumerate(d.get("extensions", {}))}
-    if not timeline:
-        return lambda q: ""
-    best = min(c for _, c in timeline)
+    cap = d.get("capture") or {}
+    phases = [
+        # (timeline, query→position, neighborhood radius, phase label)
+        (cap.get("calibration_timeline") or [],
+         {q: i for i, q in enumerate(d.get("extensions", {}))}, 25, "sweep"),
+        (cap.get("headline_calibration_timeline") or [],
+         {q: i for i, q in enumerate(d.get("queries", {}))}, 1, "headline"),
+    ]
 
     def note(q: str) -> str:
-        if q not in pos:
+        for timeline, pos, radius, label in phases:
+            if q not in pos or not timeline:
+                continue
+            best = min(c for _, c in timeline)
+            near = [c for p, c in timeline if abs(p - pos[q]) <= radius]
+            if near and max(near) > 1.5 * best:
+                return (
+                    f"  [burst-adjacent: calib {max(near):.2f}s near pos "
+                    f"{pos[q]}, {label} best {best:.2f}s]"
+                )
             return ""
-        near = [c for p, c in timeline if abs(p - pos[q]) <= 25]
-        if near and max(near) > 1.5 * best:
-            return (
-                f"  [burst-adjacent: calib {max(near):.2f}s near pos "
-                f"{pos[q]}, sweep best {best:.2f}s]"
-            )
         return ""
 
     return note
