@@ -118,6 +118,29 @@ def test_fuzz_plans_respect_global_bans(fuzz_env):
             assert bad not in plan, (name, bad, sql)
 
 
+def test_comparator_negative_control(fuzz_env):
+    """Mutation check: the comparator must FAIL when the two engines run
+    genuinely different queries — guards against a vacuous compare()
+    (a canonicalization bug that maps everything to equal would make
+    240/240 meaningless). Three mutation classes: a value shift, a
+    dropped row, and a renamed column."""
+    spark, con = fuzz_env
+    base = ("SELECT l_returnflag AS g0, CAST(COUNT(*) AS BIGINT) AS a0 "
+            "FROM lineitem GROUP BY l_returnflag")
+    mutants = [
+        base.replace("COUNT(*)", "COUNT(*) + 1"),          # value shift
+        base + " HAVING COUNT(*) > (SELECT MIN(cnt) FROM (SELECT "
+        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag) m)",  # row drop
+        base.replace("AS a0", "AS a1"),                    # column rename
+    ]
+    for mut in mutants:
+        res = compare(spark.sql(base).toPandas(), con.execute(mut).fetchdf())
+        assert not res["ok"], mut
+    # And the unmutated pair still matches (the control's control).
+    res = compare(spark.sql(base).toPandas(), con.execute(base).fetchdf())
+    assert res["ok"]
+
+
 def test_fuzz_differential_alt_seed(fuzz_env):
     """A rotating non-default seed (derived from the round's default corpus
     so it drifts when the generator changes) keeps the fuzz from
