@@ -605,11 +605,99 @@ def t_setop(r: random.Random) -> str:
     )
 
 
+def t_second_latest(r: random.Random) -> str:
+    # The reference flagship's decorrelated rank-2 (Q7-Q9: second-latest
+    # rate before a cutoff) as ad-hoc SQL. Ordered on o_orderdate (micros
+    # in the file — rule D7 keeps nanos ts out of ORDER BY: sub-microsecond
+    # ordering would tiebreak differently per engine).
+    cutoff = r.choice(DATE_LITS["o_orderdate"])
+    rk = r.choice([2, 3])
+    return (
+        "SELECT g0, okey, od FROM ("
+        "SELECT o_custkey AS g0, o_orderkey AS okey, o_orderdate AS od, "
+        "RANK() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC, o_orderkey) AS rk "
+        f"FROM orders WHERE o_orderdate < TIMESTAMP {_q(cutoff)}) q "
+        f"WHERE rk = {rk}"
+    )
+
+
+def t_grouped_max_cutoff(r: random.Random) -> str:
+    # Reference Q6: grouped max under a cutoff predicate.
+    t, dc, key = r.choice([("orders", "o_orderdate", "o_custkey"),
+                           ("lineitem", "l_shipdate", "l_suppkey")])
+    cutoff = r.choice(DATE_LITS[dc])
+    return (
+        f"SELECT {key} AS g0, MAX({dc}) AS m0, "
+        f"CAST(COUNT(*) AS BIGINT) AS a0 FROM {t} "
+        f"WHERE {dc} < TIMESTAMP {_q(cutoff)} GROUP BY {key}"
+    )
+
+
+def t_not_in(r: random.Random) -> str:
+    # Anti-join via NOT IN: FK columns are non-null on both sides, so the
+    # three-valued-logic trap (NOT IN over a NULL-bearing list is never
+    # true) cannot fire and both engines agree.
+    child, ck, parent, pk = r.choice(FKS)
+    ccols = _cols_of(child, "s") or [UNIQUE[child][0]]
+    g = r.choice(ccols)
+    return (
+        f"SELECT {g} AS g0, CAST(COUNT(*) AS BIGINT) AS a0 FROM {child} "
+        f"WHERE {ck} NOT IN (SELECT {pk} FROM {parent} "
+        f"WHERE {_pred(r, parent)}) GROUP BY {g}"
+    )
+
+
+def t_correlated_scalar(r: random.Random) -> str:
+    # Correlated scalar COUNT subquery (the reference's per-pair lookup
+    # shape before decorrelation).
+    child, ck, parent, pk = r.choice(
+        [(c, ck, p, pk) for (c, ck, p, pk) in FKS
+         if p in ("customer", "part", "supplier", "nation")]
+    )
+    return (
+        f"SELECT t0.{pk} AS g0, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {child} t1 "
+        f"WHERE t1.{ck} = t0.{pk} AND {_pred(r, child, 't1.')}) AS a0 "
+        f"FROM {parent} t0 WHERE {_pred(r, parent, 't0.')}"
+    )
+
+
+def t_join_window(r: random.Random) -> str:
+    # Rank window over a join result (top accounts per nation).
+    k = r.choice([2, 3, 5])
+    return (
+        "SELECT g0, k0, rk FROM ("
+        "SELECT t1.n_name AS g0, t0.c_custkey AS k0, "
+        "RANK() OVER (PARTITION BY t1.n_name "
+        "ORDER BY t0.c_acctbal DESC, t0.c_custkey) AS rk "
+        "FROM customer t0 JOIN nation t1 ON t0.c_nationkey = t1.n_nationkey "
+        f"WHERE {_pred(r, 'customer', 't0.')}) q WHERE rk <= {k}"
+    )
+
+
+def t_having_sum(r: random.Random) -> str:
+    # HAVING over the exact-decimal sum (identical doubles both engines,
+    # so the threshold comparison is deterministic).
+    t = r.choice(["orders", "lineitem", "events"])
+    g = r.choice(_cols_of(t, "s"))
+    f = r.choice(_cols_of(t, "f"))
+    lit = r.choice(NUM_LITS.get(f, [10.0]))
+    mult = r.choice([10, 100])
+    return (
+        f"SELECT {g} AS g0, {_sum_exact(f)} AS a0 FROM {t} "
+        f"WHERE {_pred(r, t)} GROUP BY {g} "
+        f"HAVING {_sum_exact(f)} > {lit * mult}"
+    )
+
+
 TEMPLATES = [
     t_filter_project, t_group_agg, t_join_agg, t_explicit_join, t_left_join,
     t_theta_join, t_window_rank, t_window_running, t_scalar_subquery,
     t_exists, t_in_subquery, t_case_bucket, t_union, t_rollup, t_distinct,
     t_order_limit, t_date_group, t_ts_trunc, t_cte_chain, t_setop,
+    t_second_latest, t_grouped_max_cutoff, t_not_in, t_correlated_scalar,
+    t_join_window, t_having_sum,
 ]
 
 

@@ -3,10 +3,12 @@
 The one user surface with no oracle coverage before round 13: arbitrary
 Spark SQL over the registered views (the migration path for the
 reference's SQL-first users — ``Fx_1min.py:147-217``). The seeded
-generator in ``fxspark.sqlfuzz`` emits 240 SELECTs across 20 templates
-(joins, grouped aggregates + HAVING, window ranks, scalar/EXISTS/IN
-subqueries, CASE buckets, UNION ALL, ROLLUP, ORDER-BY-LIMIT, date
-grouping, CTE chains, INTERSECT/EXCEPT); every string runs VERBATIM on
+generator in ``fxspark.sqlfuzz`` emits 240 SELECTs across 26 templates
+(joins, grouped aggregates + HAVING, window ranks, scalar/EXISTS/IN/
+NOT IN/correlated subqueries, CASE buckets, UNION ALL, ROLLUP,
+ORDER-BY-LIMIT, date grouping, CTE chains, INTERSECT/EXCEPT, and the
+reference's flagship shapes: decorrelated rank-2 second-latest, grouped
+max under cutoff, windowed joins); every string runs VERBATIM on
 Spark (views) and DuckDB (same
 parquet) and must match rows + columns + full-precision values under the
 driver-style canonicalization.
