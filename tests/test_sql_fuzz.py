@@ -143,6 +143,31 @@ def test_comparator_negative_control(fuzz_env):
     assert res["ok"]
 
 
+def test_fuzz_filter_pushdown_reaches_scan(fuzz_env):
+    """The ad-hoc surface must keep Catalyst's pushdown: every generated
+    single-table filter-project query shows a non-empty PushedFilters on
+    its parquet scan. The events view is exempt when it appears — its
+    ``ts`` is a computed column (nanosAsLong floor-div normalization in
+    load_table), so a ts-predicate legitimately evaluates above the scan;
+    all other generated predicate forms (comparisons, IN, <>,
+    prefix-LIKE) are parquet-pushable."""
+    import re
+
+    spark, _ = fuzz_env
+    checked = 0
+    for name, sql in sqlfuzz.generate(SEED, N):
+        if "_filter_project" not in name:
+            continue
+        table = re.search(r"FROM (\w+)", sql).group(1)
+        if table == "events":
+            continue
+        plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert m and m.group(1).strip(), (name, sql)
+        checked += 1
+    assert checked >= 5, checked
+
+
 def test_fuzz_differential_alt_seed(fuzz_env):
     """A rotating non-default seed (derived from the round's default corpus
     so it drifts when the generator changes) keeps the fuzz from
