@@ -162,8 +162,14 @@ def test_fuzz_filter_pushdown_reaches_scan(fuzz_env):
         if table == "events":
             continue
         plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
-        m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
-        assert m and m.group(1).strip(), (name, sql)
+        if "FileScan" not in plan and "BatchScan" not in plan:
+            # Catalyst folded a contradictory predicate to an empty
+            # LocalRelation — no scan exists, nothing to push (correct).
+            continue
+        # The plan string may truncate long filter lists mid-list (no
+        # closing bracket), so only require a non-empty list opening.
+        m = re.search(r"PushedFilters: \[\s*([^\]\s])", plan)
+        assert m, (name, sql)
         checked += 1
     assert checked >= 5, checked
 
