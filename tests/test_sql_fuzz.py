@@ -57,6 +57,34 @@ def test_generated_sql_is_single_statement():
         assert sql.upper().startswith(("SELECT ", "WITH ")), name
 
 
+def test_generator_valid_for_arbitrary_seeds(sf_dir):
+    """Property: for ANY seed, one full template cycle produces SQL that
+    parses and binds against the real schemas (DuckDB EXPLAIN as a fast
+    validity oracle — no execution). Guards the generator's literal pools
+    and alias hygiene against template edits that only break rare
+    draws."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    con = duck_connect(sf_dir)
+    ncycle = len(sqlfuzz.TEMPLATES)
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    def check(seed):
+        for name, sql in sqlfuzz.generate(seed, ncycle):
+            try:
+                con.execute(f"EXPLAIN {sql}")
+            except Exception as ex:  # noqa: BLE001
+                raise AssertionError(f"{name}: {ex}\n  SQL: {sql}") from ex
+
+    try:
+        check()
+    finally:
+        con.close()
+
+
 def test_rollup_empty_input_divergence(spark):
     """Executable record of declared dialect difference D12: ROLLUP over
     an empty input emits the grand-total grouping-set row in DuckDB (the
