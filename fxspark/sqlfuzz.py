@@ -691,13 +691,53 @@ def t_having_sum(r: random.Random) -> str:
     )
 
 
+def t_grouping_sets(r: random.Random) -> str:
+    # Rules D9 (string keys only) and D12 (empty-input guard) apply to
+    # every grouping-set form, not just ROLLUP.
+    t = r.choice([x for x in COLS if len(_cols_of(x, "s")) >= 2])
+    g1, g2 = r.sample(_cols_of(t, "s"), 2)
+    return (
+        f"SELECT {g1} AS g0, {g2} AS g1, CAST(COUNT(*) AS BIGINT) AS a0 "
+        f"FROM {t} WHERE {_pred(r, t)} "
+        f"GROUP BY GROUPING SETS (({g1}), ({g2}), ({g1}, {g2})) "
+        f"HAVING COUNT(*) > 0"
+    )
+
+
+def t_cube(r: random.Random) -> str:
+    t = r.choice([x for x in COLS if len(_cols_of(x, "s")) >= 2])
+    g1, g2 = r.sample(_cols_of(t, "s"), 2)
+    a1 = _agg(r, t, "", "a0")
+    return (
+        f"SELECT {g1} AS g0, {g2} AS g1, {a1} FROM {t} "
+        f"WHERE {_pred(r, t)} GROUP BY CUBE({g1}, {g2}) "
+        f"HAVING COUNT(*) > 0"
+    )
+
+
+def t_agg_filter(r: random.Random) -> str:
+    # FILTER (WHERE ...) aggregate modifier; an all-filtered group sums
+    # to NULL in both engines, COALESCEd to keep dtypes aligned.
+    t = r.choice(["orders", "lineitem", "events"])
+    g = r.choice(_cols_of(t, "s"))
+    f = r.choice(_cols_of(t, "f"))
+    p = _pred(r, t)
+    return (
+        f"SELECT {g} AS g0, "
+        f"COALESCE(CAST(SUM(CAST({f} AS DECIMAL(28,6))) "
+        f"FILTER (WHERE {p}) AS DOUBLE), 0.0) AS a0, "
+        f"CAST(COUNT(*) FILTER (WHERE {p}) AS BIGINT) AS a1, "
+        f"CAST(COUNT(*) AS BIGINT) AS a2 FROM {t} GROUP BY {g}"
+    )
+
+
 TEMPLATES = [
     t_filter_project, t_group_agg, t_join_agg, t_explicit_join, t_left_join,
     t_theta_join, t_window_rank, t_window_running, t_scalar_subquery,
     t_exists, t_in_subquery, t_case_bucket, t_union, t_rollup, t_distinct,
     t_order_limit, t_date_group, t_ts_trunc, t_cte_chain, t_setop,
     t_second_latest, t_grouped_max_cutoff, t_not_in, t_correlated_scalar,
-    t_join_window, t_having_sum,
+    t_join_window, t_having_sum, t_grouping_sets, t_cube, t_agg_filter,
 ]
 
 

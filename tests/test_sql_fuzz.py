@@ -3,7 +3,7 @@
 The one user surface with no oracle coverage before round 13: arbitrary
 Spark SQL over the registered views (the migration path for the
 reference's SQL-first users — ``Fx_1min.py:147-217``). The seeded
-generator in ``fxspark.sqlfuzz`` emits 240 SELECTs across 26 templates
+generator in ``fxspark.sqlfuzz`` emits 240 SELECTs across 29 templates
 (joins, grouped aggregates + HAVING, window ranks, scalar/EXISTS/IN/
 NOT IN/correlated subqueries, CASE buckets, UNION ALL, ROLLUP,
 ORDER-BY-LIMIT, date grouping, CTE chains, INTERSECT/EXCEPT, and the
