@@ -934,10 +934,18 @@ def main() -> None:
     # stdout line stays compact so the driver's captured tail always parses
     # (round 2/3 lesson: the one-line-with-74-extensions JSON outgrew the tail
     # and BENCH_r{N} recorded parsed:null).
+    #
+    # Output path is context-suffixed (r13 verdict item 6): an unqualified
+    # run — the per-round driver invocation — lands in BENCH_FULL_DRIVER.json
+    # so it can never clobber the builder's committed idle-window capture
+    # (BENCH_FULL_LOCAL.json, the stable bench_compare base). The builder
+    # refreshes the idle capture explicitly with
+    # FXSPARK_BENCH_OUT=BENCH_FULL_LOCAL.json on a verified-idle window.
+    out_name = os.environ.get("FXSPARK_BENCH_OUT", "BENCH_FULL_DRIVER.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL_LOCAL.json"), "w") as fh:
+                           out_name), "w") as fh:
         json.dump(full, fh, indent=1)
-    print("# full record: BENCH_FULL_LOCAL.json", file=sys.stderr)
+    print(f"# full record: {out_name}", file=sys.stderr)
     print(json.dumps({k: full[k] for k in
                       ("metric", "value", "unit", "queries",
                        "extensions_total", "sf", "capture")}))

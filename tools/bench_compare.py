@@ -3,8 +3,11 @@
 Single-rep extension timings on this host swing ±30-50% run-to-run (GC /
 page-cache / JVM-warm-up — see NOTES_r7.md "Bench discipline"), so a naive
 old-vs-new ratio flags noise every round. This tool takes ANY number of
-records (e.g. the current BENCH_FULL_LOCAL.json plus committed versions via
-`git show <ref>:BENCH_FULL_LOCAL.json > /tmp/old.json`), uses the per-query
+records (e.g. the committed idle capture BENCH_FULL_LOCAL.json, the latest
+driver capture BENCH_FULL_DRIVER.json — bench.py writes there by default and
+only writes BENCH_FULL_LOCAL.json under FXSPARK_BENCH_OUT — plus committed
+versions via `git show <ref>:BENCH_FULL_LOCAL.json > /tmp/old.json`), uses
+the per-query
 MEDIAN across records as the stable signal, and flags only queries whose
 newest reading exceeds both the cross-record median by `--band` (default
 1.5x) AND an absolute floor (default 0.5 s) — sub-floor entries are
@@ -38,8 +41,10 @@ def load_bands(path: str) -> dict[str, list[float]]:
     after the 240-query sweep has filled the JVM heap with checkpoint
     blocks and code-cache — a recurring false regression since r8).
     bench.py declares the expected range for ONLY the in-sweep regime the
-    capture can produce (the band floor starts at 2.0 s so a solo-fast
-    reading still surfaces under the median rule); a new reading inside
+    capture can produce (the band endpoints scale linearly with the corpus
+    size the capture declares via FXSPARK_BENCH_DOC_ROWS — the floor is
+    2.0 s × doc_rows/200k, so a solo-fast reading still surfaces under
+    the median rule at any corpus size); a new reading inside
     its declared band is reported separately and never flagged as a
     regression, but still gets the improvement check.
     """
@@ -69,20 +74,39 @@ def load_burst_note(path: str):
     with open(path) as fh:
         d = json.load(fh)
     cap = d.get("capture") or {}
+    ext_pos = {q: i for i, q in enumerate(d.get("extensions", {}))}
+    hl_pos = {q: i for i, q in enumerate(d.get("queries", {}))}
+    # A query present in BOTH maps would only ever get the first phase's
+    # adjudication — currently impossible (HEADLINE and EXTENSION are
+    # disjoint in bench.py), and enforced here so a future overlap fails
+    # loudly instead of silently picking a phase.
+    overlap = set(ext_pos) & set(hl_pos)
+    assert not overlap, f"query in both capture phases: {sorted(overlap)}"
+
+    def hl_brackets(p: int) -> set:
+        # Headline probes run BETWEEN entries: the probe recorded at
+        # position i runs after query i, except the final endpoint probe
+        # which is recorded at position len(queries). Query p is therefore
+        # bracketed by probes {p-1, p}, with the LAST query bracketed by
+        # {p-1, len} — never by p+1, which only runs after query p+1
+        # completes and would let a later burst tag this query.
+        after = p if p < len(hl_pos) - 1 else len(hl_pos)
+        return {p - 1, after}
+
     phases = [
-        # (timeline, query→position, neighborhood radius, phase label)
-        (cap.get("calibration_timeline") or [],
-         {q: i for i, q in enumerate(d.get("extensions", {}))}, 25, "sweep"),
-        (cap.get("headline_calibration_timeline") or [],
-         {q: i for i, q in enumerate(d.get("queries", {}))}, 1, "headline"),
+        # (timeline, query→position, probe-position filter, phase label)
+        (cap.get("calibration_timeline") or [], ext_pos,
+         lambda p, q: abs(p - ext_pos[q]) <= 25, "sweep"),
+        (cap.get("headline_calibration_timeline") or [], hl_pos,
+         lambda p, q: p in hl_brackets(hl_pos[q]), "headline"),
     ]
 
     def note(q: str) -> str:
-        for timeline, pos, radius, label in phases:
+        for timeline, pos, near_fn, label in phases:
             if q not in pos or not timeline:
                 continue
             best = min(c for _, c in timeline)
-            near = [c for p, c in timeline if abs(p - pos[q]) <= radius]
+            near = [c for p, c in timeline if near_fn(p, q)]
             if near and max(near) > 1.5 * best:
                 return (
                     f"  [burst-adjacent: calib {max(near):.2f}s near pos "
