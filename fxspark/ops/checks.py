@@ -106,8 +106,11 @@ def profile_table(df: DataFrame, kmv_k: int = 256) -> DataFrame:
     }
     for f in df.schema.fields:
         c = f.name
+        # count(when), not sum(cast): an EMPTY table must profile to
+        # n_null = 0, not SUM's NULL (which crashed the int() below —
+        # round-14 sf_empty registry sweep); identical on non-empty input.
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}")
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"_null_{c}")
         )
         if c in numeric:
             aggs.append(F.min(c).cast("double").alias(f"_min_{c}"))

@@ -57,6 +57,11 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # EMPTY edge list ⇒ empty node set ⇒ empty rank frame — the SQL
+        # oracles' iteration over zero nodes yields zero rows too
+        # (round-14 sf_empty registry sweep; 1/N below would divide by 0).
+        return nodes.withColumn("rank", F.lit(0.0))
     teleport = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(n_iter):
@@ -368,6 +373,12 @@ def personalized_pagerank(
     )
     s = sources.select("node").distinct()
     n_src = s.count()
+    if n_src == 0:
+        # No teleport sources (empty input or empty seed set): every
+        # node's personalized rank is 0 mass — return the empty frame the
+        # SQL oracle produces (round-14 sf_empty registry sweep; 1/n_src
+        # below would divide by 0).
+        return nodes.withColumn("rank", F.lit(0.0)).limit(0)
     p = 1.0 / n_src
     nodes = (
         nodes.join(

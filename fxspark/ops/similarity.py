@@ -235,6 +235,11 @@ def train_ivf_codebook(sample, n_cells: int = 16, seed: int = 7) -> list[list[fl
     an approximate, data-adaptive index hash-checkable."""
     import numpy as np
 
+    if len(sample) == 0:
+        # EMPTY corpus ⇒ empty codebook (an empty np.array is 1-D, so the
+        # Lloyd distance tensor below would IndexError — round-14 sf_empty
+        # registry sweep); callers route zero rows through zero cells.
+        return []
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
     for _ in range(8):  # Lloyd on the sample

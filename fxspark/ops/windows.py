@@ -339,20 +339,25 @@ def grid_interpolate(
 
     keys = [keys] if isinstance(keys, str) else list(keys)
     step_us = int(step_seconds) * 1_000_000
-    step = F.lit(step_us)
     us = F.unix_micros(F.col(ts_col))
 
     span = df.groupBy(*keys).agg(
         F.min(us).alias("_lo"), F.max(us).alias("_hi")
     )
-    # integer ceil/floor to the grid (epochs are positive; DIV truncates)
+    # integer ceil/floor to the grid (epochs are positive; DIV truncates).
+    # A key whose span contains NO grid multiple (ceil(lo) > floor(hi) —
+    # guaranteed for single-observation keys on degenerate inputs) gets an
+    # EMPTY grid: Spark's sequence() throws on start > stop with a positive
+    # step where generate_series is simply empty (round-14 sf_unit sweep),
+    # so the sequence is guarded by an empty-array branch.
+    g0 = f"((_lo + {step_us - 1}) DIV {step_us}) * {step_us}"
+    g1 = f"(_hi DIV {step_us}) * {step_us}"
     grid = span.select(
         *keys,
         F.explode(
-            F.sequence(
-                F.expr(f"((_lo + {step_us - 1}) DIV {step_us}) * {step_us}"),
-                F.expr(f"(_hi DIV {step_us}) * {step_us}"),
-                step,
+            F.expr(
+                f"IF({g0} <= {g1}, sequence({g0}, {g1}, {step_us}), "
+                f"CAST(array() AS ARRAY<BIGINT>))"
             )
         ).alias("_us"),
     ).select(

@@ -307,10 +307,19 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY ROLLUP (day, event_type)
+    HAVING count(*) > 0
     """,
 )
 def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical time rollup (hypertable-style day×type cube slice)."""
+    """Hierarchical time rollup (hypertable-style day×type cube slice).
+
+    The trailing ``n_events > 0`` filter is the D12 degenerate-input
+    discipline (``fxspark/sqlfuzz.py``): over an EMPTY input the SQL
+    standard (DuckDB/PostgreSQL) emits the grand-total grouping-set row
+    but Spark emits zero rows; the filter is a no-op on every row a
+    non-empty input can produce (all rollup subtotals aggregate ≥1 row)
+    and removes exactly the divergent row — found by the round-14
+    sf_empty registry sweep (tests/test_degenerate_registry.py)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.withColumn("day", time_bucket(F.col("ts"), "day"))
@@ -320,6 +329,7 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             exact_sum(F.col("value")).alias("total_value"),
         )
+        .filter(F.col("n_events") > 0)
         .select("day", "event_type", "g_type", "n_events", "total_value")
     )
 
@@ -1077,22 +1087,29 @@ def q_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
              AS grp_id
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     """,
 )
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP (grouping-sets family — SURVEY.md
     §2.5 gap filled natively): per (flag, status), per flag, and grand total
     in ONE pass — partial aggregation handles all levels map-side, vs 3
-    separate scans. grp_id disambiguates subtotal rows from data NULLs."""
+    separate scans. grp_id disambiguates subtotal rows from data NULLs.
+    The ``n_rows > 0`` filter is the D12 empty-input discipline (see
+    q_daily_rollup) — a no-op on any non-empty input."""
     li = load_table(spark, sf_dir, "lineitem")
     # grp_id is declared as g(flag) + 2*g(status) explicitly on both sides —
     # engines disagree on grouping_id() bit order, so never rely on it.
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        exact_sum(F.col("l_quantity")).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.grouping("l_returnflag") + F.grouping("l_linestatus") * 2)
-        .cast("long")
-        .alias("grp_id"),
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus") * 2)
+            .cast("long")
+            .alias("grp_id"),
+        )
+        .filter(F.col("n_rows") > 0)
     )
 
 
@@ -1106,6 +1123,7 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS grp_id
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY CUBE(c_mktsegment, o_orderpriority)
+    HAVING count(*) > 0
     """,
 )
 def q_segment_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,18 +1131,24 @@ def q_segment_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     family next to ROLLUP/PIVOT): revenue by segment × priority, each margin,
     and the grand total. The segment column rides in on a broadcast dim join
     before the single cube aggregation; grp_id pinned explicitly on both
-    sides (engines disagree on grouping_id() bit order)."""
+    sides (engines disagree on grouping_id() bit order). The
+    ``n_orders > 0`` filter is the D12 empty-input discipline (see
+    q_daily_rollup) — a no-op on any non-empty input."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = orders.join(
         F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
     )
-    return joined.cube("c_mktsegment", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        exact_sum(F.col("o_totalprice")).alias("revenue"),
-        (F.grouping("c_mktsegment") + F.grouping("o_orderpriority") * 2)
-        .cast("long")
-        .alias("grp_id"),
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice")).alias("revenue"),
+            (F.grouping("c_mktsegment") + F.grouping("o_orderpriority") * 2)
+            .cast("long")
+            .alias("grp_id"),
+        )
+        .filter(F.col("n_orders") > 0)
     )
 
 
@@ -1473,6 +1497,8 @@ def _ivf_oracle() -> str | None:
         sample = np.array(t.column("embedding").to_pylist()[:4096], dtype=np.float64)
         cents = train_ivf_codebook(sample, n_cells=16, seed=7)
     except Exception:  # noqa: BLE001 — no fixture ⇒ honest rows-only check
+        return None
+    if not cents:  # empty fixture ⇒ no VALUES list — rows-only check
         return None
     vals = ", ".join(
         f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
@@ -3514,6 +3540,7 @@ def q_customer_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_items
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    HAVING count(*) > 0
     """,
 )
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3521,7 +3548,9 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by sales_rollup / segment_priority_cube) through the DataFrame
     ``groupingSets`` API, with the grouping-id bitmask distinguishing
     aggregation levels. One expand + hash-agg pass — Spark expands the sets
-    map-side so the shuffle still partial-combines."""
+    map-side so the shuffle still partial-combines. The ``n_items > 0``
+    filter is the D12 empty-input discipline (see q_daily_rollup) — a
+    no-op on any non-empty input."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupingSets(
@@ -3533,6 +3562,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("l_extendedprice"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .filter(F.col("n_items") > 0)
     )
 
 
@@ -3789,6 +3819,14 @@ def q_order_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date_trunc('month', min(o_orderdate)) AS m0, "
         "date_trunc('month', max(o_orderdate)) AS m1 FROM orders"
     ).first()
+    if b["y0"] is None:
+        # EMPTY orders: there is no spine to generate. The oracle agrees —
+        # its recursive seed is NULL, so the final BETWEEN NULL AND NULL
+        # filters every spine row (round-14 sf_empty registry sweep; the
+        # .strftime below crashed on the NULL min/max before this guard).
+        return spark.createDataFrame(
+            [], "month_start timestamp, n_orders bigint, revenue double"
+        )
     lit = {k: b[k].strftime("%Y-%m-%d %H:%M:%S") for k in ("y0", "y1", "m0", "m1")}
     return spark.sql(f"""
     WITH RECURSIVE yr(y) AS (
@@ -4546,6 +4584,8 @@ def _semantic_dedup_oracle() -> str | None:
         sample = np.array(t.column("embedding").to_pylist()[:4096], dtype=np.float64)
         cents = train_ivf_codebook(sample, n_cells=16, seed=7)
     except Exception:  # noqa: BLE001 — no fixture ⇒ honest rows-only check
+        return None
+    if not cents:  # empty fixture ⇒ no VALUES list — rows-only check
         return None
     vals = ", ".join(
         f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
@@ -5633,20 +5673,25 @@ def q_orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, plus the one check that needs a join — referential orphans via
     left-anti against customer (broadcast at dim scale). Complements the
     zero-extra-pass ``ops/checks.observe_checks`` (which rides a write
-    action but cannot see cross-table constraints)."""
+    action but cannot see cross-table constraints).
+
+    The conditional counts are ``count(when(...))`` — not
+    ``sum(when(..., 1), 0)`` — so an EMPTY orders table audits to 0
+    violations per check like the oracle's ``count(*) FILTER``, instead
+    of SUM's NULL (round-14 sf_empty sweep finding)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     row_checks = orders.agg(
-        F.sum(
-            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
         ).alias("bad_status"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
             "dup_orderkey"
         ),
-        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias(
             "negative_totalprice"
         ),
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
             "null_custkey"
         ),
     )
@@ -6241,7 +6286,10 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + bin-keyed count — two scans, no sort, 20-row output at
     any input size. The max value clamps into the last bin (least(...,19)),
     the standard closed-top-bin convention. Bin arithmetic is plain IEEE
-    (sub/div/floor), bit-identical in both engines."""
+    (sub/div/floor), bit-identical in both engines. try_divide, not ``/``:
+    a SINGLE-VALUED input makes the bin width 0, where DuckDB's division
+    yields NULL (and both engines' least() then skips it → bin 19) but
+    Spark's ANSI division throws — round-14 sf_unit registry sweep."""
     events = load_table(spark, sf_dir, "events")
     b = events.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
@@ -6249,7 +6297,8 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (F.col("hi") - F.col("lo")) / 20.0
     binned = events.crossJoin(F.broadcast(b)).select(
         F.least(
-            F.floor((F.col("value") - F.col("lo")) / width), F.lit(19)
+            F.floor(F.try_divide(F.col("value") - F.col("lo"), width)),
+            F.lit(19),
         ).cast("long").alias("bin"),
         F.col("lo"),
         width.alias("w"),
@@ -7012,7 +7061,10 @@ def _kmeans_seed(sf_dir: str | None = None) -> list[list[float]] | None:
 
 def _kmeans_oracle() -> str | None:
     seed = _kmeans_seed()
-    if seed is None:
+    # `not seed` also covers the EMPTY fixture (zero embeddings ⇒ zero
+    # seed rows): there is no SQL VALUES list for an empty codebook, so
+    # the check honestly degrades to rows-only (round-14 degenerate sweep).
+    if not seed:
         return None
     vals = ", ".join(
         f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
@@ -9121,11 +9173,16 @@ def q_events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("mx"),
         ((F.max("value") - F.min("value")) / 64).alias("width"),
     )
+    # try_divide: a single-valued input makes width 0 → DuckDB's division
+    # yields NULL (least() then skips it → bin 63) while Spark's ANSI
+    # division throws (round-14 sf_unit registry sweep).
     binned = events.crossJoin(F.broadcast(stats)).select(
         "event_type",
         F.least(
             F.lit(63),
-            F.floor((F.col("value") - F.col("mn")) / F.col("width")),
+            F.floor(
+                F.try_divide(F.col("value") - F.col("mn"), F.col("width"))
+            ),
         )
         .cast("int")
         .alias("bin"),
@@ -10319,13 +10376,19 @@ def q_stream_histogram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("mn"),
         ((F.max("value") - F.min("value")) / 64).alias("width"),
     )
+    # try_divide: single-valued input → width 0 → DuckDB NULL vs Spark
+    # ANSI throw (round-14 sf_unit registry sweep; see value_histogram).
     return (
         events.crossJoin(F.broadcast(stats))
         .select(
             "event_type",
             F.least(
                 F.lit(63),
-                F.floor((F.col("value") - F.col("mn")) / F.col("width")),
+                F.floor(
+                    F.try_divide(
+                        F.col("value") - F.col("mn"), F.col("width")
+                    )
+                ),
             )
             .cast("int")
             .alias("bin"),
@@ -10711,7 +10774,11 @@ def q_doc_pair_budget_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = c.agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.expr("c * (c - 1) div 2")).alias("exact_pairs"),
-        F.sum(F.col("_in").cast("long")).alias("n_sampled"),
+        # count(when), not sum(cast): an EMPTY frequency table must report
+        # n_sampled = 0 like the oracle's count(*), not SUM's NULL
+        # (round-14 sf_empty sweep finding; _in is never NULL so the two
+        # agree on every non-empty input)
+        F.count(F.when(F.col("_in"), F.lit(1))).alias("n_sampled"),
         (
             F.lit(8)
             * F.sum(F.when(F.col("_in"), F.expr("c * (c - 1) div 2")))
@@ -10722,9 +10789,16 @@ def q_doc_pair_budget_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_pairs",
         "n_sampled",
         "est_pairs",
+        # try_divide: exact_pairs = 0 (no repeated shingle — degenerate
+        # inputs) makes DuckDB's division yield NULL where Spark's ANSI
+        # division throws (round-14 sf_unit registry sweep).
         F.round(
-            F.abs(F.col("est_pairs").cast("double") - F.col("exact_pairs"))
-            / F.col("exact_pairs"),
+            F.try_divide(
+                F.abs(
+                    F.col("est_pairs").cast("double") - F.col("exact_pairs")
+                ),
+                F.col("exact_pairs"),
+            ),
             6,
         ).alias("rel_err"),
     )
@@ -12258,14 +12332,16 @@ def _copurchase_weighted_edges(
     map-side combine buys nothing, and the checkpoint earns its keep by
     deduplicating the four consumers above it, not by shrinking rows.
     - SAMPLE BEFORE THE ROLLUP: the keep/drop hash depends only on the
-      group keys, so the filter commutes with the groupBy; hashing 12M
-      raw pairs map-side is cheaper than shuffling 4× the rows into the
+      group keys, so the filter commutes with the groupBy; hashing the
+      ~1.2M canonical raw pairs map-side (sf0.1 measured count — see the
+      scaling table above) is cheaper than shuffling 4× the rows into the
       rollup and hashing the aggregate after (topk 9.5 s → 8.4 s).
     - CHECKPOINT THE UNDIRECTED AGGREGATE (the narrowest frame): the
       consumers above personalized_pagerank's internal checkpoint —
       nodes_in_graph's two union branches, the seed semi-join, and the
-      out-weight join — would otherwise each re-run the 12M-row build
-      (the apriori ``_min_support`` pattern, round-10 audit class).
+      out-weight join — would otherwise each re-run the ~1.2M-row build
+      (measured sf0.1 count; the apriori ``_min_support`` pattern,
+      round-10 audit class).
 
     Weights are bit-identical to the directed enumeration: the
     co-occurrence count of (u,v) equals that of (v,u), and share
@@ -13145,14 +13221,21 @@ def q_customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.col("n_pos").cast("double") / F.col("n_cust").cast("double")
     base = F.col("tot_pos").cast("double") / F.col("tot_n").cast("double")
+    # lift/cum_capture via try_divide: with ZERO repurchasers (degenerate
+    # inputs) base and tot_pos are 0, where DuckDB's division yields NULL
+    # but Spark's ANSI division throws (round-14 sf_unit registry sweep).
+    # rate's denominator n_cust is ≥1 by construction and stays `/`.
     return w.select(
         "decile",
         "n_cust",
         "n_pos",
         F.round(rate, 6).alias("rate"),
-        F.round(rate / base, 6).alias("lift"),
+        F.round(F.try_divide(rate, base), 6).alias("lift"),
         F.round(
-            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"),
+            F.try_divide(
+                F.col("cum_pos").cast("double"),
+                F.col("tot_pos").cast("double"),
+            ),
             6,
         ).alias("cum_capture"),
     )
@@ -13823,10 +13906,15 @@ def q_part_return_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((r * r).cast("decimal(38,9)")).cast("double").alias("srr"),
     )
     m = F.col("sr") / F.col("np")
-    v = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("np")) / (
-        F.col("np") - 1.0
+    # try_divide for v (np=1 ⇒ /0) and c (v=0 ⇒ /0): DuckDB's division
+    # yields NULL there — the CASE guard then falls back to the raw rate —
+    # while Spark's ANSI division throws before the guard can apply
+    # (round-14 sf_unit registry sweep). np itself is ≥1, m stays `/`.
+    v = F.try_divide(
+        F.col("srr") - F.col("sr") * F.col("sr") / F.col("np"),
+        F.col("np") - 1.0,
     )
-    c = m * (1.0 - m) / v - 1.0
+    c = F.try_divide(m * (1.0 - m), v) - 1.0
     ok = (v > 0.0) & (c > 0.0)
     ab = mom.select(
         F.when(ok, m * c).alias("alpha"),
@@ -14234,8 +14322,12 @@ def q_order_value_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tp, fp, fn, tn = (F.col(x).cast("double") for x in ("tp", "fp", "fn", "tn"))
     nd = F.col("n").cast("double")
-    prec = tp / (tp + fp)
-    rec = tp / (tp + fn)
+    # try_divide throughout the ratio tree: a degenerate confusion table
+    # (tp+fp = 0, prec+rec = 0, or pe = 1 under single-class input) makes
+    # DuckDB's division yield NULL where Spark's ANSI division throws
+    # (round-14 sf_unit registry sweep). nd ≥ 1, so accuracy stays `/`.
+    prec = F.try_divide(tp, tp + fp)
+    rec = F.try_divide(tp, tp + fn)
     pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (nd * nd)
     po = (tp + tn) / nd
     return m.select(
@@ -14246,9 +14338,9 @@ def q_order_value_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         F.round(prec, 6).alias("precision_"),
         F.round(rec, 6).alias("recall_"),
-        F.round(2.0 * prec * rec / (prec + rec), 6).alias("f1"),
+        F.round(F.try_divide(2.0 * prec * rec, prec + rec), 6).alias("f1"),
         F.round(po, 6).alias("accuracy"),
-        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+        F.round(F.try_divide(po - pe, 1.0 - pe), 6).alias("kappa"),
     )
 
 

@@ -1,0 +1,128 @@
+"""Round-14 degenerate-input gate: the FULL registry differential on EMPTY
+and ONE-ROW star schemas (the r13 verdict's top ask).
+
+D12 (``fxspark/sqlfuzz.py``) proved a class of Spark-vs-oracle divergences
+that only degenerate inputs expose; until this round the 249 registry
+queries had only ever run on well-populated fixtures. The sweep found and
+fixed five divergence classes (every fix a no-op on non-empty input, the
+D12 discipline; gate-scale parity re-proven for each touched query):
+
+1. GROUPING-SET GRAND TOTALS (D12 registry-side): ``ROLLUP``/``CUBE``/
+   ``GROUPING SETS`` over EMPTY input emit the SQL-standard grand-total row
+   in DuckDB but zero rows in Spark — daily_rollup, sales_rollup,
+   segment_priority_cube, grouping_sets_revenue now carry
+   ``HAVING count(*) > 0`` / ``.filter(n > 0)`` on both sides.
+2. ANSI DIVISION: Spark 4 (ANSI on) THROWS on x/0 while DuckDB yields NULL
+   (pinned below) — 8 ratio queries (histogram widths, lift bases,
+   confusion-table ratios, EB-prior moments, rel-err denominators) moved
+   the zero-able denominators to ``try_divide``.
+3. DRIVER-SIDE SCALAR PULLS on empty aggregates: order_month_spine
+   (.strftime on NULL min/max), ops/checks.profile_table (int(None)),
+   ops/graph pagerank 1/0 teleport, ops/similarity.train_ivf_codebook
+   (1-D empty ndarray) — each now short-circuits to the frame the oracle
+   produces.
+4. ``sequence()`` vs ``generate_series``: Spark throws on start > stop
+   with a positive step, DuckDB returns empty (pinned below) —
+   ops/windows.grid_interpolate guards the grid expansion.
+5. SUM-vs-COUNT on empty: ``sum(CASE...)`` is NULL where the oracle's
+   ``count(*) FILTER`` is 0 — conditional counts rewritten as
+   ``count(when(...))`` (orders_quality_audit, doc_pair_budget_estimate,
+   profile_table null counters).
+
+Data-adaptive oracles (IVF/SemDeDup/k-means codebooks baked from
+``FXSPARK_ORACLE_SF_DIR`` at import) are re-baked per fixture by
+``tools.degenerate_sweep.rebake_adaptive_oracles``; the EMPTY corpus has
+no expressible codebook VALUES list, so those two degrade to the driver's
+honest rows-only check there.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+_TOOLS = os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+
+
+def _load(name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_TOOLS, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+deg_fixtures = _load("degenerate_fixtures")
+deg_sweep = _load("degenerate_sweep")
+
+
+@pytest.fixture(scope="module")
+def degenerate_dirs(tmp_path_factory, sf_dir):
+    base = tmp_path_factory.mktemp("degenerate")
+    return deg_fixtures.build_pair(sf_dir, str(base))
+
+
+def test_fixtures_preserve_schema(degenerate_dirs, sf_dir):
+    """Both fixtures are physical-schema-identical to the source parquet —
+    so the engine's nanos/NTZ read paths run on them, not around them."""
+    import pyarrow.parquet as pq
+
+    for out in degenerate_dirs:
+        for t in deg_fixtures.TABLES:
+            src = pq.read_schema(os.path.join(sf_dir, f"{t}.parquet"))
+            dst = pq.read_schema(os.path.join(out, f"{t}.parquet"))
+            assert src.equals(dst), (out, t)
+    n_unit = pq.read_table(
+        os.path.join(degenerate_dirs[1], "orders.parquet")
+    ).num_rows
+    assert n_unit == 1
+
+
+def test_registry_on_empty_tables(spark, degenerate_dirs):
+    """Full registry differential on the 0-row star schema."""
+    ok, fails = deg_sweep.sweep(
+        spark, degenerate_dirs[0], verbose=False
+    )
+    assert not fails, fails
+    assert len(ok) >= 249
+
+
+def test_registry_on_unit_tables(spark, degenerate_dirs):
+    """Full registry differential on the 1-row star schema."""
+    ok, fails = deg_sweep.sweep(
+        spark, degenerate_dirs[1], verbose=False
+    )
+    assert not fails, fails
+    assert len(ok) >= 249
+
+
+def test_ansi_divide_by_zero_divergence_pin(spark):
+    """DECLARED DIALECT DIFFERENCE (the basis for the try_divide fixes):
+    x/0 THROWS in Spark 4's default ANSI mode but yields NULL in DuckDB —
+    an unguarded ratio is therefore a cross-engine divergence even though
+    neither engine produces a wrong NUMBER. try_divide restores the
+    oracle's NULL semantics exactly."""
+    from pyspark.errors import ArithmeticException
+
+    with pytest.raises(ArithmeticException):
+        spark.sql("SELECT CAST(1.5 AS DOUBLE) / CAST(0.0 AS DOUBLE)").collect()
+    assert spark.sql("SELECT try_divide(1.5D, 0.0D)").first()[0] is None
+    assert duckdb.sql(
+        "SELECT CAST(1.5 AS DOUBLE) / CAST(0.0 AS DOUBLE)"
+    ).fetchone()[0] is None
+
+
+def test_sequence_empty_range_divergence_pin(spark):
+    """DECLARED DIALECT DIFFERENCE (the basis for the grid_interpolate
+    guard): sequence(start, stop, +step) with start > stop throws in Spark
+    where DuckDB's list-returning generate_series (the form the
+    user_value_interp oracle unnests) is simply empty."""
+    with pytest.raises(Exception, match="(?i)sequence|illegal"):
+        spark.sql("SELECT sequence(10L, 0L, 5L)").collect()
+    assert duckdb.sql(
+        "SELECT len(generate_series(10, 0, 5))"
+    ).fetchone()[0] == 0

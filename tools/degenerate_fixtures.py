@@ -1,0 +1,75 @@
+"""Degenerate-input fixtures: schema-identical EMPTY and ONE-ROW star schemas.
+
+Round-14 verdict item 1: the 249-query registry had only ever run on
+well-populated fixtures, while D12 (``fxspark/sqlfuzz.py``) proved a class of
+Spark-vs-oracle divergences that ONLY degenerate inputs expose (grouping-set
+grand totals over empty input). These builders derive `sf_empty` (0 rows per
+table) and `sf_unit` (1 row per table) from an existing driver testdata
+directory with pyarrow, preserving the parquet physical schema EXACTLY —
+including the `events.ts` TIMESTAMP(NANOS) column that `fxspark.session.
+load_table` special-cases — so every engine code path (nanosAsLong read,
+floor-div to micros, NTZ normalization) runs identically on the degenerate
+tables.
+
+The reference's own "no rows yet" path is the v1 LEFT JOIN + 'No Previous
+Rate' fallback (`/root/reference/update_exchange_rates.py:202-213`) — a
+degenerate-input behavior the engine already replicates; this module extends
+that care registry-wide.
+
+Fixtures are a pure function of the source directory (row 0 of row-group 0
+for `sf_unit` — parquet read order is deterministic), so tests rebuild them
+into a tmp dir instead of committing binaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def build(sf_src: str, out_dir: str, rows: int) -> str:
+    """Write a schema-identical copy of every table with the first ``rows``
+    rows (0 = empty). Returns ``out_dir``."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(sf_src, f"{t}.parquet")
+        table = pq.read_table(src)
+        head = table.slice(0, rows)
+        # version 2.6 keeps timestamp[ns] as parquet TIMESTAMP(NANOS) —
+        # the same physical type the driver testdata stores, so the
+        # nanosAsLong read path is exercised, not bypassed.
+        pq.write_table(head, os.path.join(out_dir, f"{t}.parquet"),
+                       version="2.6")
+    return out_dir
+
+
+def build_pair(sf_src: str, base_dir: str) -> tuple[str, str]:
+    """Build (sf_empty, sf_unit) under ``base_dir``."""
+    return (
+        build(sf_src, os.path.join(base_dir, "sf_empty"), 0),
+        build(sf_src, os.path.join(base_dir, "sf_unit"), 1),
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover — manual builder
+    import sys
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fxspark_degenerate"
+    e, u = build_pair(src, out)
+    print(e)
+    print(u)
