@@ -34,8 +34,12 @@ Determinism contract
   D3  Averages are emitted as exact-sum / COUNT — ``AVG(double)`` is
       order-sensitive in the last ulp.
   D4  Every non-constant denominator is guarded with ``NULLIF(d, 0)``:
-      both engines (Spark under its default ANSI mode, DuckDB always)
-      raise on division by zero.
+      on x/0 Spark's default ANSI mode RAISES while DuckDB yields NULL
+      (rationale corrected round 14 and pinned by
+      ``tests/test_degenerate_registry.py::
+      test_ansi_divide_by_zero_divergence_pin``), so an unguarded
+      division is a cross-engine divergence; the guard makes both
+      engines produce NULL.
   D5  Window ``ORDER BY`` always ends in a unique key, and rank filters
       use ``RANK()`` (tie-complete) — ``ROW_NUMBER`` over a non-unique
       order is nondeterministic in any engine.
@@ -47,8 +51,14 @@ Determinism contract
       never cross a whole-second boundary, so comparisons agree) and under
       ``date_trunc`` — never projected raw or min/max-aggregated.
       ``o_orderdate`` / ``l_shipdate`` are micros in the file and safe.
-  D8  ``ORDER BY`` keys are non-nullable source columns (default NULL
-      ordering differs: Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST).
+  D8  Default NULL ordering differs (Spark ASC=NULLS FIRST, DuckDB
+      ASC=NULLS LAST), so a sort key that can be NULL always carries an
+      EXPLICIT ``NULLS FIRST``/``NULLS LAST`` — both dialects accept the
+      syntax and agree on its meaning.  (Wave 4 retired the original
+      blanket restriction to non-nullable source columns: nullable
+      computed sort keys — ``NULLIF``, guarded division — are now fuzzed
+      under the explicit form, see ``t_order_nulls``/``t_coalesce_nullif``.
+      Non-nullable source-column keys may still omit the clause.)
   D9  ROLLUP group keys are strings only — an integer group column that
       gains subtotal NULLs changes pandas dtype (int→float) differently
       per driver version; strings stay object-typed.
@@ -68,6 +78,16 @@ Determinism contract
       ``HAVING COUNT(*) > 0``, which is a no-op on every row a non-empty
       input can produce (all rollup subtotals aggregate ≥1 row) and
       filters exactly the divergent empty-input row.
+  D13 DATE-typed OUTPUT columns are always projected through
+      ``CAST(... AS STRING)`` (wave-4 probe: the VALUES agree, but pandas
+      surfaces a Spark DATE as ``datetime.date`` and a DuckDB DATE as
+      ``datetime64`` — a representation split the strict comparator
+      cannot unify without weakening).  DATE values in predicates and
+      GROUP BY keys are unrestricted.
+  D14 ``EXTRACT`` fields are limited to YEAR/MONTH/DAY/QUARTER — a real
+      dialect divergence found by the wave-4 probe: ``EXTRACT(DOW ...)``
+      numbers Sunday 1 in Spark but 0 in DuckDB (ISO variants aren't
+      portable either: Spark lacks ISODOW).
 
 Literal pools are frozen constants drawn from the public testdata
 generator's category values and value ranges (``TESTDATA.md``); they are
@@ -731,6 +751,134 @@ def t_agg_filter(r: random.Random) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 4 (round 14): scalar-function and NULL-ordering breadth.  The pool
+# below was probed Spark-vs-DuckDB before inclusion; the two functions that
+# FAILED the probe are declared as D13/D14 and excluded.  These templates
+# cover the §2.2 P4-P7 function class the reference's users write
+# (``Fx_1min.py:71-75``: substring pair labels, string concat, date parsing).
+# ---------------------------------------------------------------------------
+
+# Verified dialect-identical single-arg string functions.
+_STR_FN1 = ["UPPER({x})", "LOWER({x})", "TRIM({x})", "LTRIM({x})",
+            "RTRIM({x})", "REVERSE({x})", "SUBSTR({x}, 1, 3)",
+            "SUBSTR({x}, 2, 4)", "LEFT({x}, 4)", "RIGHT({x}, 3)"]
+
+
+def _str_chain(r: random.Random, col: str, depth: int) -> str:
+    """Nested chain of verified string functions over ``col``."""
+    e = col
+    for _ in range(depth):
+        e = r.choice(_STR_FN1).format(x=e)
+    return e
+
+
+def t_str_chain(r: random.Random) -> str:
+    # Depth-2/3 nested string chains + a REPLACE/PAD form; the reference's
+    # pair-label manipulation (Fx_1min.py:71) is exactly this class.
+    t = r.choice([x for x in COLS if _cols_of(x, "s")])
+    s = r.choice(_cols_of(t, "s"))
+    keys = ", ".join(UNIQUE[t])
+    c0 = _str_chain(r, s, r.choice([2, 3]))
+    pad = r.choice(["LPAD({x}, 12, '*')", "RPAD({x}, 12, '.')",
+                    "REPLACE({x}, 'A', '@')"]).format(x=s)
+    return (f"SELECT {keys}, {c0} AS c0, {pad} AS c1, "
+            f"CAST(LENGTH({_str_chain(r, s, 1)}) AS BIGINT) AS c2 "
+            f"FROM {t} WHERE {_pred(r, t)}")
+
+
+def t_str_locate(r: random.Random) -> str:
+    # INSTR / split_part / || concat — probed identical in both dialects.
+    t = r.choice([x for x in COLS if len(_cols_of(x, "s")) >= 2])
+    s1, s2 = r.sample(_cols_of(t, "s"), 2)
+    keys = ", ".join(UNIQUE[t])
+    needle = r.choice(["a", "e", "1", "#", "-"])
+    return (f"SELECT {keys}, CAST(INSTR({s1}, '{needle}') AS BIGINT) AS c0, "
+            f"split_part({s1} || '|' || {s2}, '|', 2) AS c1 "
+            f"FROM {t} WHERE {_where(r, t, '', 1)}")
+
+
+def t_coalesce_nullif(r: random.Random) -> str:
+    # NULL-producing scalars (NULLIF, CASE→NULL) re-absorbed by COALESCE,
+    # ordered under EXPLICIT NULLS FIRST/LAST (wave 4 retires blanket D8:
+    # both dialects accept the explicit syntax, only the DEFAULT differs).
+    t = r.choice([x for x in COLS if _cols_of(x, "s")])
+    s = r.choice(_cols_of(t, "s"))
+    lit = STR_LITS.get(s)
+    litv = _q(r.choice(lit)) if lit else "'x'"
+    keys = ", ".join(UNIQUE[t])
+    u = ", ".join(UNIQUE[t])
+    nd = r.choice(["NULLS FIRST", "NULLS LAST"])
+    d = r.choice(["ASC", "DESC"])
+    return (f"SELECT {keys}, NULLIF({s}, {litv}) AS c0, "
+            f"COALESCE(NULLIF({s}, {litv}), 'FALLBACK') AS c1 "
+            f"FROM {t} WHERE {_where(r, t, '', 1)} "
+            f"ORDER BY c0 {d} {nd}, {u} LIMIT {r.choice([30, 60])}")
+
+
+def t_order_nulls(r: random.Random) -> str:
+    # A genuinely NULLABLE computed sort key (guarded division) under
+    # explicit NULLS FIRST/LAST + unique tiebreak — the D8 territory the
+    # default-ordering divergence kept off-limits until wave 4.
+    t = r.choice([x for x in COLS if len(_cols_of(x, "f")) >= 1
+                  and len(_cols_of(x, "i")) >= 1])
+    f = r.choice(_cols_of(t, "f"))
+    i = r.choice(_cols_of(t, "i"))
+    pivot = r.choice(NUM_LITS.get(i, [10]))
+    keys = ", ".join(UNIQUE[t])
+    u = ", ".join(UNIQUE[t])
+    d = r.choice(["ASC", "DESC"])
+    nd = r.choice(["NULLS FIRST", "NULLS LAST"])
+    return (f"SELECT {keys}, CAST({f} / NULLIF(CAST({i} AS DOUBLE) "
+            f"- {float(pivot)}, 0.0) AS DOUBLE) AS c0 FROM {t} "
+            f"WHERE {_pred(r, t)} "
+            f"ORDER BY c0 {d} {nd}, {u} LIMIT {r.choice([25, 50])}")
+
+
+def t_date_scalar(r: random.Random) -> str:
+    # Date scalar chains: EXTRACT (D14 pool: YEAR/MONTH/DAY/QUARTER only),
+    # interval arithmetic, date_trunc, DATE-typed values forced through
+    # CAST(... AS STRING) per D13.
+    t, dc = r.choice([("orders", "o_orderdate"), ("lineitem", "l_shipdate")])
+    keys = ", ".join(UNIQUE[t])
+    fld = r.choice(["YEAR", "MONTH", "DAY", "QUARTER"])
+    n = r.choice([7, 30, 90])
+    unit = r.choice(["DAY", "MONTH"])
+    return (f"SELECT {keys}, CAST(EXTRACT({fld} FROM {dc}) AS BIGINT) AS c0, "
+            f"{dc} + INTERVAL {n} {unit} AS c1, "
+            f"CAST(CAST({dc} AS DATE) AS STRING) AS c2, "
+            f"CAST(last_day(CAST({dc} AS DATE)) AS STRING) AS c3 "
+            f"FROM {t} WHERE {_pred(r, t)}")
+
+
+def t_like_family(r: random.Random) -> str:
+    # LIKE / NOT LIKE / ILIKE with %/_ wildcards built from the frozen
+    # literal pools (both dialects: identical wildcard semantics; ILIKE
+    # probed identical).
+    t = r.choice([x for x in COLS
+                  if any(c in STR_LITS for c in _cols_of(x, "s"))])
+    s = r.choice([c for c in _cols_of(t, "s") if c in STR_LITS])
+    base = r.choice(STR_LITS[s])
+    pat = r.choice([base[:2] + "%", "%" + base[-2:], "%" + base[1:3] + "%",
+                    base[:1] + "_" + base[2:3] + "%"])
+    op = r.choice(["LIKE", "NOT LIKE", "ILIKE"])
+    keys = ", ".join(UNIQUE[t])
+    return (f"SELECT {keys}, {s} FROM {t} "
+            f"WHERE {s} {op} {_q(pat)} AND {_pred(r, t)}")
+
+
+def t_str_group(r: random.Random) -> str:
+    # GROUP BY a string-FUNCTION expression (prefix bucket / length mod) —
+    # the grouping key itself exercises the scalar surface.
+    t = r.choice([x for x in COLS if _cols_of(x, "s")])
+    s = r.choice(_cols_of(t, "s"))
+    g = r.choice([f"SUBSTR({s}, 1, 2)", f"UPPER(LEFT({s}, 1))",
+                  f"CAST(LENGTH({s}) % {r.choice([3, 5])} AS BIGINT)"])
+    a1 = _agg(r, t, "", "a0")
+    return (f"SELECT {g} AS g0, {a1}, CAST(COUNT(*) AS BIGINT) AS a1 "
+            f"FROM {t} WHERE {_pred(r, t)} GROUP BY {g}")
+
+
 TEMPLATES = [
     t_filter_project, t_group_agg, t_join_agg, t_explicit_join, t_left_join,
     t_theta_join, t_window_rank, t_window_running, t_scalar_subquery,
@@ -738,6 +886,8 @@ TEMPLATES = [
     t_order_limit, t_date_group, t_ts_trunc, t_cte_chain, t_setop,
     t_second_latest, t_grouped_max_cutoff, t_not_in, t_correlated_scalar,
     t_join_window, t_having_sum, t_grouping_sets, t_cube, t_agg_filter,
+    t_str_chain, t_str_locate, t_coalesce_nullif, t_order_nulls,
+    t_date_scalar, t_like_family, t_str_group,
 ]
 
 
@@ -762,9 +912,14 @@ def main() -> None:  # pragma: no cover — manual differential runner
     """CLI: ``python -m fxspark.sqlfuzz [seed] [n] [sf_dir]`` — run the
     full differential and print one line per query + failing SQL verbatim
     (the reproduction recipe is the seed)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    # tests.oracle_diff lives at the repo root, which is this package's
+    # parent directory — derive it so the CLI works from any checkout.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     from fxspark.session import get_spark, register_views
     from tests.oracle_diff import compare, diff_report, duck_connect
 
