@@ -1,0 +1,365 @@
+"""Seeded differential fuzzer for the CURATED OPERATOR API (``fxspark.ops``).
+
+``fxspark/sqlfuzz.py`` covers the raw-SQL migration surface; this module
+covers its sibling, the DataFrame operator API — ``dedup_latest``,
+``latest_per_key_window``, ``nth_before_cutoff``, ``k_smallest_per_key``,
+``grouped_max``, ``pct_change`` — which until round 14 was exercised only by
+FIXED registry queries. A seeded composer chains 2-4 ops over the star
+schema with randomized keys / order columns / cutoffs / rank parameters, and
+every composition is checked against a GENERATED DuckDB oracle: the composer
+emits, alongside the op chain, a CTE pipeline whose stage ``i`` is the
+documented SQL contract of op ``i`` — so a composition failure localizes to
+the first op whose implementation drifts from its contract (the
+parameter-boundary bugs fixed registry queries never vary into: composite
+keys, rank n past the group size, value-column orderings, cutoffs that empty
+a key).
+
+Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O6):
+
+  O1  Every ORDER-BY spec is made TOTAL by appending the base table's
+      unique key columns — window ``row_number``/``max_by``-struct ranks
+      are then deterministic under any partitioning in both engines.
+  O2  Key, order, and cutoff columns come from a frozen pool of
+      NON-NULLABLE source columns (no NULL-ordering divergence — sqlfuzz
+      D8 — and ``max_by`` NULL handling never engages).
+  O3  The only aggregates are MAX / MIN / COUNT (``grouped_max``) — exact
+      at any parallelism; float SUM/AVG stay on the sqlfuzz side where
+      the exact-decimal discipline (D2/D3) handles them.
+  O4  Cutoff literals are whole-second timestamps from the frozen pools
+      (sqlfuzz D7 discipline; the tables' timestamp columns are
+      microsecond-precision parquet, identical in both readers).
+  O5  Every stage preserves its input columns (terminal ``grouped_max``
+      excepted), so any op can legally follow any other; the composer
+      tracks the schema and the oracle projects the same names.
+  O6  ``pct_change`` appears only in the dedicated two-branch template
+      (latest vs rank-2 join — the reference's flagship shape) with its
+      documented try_divide NULL-on-zero-base semantics mirrored by
+      DuckDB's native x/0 → NULL.
+
+``generate(seed, n)`` is a pure function of its arguments; each composition
+draws from ``random.Random(f"{seed}:{i}")`` (prefix-stable: adding templates
+never reshuffles earlier compositions). A failing name embeds the seed.
+
+Reference anchor: the chain shapes generalize the reference pipeline's op
+sequence — dedup upsert (``Fx_1min.py:106-109``), latest per key
+(``Fx_1min.py:169-172``), second-latest before a cutoff
+(``Fx_1min.py:190-196``), pct-change projection (``Fx_1min.py:208``).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+__all__ = ["generate", "run_composition", "DEFAULT_SEED", "DEFAULT_N"]
+
+DEFAULT_SEED = 14
+DEFAULT_N = 120
+
+# ---------------------------------------------------------------------------
+# Frozen table metadata (non-nullable columns only — rule O2).
+# ---------------------------------------------------------------------------
+META = {
+    "events": {
+        "cols": ["event_id", "ts", "user_id", "event_type", "value"],
+        "unique": ["event_id"],
+        "keys": [["user_id"], ["event_type"], ["user_id", "event_type"]],
+        "orders": [["ts"], ["value"], ["value", "ts"]],
+        "cutoff": ("ts", ["2024-01-08 00:00:00", "2024-01-15 00:00:00",
+                          "2024-01-22 00:00:00"]),
+        "gmax": ["value", "ts"],
+    },
+    "orders": {
+        "cols": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+        "unique": ["o_orderkey"],
+        "keys": [["o_custkey"], ["o_orderstatus"],
+                 ["o_orderpriority", "o_orderstatus"]],
+        "orders": [["o_orderdate"], ["o_totalprice"],
+                   ["o_totalprice", "o_orderdate"]],
+        "cutoff": ("o_orderdate", ["1996-01-01 00:00:00",
+                                   "1997-06-01 00:00:00",
+                                   "1999-01-01 00:00:00"]),
+        "gmax": ["o_totalprice", "o_orderdate"],
+    },
+    "lineitem": {
+        "cols": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_returnflag",
+                 "l_shipdate"],
+        "unique": ["l_orderkey", "l_linenumber"],
+        "keys": [["l_suppkey"], ["l_returnflag"], ["l_partkey"]],
+        "orders": [["l_shipdate"], ["l_extendedprice"],
+                   ["l_quantity", "l_shipdate"]],
+        "cutoff": ("l_shipdate", ["1996-01-01 00:00:00",
+                                  "1997-06-01 00:00:00",
+                                  "1999-01-01 00:00:00"]),
+        "gmax": ["l_extendedprice", "l_quantity"],
+    },
+    "documents": {
+        "cols": ["doc_id", "lang", "source", "n_chars"],
+        "unique": ["doc_id"],
+        "keys": [["lang"], ["source"], ["lang", "source"]],
+        "orders": [["n_chars"]],
+        "cutoff": None,
+        "gmax": ["n_chars"],
+    },
+}
+
+
+@dataclass
+class Stage:
+    op: str                       # dedup | latest_w | ksmall | nth_cutoff | gmax
+    keys: list
+    order: list = field(default_factory=list)   # WITHOUT the unique suffix
+    n: int = 1
+    cutoff: str | None = None
+    cutoff_col: str | None = None
+    agg_col: str | None = None
+
+
+@dataclass
+class Composition:
+    name: str
+    table: str
+    stages: list
+    pct: dict | None = None      # the O6 two-branch template, replaces stages
+
+
+def _chain(r: random.Random, table: str, depth: int) -> list[Stage]:
+    m = META[table]
+    stages: list[Stage] = []
+    for pos in range(depth):
+        ops = ["dedup", "latest_w", "ksmall"]
+        if m["cutoff"] and pos == 0:
+            ops.append("nth_cutoff")
+        if pos == depth - 1 and pos > 0:
+            ops.append("gmax")
+        op = r.choice(ops)
+        keys = r.choice(m["keys"])
+        if op == "gmax":
+            stages.append(Stage("gmax", keys, agg_col=r.choice(m["gmax"])))
+            break
+        order = r.choice(m["orders"])
+        if op == "dedup":
+            stages.append(Stage("dedup", keys, order))
+        elif op == "latest_w":
+            stages.append(Stage("latest_w", keys, order, n=r.choice([1, 2, 3])))
+        elif op == "ksmall":
+            stages.append(Stage("ksmall", keys, order, n=r.choice([2, 3, 5])))
+        else:
+            col, lits = m["cutoff"]
+            # rank n=3 commonly exceeds a key's pre-cutoff row count —
+            # the boundary the fixed registry queries never vary
+            stages.append(Stage(
+                "nth_cutoff", keys, order, n=r.choice([1, 2, 3]),
+                cutoff=r.choice(lits), cutoff_col=col,
+            ))
+    return stages
+
+
+def generate(seed: int = DEFAULT_SEED, n: int = DEFAULT_N) -> list[Composition]:
+    """``n`` compositions, a prefix-stable pure function of ``(seed, n)``."""
+    out = []
+    for i in range(n):
+        r = random.Random(f"{seed}:{i}")
+        if i % 8 == 7:  # every 8th: the O6 pct-change two-branch template
+            table = r.choice(["events", "orders", "lineitem"])
+            m = META[table]
+            col, lits = m["cutoff"]
+            # pct_change needs a NUMERIC value column — timestamps stay in
+            # the gmax pool but are excluded here (cur - prev must divide)
+            num = [c for c in m["gmax"] if c not in ("ts", "o_orderdate")]
+            out.append(Composition(
+                name=f"op{seed}_{i:03d}_pct_change",
+                table=table,
+                stages=[],
+                pct={
+                    "keys": r.choice(m["keys"]),
+                    "val": r.choice(num),
+                    "cutoff": r.choice(lits),
+                    "cutoff_col": col,
+                },
+            ))
+            continue
+        table = r.choice(list(META))
+        depth = r.choice([2, 2, 3, 3, 4])
+        stages = _chain(r, table, depth)
+        out.append(Composition(
+            name=f"op{seed}_{i:03d}_" + "_".join(s.op for s in stages),
+            table=table,
+            stages=stages,
+        ))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark execution of a composition.
+# ---------------------------------------------------------------------------
+def _spark_frame(spark, sf_dir: str, comp: Composition):
+    from pyspark.sql import functions as F
+
+    from fxspark.ops.asof import nth_before_cutoff
+    from fxspark.ops.change import pct_change
+    from fxspark.ops.latest import (
+        dedup_latest,
+        grouped_max,
+        k_smallest_per_key,
+        latest_per_key_window,
+    )
+    from fxspark.session import load_table
+
+    m = META[comp.table]
+    df = load_table(spark, sf_dir, comp.table).select(*m["cols"])
+    uniq = m["unique"]
+
+    if comp.pct is not None:
+        p = comp.pct
+        order = [p["cutoff_col"]] + uniq
+        cur = latest_per_key_window(df, p["keys"], order, n=1).select(
+            *p["keys"], F.col(p["val"]).alias("cur")
+        )
+        prev = nth_before_cutoff(
+            df, p["keys"], order,
+            F.lit(p["cutoff"]).cast("timestamp"), n=2,
+        ).select(*p["keys"], F.col(p["val"]).alias("prev"))
+        return cur.join(prev, list(p["keys"]), "left").select(
+            *p["keys"], "cur", "prev",
+            pct_change(F.col("cur"), F.col("prev"), 4).alias("pct"),
+        )
+
+    for s in comp.stages:
+        order = s.order + [c for c in uniq if c not in s.order]
+        if s.op == "dedup":
+            df = dedup_latest(df, s.keys, order)
+        elif s.op == "latest_w":
+            df = latest_per_key_window(df, s.keys, order, n=s.n)
+        elif s.op == "ksmall":
+            df = k_smallest_per_key(df, s.keys, order, k=s.n)
+        elif s.op == "nth_cutoff":
+            df = nth_before_cutoff(
+                df, s.keys, order,
+                F.lit(s.cutoff).cast("timestamp"),
+                cutoff_col=s.cutoff_col, n=s.n,
+            )
+        elif s.op == "gmax":
+            df = grouped_max(df, s.keys, s.agg_col)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL for the same composition (each stage = the op's documented
+# SQL contract over the previous CTE).
+# ---------------------------------------------------------------------------
+def _rank_cte(prev: str, cols, keys, order_desc, order, pred: str) -> str:
+    direction = "DESC" if order_desc else "ASC"
+    ob = ", ".join(f"{c} {direction}" for c in order)
+    return (
+        f"SELECT {', '.join(cols)} FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
+        f"ORDER BY {ob}) AS _rn FROM {prev}) WHERE {pred}"
+    )
+
+
+def oracle_sql(comp: Composition) -> str:
+    m = META[comp.table]
+    uniq = m["unique"]
+    cols = list(m["cols"])
+    base = f"s0 AS (SELECT {', '.join(cols)} FROM {comp.table})"
+    ctes = [base]
+
+    if comp.pct is not None:
+        p = comp.pct
+        keys = p["keys"]
+        order = [p["cutoff_col"]] + [c for c in uniq if c != p["cutoff_col"]]
+        ob = ", ".join(f"{c} DESC" for c in order)
+        cur = (
+            f"cur AS (SELECT {', '.join(keys)}, {p['val']} AS cur FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
+            f"ORDER BY {ob}) AS _rn FROM s0) WHERE _rn = 1)"
+        )
+        prev = (
+            f"prv AS (SELECT {', '.join(keys)}, {p['val']} AS prev FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
+            f"ORDER BY {ob}) AS _rn FROM s0 "
+            f"WHERE {p['cutoff_col']} <= TIMESTAMP '{p['cutoff']}') "
+            f"WHERE _rn = 2)"
+        )
+        on = " AND ".join(f"cur.{k} = prv.{k}" for k in keys)
+        sel_keys = ", ".join(f"cur.{k} AS {k}" for k in keys)
+        return (
+            f"WITH {', '.join(ctes + [cur, prev])} "
+            f"SELECT {sel_keys}, cur.cur AS cur, prv.prev AS prev, "
+            f"round((cur.cur - prv.prev) / prv.prev * 100, 4) AS pct "
+            f"FROM cur LEFT JOIN prv ON {on}"
+        )
+
+    for idx, s in enumerate(comp.stages):
+        prev = f"s{idx}"
+        name = f"s{idx + 1}"
+        order = s.order + [c for c in uniq if c not in s.order]
+        if s.op == "dedup":
+            body = _rank_cte(prev, cols, s.keys, True, order, "_rn = 1")
+        elif s.op == "latest_w":
+            body = _rank_cte(prev, cols, s.keys, True, order,
+                             f"_rn <= {s.n}")
+        elif s.op == "ksmall":
+            body = _rank_cte(prev, cols, s.keys, False, order,
+                             f"_rn <= {s.n}")
+        elif s.op == "nth_cutoff":
+            filt = (f"(SELECT * FROM {prev} WHERE {s.cutoff_col} <= "
+                    f"TIMESTAMP '{s.cutoff}')")
+            body = _rank_cte(filt, cols, s.keys, True, order,
+                             f"_rn = {s.n}")
+        elif s.op == "gmax":
+            body = (
+                f"SELECT {', '.join(s.keys)}, max({s.agg_col}) AS "
+                f"max_{s.agg_col} FROM {prev} GROUP BY {', '.join(s.keys)}"
+            )
+            cols = list(s.keys) + [f"max_{s.agg_col}"]
+        ctes.append(f"{name} AS ({body})")
+    return f"WITH {', '.join(ctes)} SELECT * FROM s{len(comp.stages)}"
+
+
+def run_composition(spark, con, sf_dir: str, comp: Composition) -> dict:
+    """Execute one composition on both engines; driver-style compare."""
+    from tests.oracle_diff import compare
+
+    sdf = _spark_frame(spark, sf_dir, comp).toPandas()
+    odf = con.execute(oracle_sql(comp)).fetchdf()
+    return compare(sdf, odf)
+
+
+def main() -> None:  # pragma: no cover — manual differential runner
+    import os
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    from fxspark.session import get_spark
+    from tests.oracle_diff import diff_report, duck_connect
+
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_SEED
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_N
+    sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+
+    spark = get_spark("opsfuzz")
+    con = duck_connect(sf)
+    bad = 0
+    for comp in generate(seed, n):
+        try:
+            res = run_composition(spark, con, sf, comp)
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            print(f"{comp.name}: ERROR {ex!r:.300}", flush=True)
+            bad += 1
+            continue
+        print(diff_report(comp.name, res), flush=True)
+        if not res["ok"]:
+            print(f"  oracle: {oracle_sql(comp)}", flush=True)
+            bad += 1
+    print(f"\n{n - bad}/{n} match")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
