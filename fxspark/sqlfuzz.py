@@ -44,12 +44,17 @@ Determinism contract
       use ``RANK()`` (tie-complete) — ``ROW_NUMBER`` over a non-unique
       order is nondeterministic in any engine.
   D6  ``LIMIT`` only appears under a total order on a unique key.
-  D7  ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it at
-      microsecond precision (``nanosAsLong`` + floor-div in
-      ``load_table``), DuckDB keeps nanos.  ``ts`` therefore appears only
-      in predicates against whole-second literals (floor-truncation can
-      never cross a whole-second boundary, so comparisons agree) and under
-      ``date_trunc`` — never projected raw or min/max-aggregated.
+  D7  ``events.ts`` may be parquet TIMESTAMP(NANOS): Spark then reads it
+      at microsecond precision (``nanosAsLong`` + floor-div in
+      ``load_table``) while DuckDB keeps nanos.  ``ts`` therefore appears
+      only in predicates against whole-second literals (floor-truncation
+      can never cross a whole-second boundary, so comparisons agree) and
+      under ``date_trunc`` — never projected raw or min/max-aggregated.
+      (Round-14 factual update: the CURRENT driver testdata stores ts as
+      TIMESTAMP(MICROS) at all three SFs, where raw projection would be
+      safe — the quarantine is KEPT because the corpus must stay valid
+      for either physical type the ``load_table`` nanos path supports;
+      the registry covers micros-ts projection, e.g. user_value_locf.)
       ``o_orderdate`` / ``l_shipdate`` are micros in the file and safe.
   D8  Default NULL ordering differs (Spark ASC=NULLS FIRST, DuckDB
       ASC=NULLS LAST), so a sort key that can be NULL always carries an
