@@ -35,6 +35,12 @@ Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O6):
       (latest vs rank-2 join — the reference's flagship shape) with its
       documented try_divide NULL-on-zero-base semantics mirrored by
       DuckDB's native x/0 → NULL.
+  O7  ``asof_join`` (both directions) is checked against DuckDB's native
+      ASOF LEFT JOIN with the RIGHT side pre-deduplicated to one row per
+      (key, on) — DuckDB's asof picks an arbitrary row among equal
+      timestamps, the op resolves them via ``right_tiebreak``; unique
+      (key, on) right rows make both engines' choice the same row by
+      construction.
 
 ``generate(seed, n)`` is a pure function of its arguments; each composition
 draws from ``random.Random(f"{seed}:{i}")`` (prefix-stable: adding templates
@@ -123,6 +129,7 @@ class Composition:
     table: str
     stages: list
     pct: dict | None = None      # the O6 two-branch template, replaces stages
+    asof: dict | None = None     # the O7 as-of-join template, replaces stages
 
 
 def _chain(r: random.Random, table: str, depth: int) -> list[Stage]:
@@ -162,6 +169,22 @@ def generate(seed: int = DEFAULT_SEED, n: int = DEFAULT_N) -> list[Composition]:
     out = []
     for i in range(n):
         r = random.Random(f"{seed}:{i}")
+        if i % 8 == 3:  # the O7 as-of-join template (events: type vs type)
+            types = ["click", "error", "purchase", "signup", "view"]
+            lt = r.choice(types)
+            rt = r.choice([t for t in types if t != lt])
+            out.append(Composition(
+                name=f"op{seed}_{i:03d}_asof_join",
+                table="events",
+                stages=[],
+                asof={
+                    "keys": ["user_id"],
+                    "left_type": lt,
+                    "right_type": rt,
+                    "direction": r.choice(["backward", "forward"]),
+                },
+            ))
+            continue
         if i % 8 == 7:  # every 8th: the O6 pct-change two-branch template
             table = r.choice(["events", "orders", "lineitem"])
             m = META[table]
@@ -211,6 +234,34 @@ def _spark_frame(spark, sf_dir: str, comp: Composition):
     m = META[comp.table]
     df = load_table(spark, sf_dir, comp.table).select(*m["cols"])
     uniq = m["unique"]
+
+    if comp.asof is not None:
+        from fxspark.ops.asof import asof_join
+        from fxspark.ops.latest import dedup_latest
+
+        a = comp.asof
+        keys = a["keys"]
+        left = df.filter(F.col("event_type") == a["left_type"]).select(
+            "event_id", *keys, "ts", "value"
+        )
+        # rule O7: one right row per (key, ts) — dedup by the unique
+        # event_id so both engines' equal-timestamp choice is the same row
+        right = dedup_latest(
+            df.filter(F.col("event_type") == a["right_type"]).select(
+                "event_id", *keys, "ts", "value"
+            ),
+            keys + ["ts"],
+            ["event_id"],
+        ).select(
+            *keys, "ts",
+            F.col("event_id").alias("r_event_id"),
+            F.col("value").alias("r_value"),
+        )
+        return asof_join(
+            left, right, keys, "ts",
+            right_payload=["r_event_id", "r_value"],
+            direction=a["direction"],
+        )
 
     if comp.pct is not None:
         p = comp.pct
@@ -266,6 +317,26 @@ def oracle_sql(comp: Composition) -> str:
     cols = list(m["cols"])
     base = f"s0 AS (SELECT {', '.join(cols)} FROM {comp.table})"
     ctes = [base]
+
+    if comp.asof is not None:
+        a = comp.asof
+        keys = a["keys"]
+        k = ", ".join(keys)
+        op = "<=" if a["direction"] == "backward" else ">="
+        lf = (f"lf AS (SELECT event_id, {k}, ts, value FROM s0 "
+              f"WHERE event_type = '{a['left_type']}')")
+        rf = (f"rf AS (SELECT {k}, ts, event_id AS r_event_id, "
+              f"value AS r_value FROM ("
+              f"SELECT *, row_number() OVER (PARTITION BY {k}, ts "
+              f"ORDER BY event_id DESC) AS _rn FROM s0 "
+              f"WHERE event_type = '{a['right_type']}') WHERE _rn = 1)")
+        on = " AND ".join(f"lf.{c} = rf.{c}" for c in keys)
+        return (
+            f"WITH {', '.join(ctes + [lf, rf])} "
+            f"SELECT lf.event_id, {', '.join('lf.' + c for c in keys)}, "
+            f"lf.ts, lf.value, rf.r_event_id, rf.r_value "
+            f"FROM lf ASOF LEFT JOIN rf ON {on} AND rf.ts {op} lf.ts"
+        )
 
     if comp.pct is not None:
         p = comp.pct

@@ -43,6 +43,9 @@ def test_generator_is_pure_and_prefix_stable():
     ops = {s.op for c in a for s in c.stages}
     assert ops == {"dedup", "latest_w", "ksmall", "nth_cutoff", "gmax"}
     assert any(c.pct for c in a)
+    # the O7 as-of template covers BOTH directions across the corpus
+    dirs = {c.asof["direction"] for c in a if c.asof}
+    assert dirs == {"backward", "forward"}
 
 
 def test_default_corpus_matches_oracle(spark, sf_dir, duck):
