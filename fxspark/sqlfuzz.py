@@ -93,6 +93,47 @@ Determinism contract
       dialect divergence found by the wave-4 probe: ``EXTRACT(DOW ...)``
       numbers Sunday 1 in Spark but 0 in DuckDB (ISO variants aren't
       portable either: Spark lacks ISODOW).
+  D15 Transcendentals (``LN``/``EXP``/``POWER``) are excluded — the
+      wave-5 probe caught ``LN(l_extendedprice)`` differing in the last
+      ulp (10.681817898257751 vs 10.68181789825775): Spark evaluates via
+      ``java.lang.Math``, DuckDB via C libm, and neither guarantees
+      correctly-rounded results.  ``SQRT`` IS in the pool — IEEE 754
+      requires sqrt to be correctly rounded, so both engines agree
+      bit-for-bit (probed).  ``ROUND(x, d)`` for d in [-1, 2] probed
+      identical over the full 600k-row sf0.1 lineitem.
+  D16 Integer-typing splits (all found by the wave-5 probe): a DOUBLE
+      cast to an integer type ROUNDS in DuckDB but TRUNCATES in Spark
+      (``CAST(l_extendedprice AS BIGINT)``: 100047 vs 100046), so the
+      fuzz surface never casts a non-integral double to an integer type;
+      ``CEIL``/``FLOOR`` return BIGINT in Spark but DOUBLE in DuckDB and
+      are always wrapped ``CAST(... AS DOUBLE)``; ``SIGN`` returns DOUBLE
+      in Spark and an integer type in DuckDB and is wrapped
+      ``CAST(... AS BIGINT)`` (exact: its range is {-1, 0, 1}).
+  D17 Ordered string aggregation is NOT portable and is excluded:
+      Spark 4 spells it ``LISTAGG/STRING_AGG(x, sep) WITHIN GROUP
+      (ORDER BY y)`` while DuckDB only accepts the inline form
+      ``STRING_AGG(x, sep ORDER BY y)`` — each engine rejects the
+      other's syntax (probed both directions).  ``QUALIFY`` is DuckDB /
+      Databricks syntax that OSS Spark 4 rejects; rank filters stay in
+      the D5 subquery form.
+  D18 The driver testdata's ``lineitem`` composite key
+      ``(l_orderkey, l_linenumber)`` is NOT unique (measured: 1,401 dup
+      pairs of 6,000 rows at sf0.001; no column set is unique at every
+      SF), discovered when the wave-5 LAG/LEAD templates diverged.
+      Consequence: on lineitem, an ORDER BY ending in the "unique" key
+      does NOT totalize the order, so constructs whose OUTPUT
+      distinguishes tie order are nondeterministic there.  The wave-5
+      per-row window templates (offsets, ROWS frames, value functions,
+      distribution ranks) and MAX_BY/MIN_BY therefore draw only from
+      tables whose single-column key is verified unique at all three SFs
+      (orders/events/customer/part/...).  The PRE-wave-5 lineitem shapes
+      stay deterministic for structural reasons: RANK is tie-complete
+      (D5), the default window frame is RANGE (tie-peers aggregate
+      together), and projections that expose only the sort columns make
+      tied rows indistinguishable, so any tie order yields the same
+      output multiset.  (t_range_interval keeps lineitem: RANGE frames
+      give tie-peers identical outputs, so intra-peer order is
+      projection-invisible.)
 
 Literal pools are frozen constants drawn from the public testdata
 generator's category values and value ranges (``TESTDATA.md``); they are
@@ -884,6 +925,226 @@ def t_str_group(r: random.Random) -> str:
             f"FROM {t} WHERE {_pred(r, t)} GROUP BY {g}")
 
 
+# ---------------------------------------------------------------------------
+# Wave 5 (round 14): window breadth (offsets, frames, value functions,
+# distribution ranks), FULL OUTER JOIN, ALL-variant set ops, LATERAL,
+# numeric scalar chains, and argmin/argmax-family aggregates.  Every
+# construct was probed Spark-vs-DuckDB before inclusion (see D15-D17 for
+# the probe's exclusions); ROUND / MEDIAN / PERCENT_RANK / NTILE were
+# additionally probed at sf0.1 (600k rows).
+# ---------------------------------------------------------------------------
+
+def t_win_offset(r: random.Random) -> str:
+    # LAG/LEAD under a totalized order (rule D5: ORDER BY ends in the
+    # unique key). NULL fill and explicit-default forms both fuzzed.
+    # Rule D18: lineitem's composite key is not unique — per-row
+    # offsets need a genuinely total order.
+    t = r.choice(["orders", "events", "customer", "part"])
+    g = r.choice(_cols_of(t, "s"))
+    x = r.choice(_cols_of(t, "f"))
+    u = ", ".join(UNIQUE[t])
+    keys = ", ".join(UNIQUE[t])
+    k1, k2 = r.choice([1, 2, 3]), r.choice([1, 2])
+    dflt = r.choice(["", f", {float(r.choice([0, 1]))}"])
+    return (
+        f"SELECT {keys}, "
+        f"LAG({x}, {k1}{dflt}) OVER (PARTITION BY {g} ORDER BY {u}) AS c0, "
+        f"LEAD({x}, {k2}) OVER (PARTITION BY {g} ORDER BY {u}) AS c1 "
+        f"FROM {t} WHERE {_pred(r, t)}"
+    )
+
+
+def t_win_dist(r: random.Random) -> str:
+    # Distribution ranks: NTILE / PERCENT_RANK / CUME_DIST / ROW_NUMBER.
+    # ROW_NUMBER is deterministic here because the order is totalized by
+    # the unique key (D5's nondeterminism caveat applies only to
+    # non-unique orders). PERCENT_RANK/CUME_DIST emit exact ratios of
+    # BIGINTs — the same IEEE division in both engines.
+    t = r.choice(["orders", "events", "customer", "part"])  # D18
+    g = r.choice(_cols_of(t, "s"))
+    x = r.choice(_cols_of(t, "f"))
+    u = ", ".join(UNIQUE[t])
+    keys = ", ".join(UNIQUE[t])
+    d = r.choice(["ASC", "DESC"])
+    n = r.choice([4, 7, 10])
+    return (
+        f"SELECT {keys}, "
+        f"CAST(NTILE({n}) OVER (ORDER BY {x} {d}, {u}) AS BIGINT) AS c0, "
+        f"PERCENT_RANK() OVER (PARTITION BY {g} ORDER BY {x} {d}, {u}) AS c1, "
+        f"CUME_DIST() OVER (PARTITION BY {g} ORDER BY {x} {d}, {u}) AS c2, "
+        f"CAST(ROW_NUMBER() OVER (ORDER BY {x} {d}, {u}) AS BIGINT) AS c3 "
+        f"FROM {t} WHERE {_pred(r, t)}"
+    )
+
+
+def t_win_frame(r: random.Random) -> str:
+    # Explicit ROWS frames over a named WINDOW clause; the framed average
+    # is exact-sum / framed COUNT per rules D2/D3.
+    t = r.choice(["orders", "events", "customer"])  # D18
+    g = r.choice(_cols_of(t, "s"))
+    x = r.choice(_cols_of(t, "f"))
+    u = ", ".join(UNIQUE[t])
+    keys = ", ".join(UNIQUE[t])
+    frame = r.choice([
+        f"ROWS BETWEEN {r.choice([2, 3, 5])} PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    ])
+    return (
+        f"SELECT {keys}, "
+        f"CAST(SUM(CAST({x} AS DECIMAL(28,6))) OVER w AS DOUBLE) AS c0, "
+        f"CAST(COUNT(*) OVER w AS BIGINT) AS c1, "
+        f"CAST(SUM(CAST({x} AS DECIMAL(28,6))) OVER w AS DOUBLE) "
+        f"/ COUNT(*) OVER w AS c2, "
+        f"MIN({x}) OVER w AS c3 "
+        f"FROM {t} WHERE {_pred(r, t)} "
+        f"WINDOW w AS (PARTITION BY {g} ORDER BY {u} {frame})"
+    )
+
+
+def t_win_value(r: random.Random) -> str:
+    # FIRST_VALUE / LAST_VALUE / NTH_VALUE with an explicit full frame
+    # (the default frame stops at CURRENT ROW, which would make
+    # LAST_VALUE trivially the current row in both engines — the full
+    # frame is the shape users actually mean).
+    t = r.choice(["orders", "events", "customer"])  # D18
+    g = r.choice(_cols_of(t, "s"))
+    x = r.choice(_cols_of(t, "f"))
+    u = ", ".join(UNIQUE[t])
+    keys = ", ".join(UNIQUE[t])
+    nth = r.choice([2, 3])
+    full = ("ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+    return (
+        f"SELECT {keys}, "
+        f"FIRST_VALUE({x}) OVER (PARTITION BY {g} ORDER BY {u} {full}) AS c0, "
+        f"LAST_VALUE({x}) OVER (PARTITION BY {g} ORDER BY {u} {full}) AS c1, "
+        f"NTH_VALUE({x}, {nth}) OVER (PARTITION BY {g} ORDER BY {u} {full}) AS c2 "
+        f"FROM {t} WHERE {_pred(r, t)}"
+    )
+
+
+def t_full_outer(r: random.Random) -> str:
+    # FULL OUTER JOIN of two grouped halves of the same table under
+    # disjoint-ish predicates; unmatched sides surface NULL aggregates
+    # (float64 via pandas in BOTH engines, so dtypes stay aligned).
+    t = r.choice([x for x in COLS if _cols_of(x, "s") and _cols_of(x, "f")])
+    g = r.choice(_cols_of(t, "s"))
+    f = r.choice(_cols_of(t, "f"))
+    p1, p2 = _pred(r, t), _pred(r, t)
+    return (
+        f"SELECT COALESCE(t0.g, t1.g) AS g0, t0.a0 AS a0, t1.a1 AS a1 FROM "
+        f"(SELECT {g} AS g, {_sum_exact(f)} AS a0 FROM {t} WHERE {p1} "
+        f"GROUP BY {g}) t0 FULL OUTER JOIN "
+        f"(SELECT {g} AS g, {_sum_exact(f)} AS a1 FROM {t} WHERE {p2} "
+        f"GROUP BY {g}) t1 ON t0.g = t1.g"
+    )
+
+
+def t_setop_all(r: random.Random) -> str:
+    # Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) + UNION DISTINCT —
+    # the ALL variants keep duplicate multiplicity, which the row-sorted
+    # comparator checks exactly.
+    t = r.choice([x for x in COLS if _cols_of(x, "s")])
+    g = r.choice(_cols_of(t, "s"))
+    op = r.choice(["INTERSECT ALL", "EXCEPT ALL", "UNION"])
+    p1, p2 = _pred(r, t), _pred(r, t)
+    return (
+        f"SELECT {g} AS g0 FROM {t} WHERE {p1} "
+        f"{op} SELECT {g} AS g0 FROM {t} WHERE {p2}"
+    )
+
+
+def t_lateral(r: random.Random) -> str:
+    # LATERAL correlated aggregate subquery (probed portable: Spark 4 and
+    # DuckDB agree on the comma-LATERAL form). The reference's per-pair
+    # lookup shape (update_exchange_rates.py:147-176) decorrelates to
+    # exactly this.
+    child, ck, parent, pk = r.choice(
+        [(c, ck, p, pk) for (c, ck, p, pk) in FKS if _cols_of(c, "f")]
+    )
+    f = r.choice(_cols_of(child, "f"))
+    return (
+        f"SELECT t0.{pk} AS g0, l.a0, l.a1 FROM {parent} t0, "
+        f"LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS a0, "
+        f"COALESCE({_sum_exact('t1.' + f)}, 0.0) AS a1 FROM {child} t1 "
+        f"WHERE t1.{ck} = t0.{pk} AND {_pred(r, child, 't1.')}) l "
+        f"WHERE {_pred(r, parent, 't0.')}"
+    )
+
+
+def t_num_scalar(r: random.Random) -> str:
+    # Numeric scalar chains from the probed-portable pool (D15/D16 rules:
+    # SQRT and ROUND in, LN/EXP/POWER out; CEIL/FLOOR→DOUBLE,
+    # SIGN→BIGINT).
+    t = r.choice([x for x in COLS
+                  if _cols_of(x, "f") and _cols_of(x, "i")])
+    f = r.choice(_cols_of(t, "f"))
+    i = r.choice(_cols_of(t, "i"))
+    lit = float(r.choice(NUM_LITS.get(f, [10.0])))
+    keys = ", ".join(UNIQUE[t])
+    pool = [
+        f"ABS({f} - {lit}) AS c0",
+        f"CAST(CEIL({f}) AS DOUBLE) AS c0",
+        f"CAST(FLOOR({f}) AS DOUBLE) AS c0",
+        f"SQRT(ABS({f})) AS c0",
+        f"ROUND({f}, {r.choice([-1, 0, 1, 2])}) AS c0",
+    ]
+    c0 = r.choice(pool)
+    c1 = r.choice([
+        f"CAST(SIGN({f} - {lit}) AS BIGINT) AS c1",
+        f"GREATEST({f}, {lit}) AS c1",
+        f"LEAST({f}, {lit}) AS c1",
+    ])
+    return (
+        f"SELECT {keys}, {c0}, {c1}, "
+        f"CAST({i} % {r.choice([7, 10, 13])} AS BIGINT) AS c2 "
+        f"FROM {t} WHERE {_pred(r, t)}"
+    )
+
+
+def t_arg_minmax(r: random.Random) -> str:
+    # MAX_BY/MIN_BY keyed on the unique column (deterministic: the
+    # ordering value never ties), plus MEDIAN (exact midpoint
+    # interpolation — one IEEE mean, identical both engines; probed at
+    # sf0.1) and BOOL_AND/BOOL_OR.
+    # Rule D18: MAX_BY/MIN_BY need a tie-free ordering value, so the
+    # pool is tables whose single-column key is verified unique.
+    t = r.choice(["orders", "events", "customer", "part"])
+    g = r.choice(_cols_of(t, "s"))
+    f = r.choice(_cols_of(t, "f"))
+    u = UNIQUE[t][0]
+    vcols = [c for c in _cols_of(t, "sf") if c != g]
+    v = r.choice(vcols or [u])
+    lit = r.choice(NUM_LITS.get(f, [10.0]))
+    return (
+        f"SELECT {g} AS g0, MAX_BY({v}, {u}) AS c0, MIN_BY({v}, {u}) AS c1, "
+        f"MEDIAN({f}) AS c2, BOOL_AND({f} >= {lit}) AS c3, "
+        f"BOOL_OR({f} > {lit}) AS c4 "
+        f"FROM {t} WHERE {_pred(r, t)} GROUP BY {g}"
+    )
+
+
+def t_range_interval(r: random.Random) -> str:
+    # RANGE frame bounded by a calendar INTERVAL over a micros-safe date
+    # column (rule D7 keeps nanos ts out). Ties on the order value are
+    # frame-peers, so the frame is a deterministic SET even though the
+    # date is non-unique — aggregates over it are order-insensitive
+    # under D1/D2.
+    t, dc, key = r.choice([("orders", "o_orderdate", "o_custkey"),
+                           ("lineitem", "l_shipdate", "l_suppkey")])
+    f = r.choice(_cols_of(t, "f"))
+    keys = ", ".join(UNIQUE[t])
+    n = r.choice([7, 30, 90])
+    return (
+        f"SELECT {keys}, "
+        f"CAST(COUNT(*) OVER w AS BIGINT) AS c0, "
+        f"CAST(SUM(CAST({f} AS DECIMAL(28,6))) OVER w AS DOUBLE) AS c1 "
+        f"FROM {t} WHERE {_pred(r, t)} "
+        f"WINDOW w AS (PARTITION BY {key} ORDER BY {dc} "
+        f"RANGE BETWEEN INTERVAL {n} DAY PRECEDING AND CURRENT ROW)"
+    )
+
+
 TEMPLATES = [
     t_filter_project, t_group_agg, t_join_agg, t_explicit_join, t_left_join,
     t_theta_join, t_window_rank, t_window_running, t_scalar_subquery,
@@ -893,6 +1154,8 @@ TEMPLATES = [
     t_join_window, t_having_sum, t_grouping_sets, t_cube, t_agg_filter,
     t_str_chain, t_str_locate, t_coalesce_nullif, t_order_nulls,
     t_date_scalar, t_like_family, t_str_group,
+    t_win_offset, t_win_dist, t_win_frame, t_win_value, t_full_outer,
+    t_setop_all, t_lateral, t_num_scalar, t_arg_minmax, t_range_interval,
 ]
 
 
