@@ -37,9 +37,15 @@ def skyline2d(
     """Rows not dominated under (minimize ``minimize_col``, maximize
     ``maximize_col``). Both columns must be integer-valued (scale doubles
     to ints first — e.g. cents); ties on both axes survive together.
+
+    Rows with NULL on either axis are outside the dominance order (a
+    point with an unknown coordinate can neither join nor dominate the
+    frontier) and are dropped explicitly — otherwise they'd ride on
+    incidental NULL-comparison behavior that differs across engines.
     """
     x = F.col(minimize_col).cast("long")
     y = F.col(maximize_col).cast("long")
+    df = df.filter(x.isNotNull() & y.isNotNull())
 
     bounds = df.agg(
         F.min(x).alias("_xlo"), F.max(x).alias("_xhi")

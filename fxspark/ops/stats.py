@@ -315,10 +315,17 @@ def welch_ttest(
     engine-rounding-dependent in the last ulp, which rounding absorbs.
     Keys where either side has < 2 rows get NULL t/df.
 
+    Rows where ``value`` or ``in_treatment`` is NULL are EXCLUDED up
+    front — the same pairwise-complete contract as ``mann_whitney_u`` /
+    ``ks_two_sample``: a NULL value would otherwise skew the n/Σx moments
+    apart (count(*) vs count(value)), and a NULL treatment flag belongs
+    to neither sample.
+
     Returns ``(keys..., n_treat, n_ctrl, mean_treat, mean_ctrl, t_stat,
     welch_df)``.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    df = df.filter(value.isNotNull() & in_treatment.isNotNull())
     dec = f"decimal(38,{scale})"
     z = F.lit(0).cast(dec)
     vt = F.when(in_treatment, value.cast(dec)).otherwise(z)

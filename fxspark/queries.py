@@ -1865,9 +1865,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON r.rn = t.k
     ),
     binned AS (
+      -- NULL spend is outside the bin domain (quantile_bins labels it
+      -- NULL); the rank-count formula alone would call it quartile 4.
       SELECT s.sp,
-             CAST(4 - (SELECT count(*) FROM b WHERE b.bv < s.sp) AS INTEGER)
-               AS quartile
+             CASE WHEN s.sp IS NULL THEN NULL
+                  ELSE CAST(4 - (SELECT count(*) FROM b WHERE b.bv < s.sp)
+                       AS INTEGER) END AS quartile
       FROM spend s
     )
     SELECT quartile, count(*) AS n_customers,
@@ -3506,8 +3509,9 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey, spend, decile FROM (
       SELECT s.o_custkey, s.spend,
-             CAST(10 - (SELECT count(*) FROM b WHERE b.bv < s.spend)
-                  AS INTEGER) AS decile
+             CASE WHEN s.spend IS NULL THEN NULL
+                  ELSE CAST(10 - (SELECT count(*) FROM b WHERE b.bv < s.spend)
+                       AS INTEGER) END AS decile
       FROM spend s
     ) WHERE decile IN (1, 10)
     """,
@@ -6000,8 +6004,12 @@ def q_peak_concurrent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_source_chisq",
     oracle="""
     WITH obs AS (
+      -- the independence test runs over LABELED documents: a NULL lang /
+      -- source is a missing label, not a category (and the two engines
+      -- disagree on whether distinct-counts include the NULL group).
       SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
-      FROM documents GROUP BY 1, 2
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
     ), rt AS (SELECT lang, sum(o) AS r FROM obs GROUP BY lang),
     ct AS (SELECT source, sum(o) AS c FROM obs GROUP BY source),
     n AS (SELECT sum(o) AS n FROM obs),
@@ -6023,7 +6031,10 @@ def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency cells (cell counts are exact integers in doubles, so the
     expected-count arithmetic is IEEE-deterministic); the final sum over
     cells is decimal-exact, making the statistic itself hash-verifiable."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        # labeled documents only — see the oracle note
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     obs = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("double").alias("o")
     )
@@ -6886,9 +6897,13 @@ def q_supplier_part_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "part_price_skyline",
     oracle="""
+    -- NULL-coordinate rows are outside the dominance order (skyline2d
+    -- drops them by contract); NOT EXISTS alone would admit every such
+    -- row, since NULL comparisons never satisfy the inner predicate.
     SELECT p_partkey, p_brand, p_retailprice, p_size
     FROM part a
-    WHERE NOT EXISTS (
+    WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+      AND NOT EXISTS (
       SELECT 1 FROM part b
       WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
@@ -7451,7 +7466,10 @@ def q_customer_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST((CAST(floor(epoch(ts)) AS BIGINT) - {_X0})
                            * (CAST(floor(epoch(ts)) AS BIGINT) - {_X0})
                            AS DECIMAL(38,0))) AS DOUBLE) AS sxx
-      FROM events GROUP BY user_id
+      -- NULL ts cannot be assigned to any micro-batch: the maintained
+      -- form's time-split quarantines such rows, so the oracle states the
+      -- same exclusion (a no-op on real data, where ts is never NULL).
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ), f AS (
       SELECT user_id, n_obs, sx, sy,
              CASE WHEN n_obs * sxx - sx * sx > 0
@@ -7471,7 +7489,8 @@ def q_maintained_ols_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced to its five exact-decimal sufficient statistics
     (``ols_rollup_table``), merged pairwise (``merge_ols_rollup`` — keyed
     full-outer adds, associative to the bit), then fit once at read time.
-    The oracle is ``user_value_trend``'s from-scratch SQL VERBATIM: exact
+    The oracle is ``user_value_trend``'s from-scratch SQL plus the
+    explicit NULL-ts exclusion the micro-batch time-split implies: exact
     decimal moments merge exactly, so maintaining the fit incrementally —
     the 100 TB shape that replaces the reference's full-store rescan every
     tick (``/root/reference/Fx_1min.py:147-217``) — changes no bit of the
@@ -7802,8 +7821,11 @@ def q_event_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
       FROM events GROUP BY event_type
     ), u AS (
+      -- coalesce matches dp_counts' concat_ws key string, which maps a
+      -- NULL key to '' (the NULL group still gets a deterministic draw).
       SELECT event_type, n_true,
-             CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT)
+             CAST(('0x' || substr(md5(coalesce(event_type, '')), 1, 15))
+                  AS BIGINT)
                / 1152921504606846976.0 - 0.5 AS uu
       FROM c
     ), g AS (
@@ -9372,13 +9394,17 @@ def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                   row_number() OVER (ORDER BY monetary) AS rn FROM base),
     mb AS (SELECT mr.v AS bv FROM mr JOIN tk ON mr.rn = tk.k),
     scored AS (
+      -- NULL dimension values are outside the bin domain (NULL score),
+      -- matching quantile_bins_multi; n_orders is a count and never NULL.
       SELECT c_custkey, recency_days, n_orders, monetary,
-             CAST(5 - (SELECT count(*) FROM rb
-                       WHERE rb.bv < b.recency_days) AS INTEGER) AS r,
+             CASE WHEN b.recency_days IS NULL THEN NULL
+                  ELSE CAST(5 - (SELECT count(*) FROM rb
+                            WHERE rb.bv < b.recency_days) AS INTEGER) END AS r,
              CAST(1 + (SELECT count(*) FROM fb
                        WHERE fb.bv < b.n_orders) AS INTEGER) AS f,
-             CAST(1 + (SELECT count(*) FROM mb
-                       WHERE mb.bv < b.monetary) AS INTEGER) AS m
+             CASE WHEN b.monetary IS NULL THEN NULL
+                  ELSE CAST(1 + (SELECT count(*) FROM mb
+                            WHERE mb.bv < b.monetary) AS INTEGER) END AS m
       FROM base b
     )
     SELECT r AS r_score, f AS f_score, m AS m_score,
@@ -10484,8 +10510,10 @@ def q_orders_delta_join_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_value_topk",
     oracle="""
+    -- k_smallest_per_key drops NULL order values by contract (they'd
+    -- sort as "largest" via the negation trick); the oracle says so too.
     SELECT user_id, event_id, ts, event_type, value
-    FROM events
+    FROM events WHERE value IS NOT NULL
     ORDER BY value DESC, event_id
     LIMIT 100
     """,
@@ -10594,9 +10622,10 @@ def q_nation_revenue_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     binned AS (
       SELECT s.region, s.sp,
-             CAST(4 - (SELECT count(*) FROM b
-                       WHERE b.region = s.region AND b.bv < s.sp)
-                  AS INTEGER) AS quartile
+             CASE WHEN s.sp IS NULL THEN NULL
+                  ELSE CAST(4 - (SELECT count(*) FROM b
+                                 WHERE b.region = s.region AND b.bv < s.sp)
+                       AS INTEGER) END AS quartile
       FROM spend s
     )
     SELECT region, quartile, count(*) AS n_customers,
@@ -10669,8 +10698,9 @@ def q_region_customer_spend_quartiles(
     ),
     binned AS (
       SELECT s.v, s.w,
-             CAST(4 - (SELECT count(*) FROM b WHERE b.bv < s.v)
-                  AS INTEGER) AS quartile
+             CASE WHEN s.v IS NULL THEN NULL
+                  ELSE CAST(4 - (SELECT count(*) FROM b WHERE b.bv < s.v)
+                       AS INTEGER) END AS quartile
       FROM src s
     )
     SELECT quartile, CAST(count(*) AS BIGINT) AS n_lines,
@@ -11005,7 +11035,10 @@ def q_purchase_regime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN CAST(0 AS DECIMAL(38,4))
                   ELSE CAST(l_extendedprice * l_extendedprice
                             AS DECIMAL(38,4)) END) AS DOUBLE) AS qc
+      -- welch_ttest is pairwise-complete by contract: NULL values and
+      -- NULL treatment flags are excluded up front on both engines.
       FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_extendedprice IS NOT NULL AND p_type IS NOT NULL
       GROUP BY 1
     ), d AS (
       SELECT l_returnflag, n_treat, n_ctrl,
@@ -12719,9 +12752,12 @@ def q_doc_simhash_hamming_histogram(
     "promo_price_mannwhitney",
     oracle="""
     WITH j AS (
+      -- mann_whitney_u excludes NULL values / NULL treatment flags
+      -- (pairwise-complete contract).
       SELECT l_returnflag, l_extendedprice AS v,
              CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS t
       FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_extendedprice IS NOT NULL AND p_type IS NOT NULL
     ), g AS (
       SELECT l_returnflag, v, count(*) AS cnt, sum(t) AS cnt_t
       FROM j GROUP BY 1, 2
@@ -12793,9 +12829,12 @@ def q_promo_price_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_price_ks",
     oracle="""
     WITH j AS (
+      -- ks_two_sample excludes NULL values / NULL treatment flags
+      -- (pairwise-complete contract).
       SELECT l_returnflag, l_extendedprice AS v,
              CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS t
       FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_extendedprice IS NOT NULL AND p_type IS NOT NULL
     ), g AS (
       SELECT l_returnflag, v,
              sum(t) AS ct, sum(1 - t) AS cc
@@ -12861,7 +12900,10 @@ def q_promo_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
              2 * rank() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
                + count(*) OVER (PARTITION BY event_type, epoch_us(ts)) - 1
                AS ry
-      FROM events
+      -- spearman_rho is pairwise-complete by contract: rows with a NULL
+      -- coordinate are excluded up front (NULLs rank FIRST in Spark but
+      -- LAST in DuckDB, so leaving them in corrupts the ranks).
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ), a AS (
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n_rows,
@@ -12987,8 +13029,11 @@ def q_nation_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS t
       FROM lineitem GROUP BY 1
     ), j AS (
+      -- mann_whitney_u drops NULL scores (pairwise-complete contract);
+      -- t is a count predicate and never NULL.
       SELECT o_orderpriority, v, t
       FROM orders JOIN ol ON l_orderkey = o_orderkey
+      WHERE v IS NOT NULL
     ), g AS (
       SELECT o_orderpriority, v, count(*) AS cnt, sum(t) AS cnt_t
       FROM j GROUP BY 1, 2
@@ -13897,7 +13942,12 @@ def q_part_return_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_ret"),
+        # when/otherwise(0), not a bare boolean cast: a NULL returnflag is
+        # "not a return" (0) like the oracle's CASE ELSE 0 — the bare cast
+        # would sum to NULL on an all-NULL group (sf_nulls sweep).
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).cast("long")
+        ).alias("n_ret"),
     )
     r = F.col("n_ret").cast("double") / F.col("n_lines").cast("double")
     mom = pr.agg(
@@ -14303,7 +14353,11 @@ def q_order_value_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("l_extendedprice"), 4).alias("rev"),
         (F.count(F.lit(1)) >= 4).cast("int").alias("y"),
     )
-    p = (F.col("rev") >= 300000.0).cast("int")
+    # when/otherwise(0), matching the oracle's CASE ELSE 0: an order whose
+    # revenue is NULL (all-NULL prices) is unscored and predicts NEGATIVE —
+    # the bare boolean cast would propagate NULL through the confusion
+    # sums instead (sf_nulls sweep).
+    p = F.when(F.col("rev") >= 300000.0, 1).otherwise(0)
     c = ol.select(p.alias("p"), "y")
     m = c.agg(
         F.count(F.lit(1)).alias("n"),

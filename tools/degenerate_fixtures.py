@@ -57,6 +57,53 @@ def build(sf_src: str, out_dir: str, rows: int) -> str:
     return out_dir
 
 
+# The relational SKELETON: unique row keys + FK columns stay populated in
+# ``sf_nulls`` so joins, grouping cardinalities, and row identity survive —
+# everything else (measures, labels, text, timestamps, embeddings) is NULL.
+# This is the "payload went missing" regime a 100 TB corpus actually ships
+# (late columns, failed extractors, tri-state enrichments); the reference's
+# own tolerant-ingest path (`Fx_1min.py:83-101`: absent JSON keys) is the
+# same class at the row level.
+SKELETON: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey", "n_regionkey"),
+    "customer": ("c_custkey", "c_nationkey"),
+    "supplier": ("s_suppkey", "s_nationkey"),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def build_nulls(sf_src: str, out_dir: str) -> str:
+    """Write a schema-identical copy of every table with every non-SKELETON
+    nullable column replaced by all-NULL (same arrow type, same row count).
+    Non-nullable fields (none in the current driver testdata) keep their
+    values rather than violate their own schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(sf_src, f"{t}.parquet")
+        table = pq.read_table(src)
+        keep = set(SKELETON[t])
+        arrays, fields = [], []
+        for field in table.schema:
+            col = table.column(field.name)
+            if field.name not in keep and field.nullable:
+                col = pa.nulls(len(table), type=field.type)
+            arrays.append(col)
+            fields.append(field)
+        out = pa.table(arrays, schema=pa.schema(fields))
+        pq.write_table(out, os.path.join(out_dir, f"{t}.parquet"),
+                       version="2.6")
+    return out_dir
+
+
 def build_pair(sf_src: str, base_dir: str) -> tuple[str, str]:
     """Build (sf_empty, sf_unit) under ``base_dir``."""
     return (
@@ -73,3 +120,4 @@ if __name__ == "__main__":  # pragma: no cover — manual builder
     e, u = build_pair(src, out)
     print(e)
     print(u)
+    print(build_nulls(src, os.path.join(out, "sf_nulls")))
