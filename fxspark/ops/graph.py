@@ -38,11 +38,19 @@ def pagerank(
     list is the big side and stays partitioned by ``src`` across
     iterations, so only the (N-row) rank frame moves.
 
+    A NULL endpoint is not a node: edges with a NULL src or dst (or a
+    NULL/zero out-weight share) are dropped explicitly — previously they
+    fell out incidentally at the out-weight equi-join, which is Spark
+    join semantics, not a declared contract.
+
     Returns (node, rank) with rank a raw double — round at the query edge.
     """
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_col.alias("_w")
+    ).filter(
+        F.col("_src").isNotNull() & F.col("_dst").isNotNull()
+        & F.col("_w").isNotNull()
     )
     out = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     # Edge frame with precomputed out-weight share: reused every iteration —

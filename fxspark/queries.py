@@ -713,8 +713,12 @@ def q_doc_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                [CAST(ascii(lower(trim(text))[i]) AS BIGINT)
                 for i in range(1, len(lower(trim(text))) + 1)]),
              (acc, c) -> (acc * 131 + c) % 1000000007) % 100 AS bucket
+    -- a NULL text cannot be content-hashed: such docs are outside the
+    -- sample domain (Spark's NULL bucket never passes < 10; DuckDB's
+    -- fold would yield the seed bucket 0 and wrongly sample them all).
     FROM documents
-    WHERE list_reduce(
+    WHERE text IS NOT NULL
+      AND list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                [CAST(ascii(lower(trim(text))[i]) AS BIGINT)
                 for i in range(1, len(lower(trim(text))) + 1)]),
@@ -940,12 +944,15 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_fingerprint",
     oracle="""
+    -- NULL text has no fingerprint (NULL, distinct from '' whose fp is
+    -- the seed 0) — DuckDB's list fold would otherwise yield the seed.
     SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                [CAST(ascii(lower(trim(text))[i]) AS BIGINT)
                 for i in range(1, len(lower(trim(text))) + 1)]),
-             (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
+             (acc, c) -> (acc * 131 + c) % 1000000007) END AS fp
     FROM documents
     """,
 )
@@ -3454,7 +3461,10 @@ def q_embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
-      FROM events
+      -- an event without event time has no session window: Spark's
+      -- session_window operator drops NULL-ts rows (a watermarked stream
+      -- could never admit them); the oracle states the same contract.
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), g AS (
       SELECT user_id, ts, value,
@@ -3889,8 +3899,12 @@ def q_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "user_event_type_profile",
     oracle="""
+    -- coalesce to '': both engines' distinct-collects skip NULL types,
+    -- but an all-NULL user renders '' via Spark's array_join where
+    -- DuckDB's list() over zero non-NULLs is NULL.
     SELECT user_id,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_profile,
+           coalesce(array_to_string(list_sort(list(DISTINCT event_type)),
+                                    ','), '') AS type_profile,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events GROUP BY user_id
     """,
@@ -4308,7 +4322,10 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_split_assign",
     oracle=f"""
     WITH b AS (
-      SELECT source, n_chars, {_ROLLHASH_SQL} % 100 AS bucket FROM documents
+      -- textless docs cannot be content-hash-assigned to a split and are
+      -- quarantined out (no-op on real data; text is never NULL there)
+      SELECT source, n_chars, {_ROLLHASH_SQL} % 100 AS bucket
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT source,
            CASE WHEN bucket < 80 THEN 'train'
@@ -4327,7 +4344,10 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline needs for honest held-out sets."""
     from fxspark.ops.text import rolling_fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        # textless docs are quarantined out — see the oracle note
+        F.col("text").isNotNull()
+    )
     bucket = rolling_fingerprint(F.col("text")) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -4418,7 +4438,9 @@ def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            user_id,
            arg_max(value, event_id) AS latest_rate,
            count(*) AS n_obs
-    FROM events
+    -- NULL-ts rows have no tumbling window (same event-time contract
+    -- as the session replays)
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )
@@ -4476,7 +4498,10 @@ def q_stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
-      FROM events
+      -- an event without event time has no session window: Spark's
+      -- session_window operator drops NULL-ts rows (a watermarked stream
+      -- could never admit them); the oracle states the same contract.
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), g AS (
       SELECT user_id, ts, value,
@@ -5472,11 +5497,17 @@ def q_token_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_type
+               AS prev_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
       FROM events
     ), versions AS (
+      -- rn = 1 marks the first row; IS DISTINCT FROM is the null-safe
+      -- state comparison scd2_intervals uses (a NULL state following a
+      -- NULL state is NOT a new version — 'prev_type IS NULL' would
+      -- conflate "no previous row" with "previous state NULL").
       SELECT user_id, event_type, ts, event_id FROM ordered
-      WHERE prev_type IS NULL OR prev_type <> event_type
+      WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, valid_from, valid_to,
            valid_to IS NULL AS is_current
@@ -5817,6 +5848,10 @@ _PAGERANK_ITER = """
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      -- a NULL endpoint is not a node (pagerank drops such edges by
+      -- contract); the oracle's LEFT JOINs would otherwise build a
+      -- NULL node with a teleport-only rank.
+      WHERE cn.n_name IS NOT NULL AND sn.n_name IS NOT NULL
       GROUP BY 1, 2
     ), outw AS (
       SELECT src, sum(w) AS out_w FROM edges0 GROUP BY src
@@ -7587,7 +7622,10 @@ def q_stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.max_by(F.col("cusum"), F.struct("ts", "event_id")).alias("cusum"),
-        F.sum(F.col("alert").cast("long")).alias("n_alerts"),
+        # count(when), not sum(cast): a NULL alert (NULL-valued chart) is
+        # "not in alarm" like the oracle's CASE ELSE 0, and an all-NULL
+        # group must report 0, not NULL (sf_nulls sweep).
+        F.count(F.when(F.col("alert"), F.lit(1))).alias("n_alerts"),
     )
 
 
@@ -9086,8 +9124,12 @@ def q_doc_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
       FROM flagged
     ), paths AS (
+      -- coalesce to '': both engines SKIP NULL types inside a path, but
+      -- an all-NULL session renders '' via Spark's array_join where
+      -- string_agg over zero non-NULLs yields NULL.
       SELECT user_id, session_id,
-             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             coalesce(string_agg(event_type, '>' ORDER BY ts, event_id),
+                      '') AS path,
              count(*) AS n
       FROM sess GROUP BY user_id, session_id
     )
@@ -12434,7 +12476,11 @@ def _copurchase_weighted_edges(
     ),"""
     + ",".join(_PPR_ITER.format(i=i, prev=i - 1) for i in range(1, 6))
     + """
+    -- PPR with an EMPTY seed set is undefined (no teleport
+    -- distribution): personalized_pagerank returns an empty frame, so
+    -- the oracle guards out its would-be all-zero ranks.
     SELECT node AS part, round(rank, 9) AS ppr FROM r5
+    WHERE (SELECT count(*) FROM srcs) > 0
     """,
 )
 def q_part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14719,7 +14765,9 @@ _PPR_ITER_PRUNED = """
     ),"""
     + ",".join(_PPR_ITER_PRUNED.format(i=i, prev=i - 1) for i in range(1, 6))
     + """
+    -- empty-seed guard, same contract as part_copurchase_ppr
     SELECT node AS part, round(rank, 9) AS ppr FROM r5
+    WHERE (SELECT count(*) FROM srcs) > 0
     ORDER BY round(rank, 9) DESC, node ASC
     LIMIT 50
     """,
