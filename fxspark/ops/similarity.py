@@ -162,6 +162,9 @@ def cosine_pairs_blocked(
     """
     import pandas as pd
 
+    # NULL vectors are outside the pair domain — the zip_with form yields
+    # NULL cos (never >= threshold); the numpy path must match, not crash.
+    df = df.filter(F.col(vec_col).isNotNull())
     spark = df.sparkSession
     cells = [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b]
     grid_a = spark.createDataFrame(cells, "_ba int, _bb int")
@@ -235,6 +238,14 @@ def train_ivf_codebook(sample, n_cells: int = 16, seed: int = 7) -> list[list[fl
     an approximate, data-adaptive index hash-checkable."""
     import numpy as np
 
+    # A NULL vector is outside the vector space: drop None rows from the
+    # sample HERE so every caller (ivf_assign's collect, the DuckDB oracle
+    # builders' to_pylist) derives the identical codebook from the same
+    # first-4096-by-id sample (an object array of Nones would IndexError
+    # in the Lloyd tensor — sf_nulls registry sweep).
+    if getattr(sample, "dtype", None) is not None and sample.dtype == object:
+        sample = np.array([v for v in sample if v is not None],
+                          dtype=np.float64)
     if len(sample) == 0:
         # EMPTY corpus ⇒ empty codebook (an empty np.array is 1-D, so the
         # Lloyd distance tensor below would IndexError — round-14 sf_empty
@@ -276,9 +287,12 @@ def ivf_assign(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # NULL vectors cannot be assigned a cell (and would break np.stack in
+    # the Arrow batch): outside the index domain by contract.
+    df = df.filter(F.col(vec_col).isNotNull())
     sample = np.array(
         [r[0] for r in df.select(vec_col).orderBy(id_col).limit(sample_size).collect()],
-        dtype=np.float64,
+        dtype=object,
     )
     centroids = train_ivf_codebook(sample, n_cells, seed)
     cent = np.array(centroids, dtype=np.float64)
@@ -532,7 +546,7 @@ def kmeans_lloyd(
     Returns per-cell stats after a final assignment against the trained
     codebook: ``cell, n_vecs, inertia, centroid_l2``.
     """
-    e = df.select(
+    e = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )

@@ -14,14 +14,15 @@ parameter-boundary bugs fixed registry queries never vary into: composite
 keys, rank n past the group size, value-column orderings, cutoffs that empty
 a key).
 
-Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O6):
+Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O8):
 
   O1  Every ORDER-BY spec is made TOTAL by appending the base table's
       unique key columns — window ``row_number``/``max_by``-struct ranks
       are then deterministic under any partitioning in both engines.
-  O2  Key, order, and cutoff columns come from a frozen pool of
-      NON-NULLABLE source columns (no NULL-ordering divergence — sqlfuzz
-      D8 — and ``max_by`` NULL handling never engages).
+  O2  Key, order, and cutoff columns come from a frozen pool of columns
+      that are never NULL in the driver testdata (no NULL-ordering
+      divergence — sqlfuzz D8 — and ``max_by`` NULL handling never
+      engages there); NULL-bearing fixtures engage rule O8.
   O3  The only aggregates are MAX / MIN / COUNT (``grouped_max``) — exact
       at any parallelism; float SUM/AVG stay on the sqlfuzz side where
       the exact-decimal discipline (D2/D3) handles them.
@@ -41,6 +42,17 @@ Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O6):
       timestamps, the op resolves them via ``right_tiebreak``; unique
       (key, on) right rows make both engines' choice the same row by
       construction.
+  O8  ``k_smallest_per_key`` DROPS rows with a NULL in any order column
+      (its documented contract since ADVICE r6 — NULLs would sort as
+      "smallest"); the generated oracle wraps that stage's input in the
+      same ``IS NOT NULL`` filter, found by running the corpus on the
+      round-14 ``sf_nulls`` fixture (all non-key columns NULL). The
+      other rank ops keep NULL-ordered rows and agree there because an
+      ALL-NULL order column ties every row and the appended unique key
+      (O1) decides identically in both engines; order columns that are
+      PARTIALLY NULL remain outside the generator's guarantee (the
+      sqlfuzz-D8 default-NULL-placement divergence) — the frozen pools
+      (O2) never produce them on the driver fixtures.
 
 ``generate(seed, n)`` is a pure function of its arguments; each composition
 draws from ``random.Random(f"{seed}:{i}")`` (prefix-stable: adding templates
@@ -374,7 +386,10 @@ def oracle_sql(comp: Composition) -> str:
             body = _rank_cte(prev, cols, s.keys, True, order,
                              f"_rn <= {s.n}")
         elif s.op == "ksmall":
-            body = _rank_cte(prev, cols, s.keys, False, order,
+            # rule O8: mirror the op's NULL-order exclusion
+            nn = " AND ".join(f"{c} IS NOT NULL" for c in order)
+            filt = f"(SELECT * FROM {prev} WHERE {nn})"
+            body = _rank_cte(filt, cols, s.keys, False, order,
                              f"_rn <= {s.n}")
         elif s.op == "nth_cutoff":
             filt = (f"(SELECT * FROM {prev} WHERE {s.cutoff_col} <= "

@@ -1360,12 +1360,17 @@ def _doc_media(
 @query(
     "media_meta",
     oracle="""
+    -- NULL text builds a NULL payload, which the sniffer reports as
+    -- 'empty'/-1 (missing media), whatever the doc_id parity says.
     SELECT doc_id AS media_id, 'image' AS media_type,
            CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text)) + 24
                 ELSE octet_length(encode(text)) END AS n_bytes,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'unknown' END AS format,
-           CASE WHEN doc_id % 2 = 0 THEN 64 ELSE -1 END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN 48 ELSE -1 END AS height
+           CASE WHEN text IS NULL THEN 'empty'
+                WHEN doc_id % 2 = 0 THEN 'png' ELSE 'unknown' END AS format,
+           CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+                THEN 64 ELSE -1 END AS width,
+           CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+                THEN 48 ELSE -1 END AS height
     FROM documents
     """,
 )
@@ -1501,7 +1506,10 @@ def _ivf_oracle() -> str | None:
         t = pq.read_table(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         ).sort_by("vec_id")
-        sample = np.array(t.column("embedding").to_pylist()[:4096], dtype=np.float64)
+        # dtype=object: train_ivf_codebook drops NULL vectors from the
+        # sample itself, so all callers derive the identical codebook
+        sample = np.array(t.column("embedding").to_pylist()[:4096],
+                          dtype=object)
         cents = train_ivf_codebook(sample, n_cells=16, seed=7)
     except Exception:  # noqa: BLE001 — no fixture ⇒ honest rows-only check
         return None
@@ -2548,17 +2556,22 @@ def _wav_header(rate: int, channels: int, bits: int) -> bytes:
 @query(
     "media_audio_meta",
     oracle="""
+    -- NULL-text -> NULL payload -> 'empty'/-1, as in media_meta
     SELECT doc_id AS media_id, 'audio' AS media_type,
            CASE WHEN doc_id % 2 = 0
                 THEN octet_length(encode(text)) + 44
                 ELSE octet_length(encode(text)) END AS n_bytes,
-           CASE WHEN doc_id % 2 = 0 THEN 'wav'
+           CASE WHEN text IS NULL THEN 'empty'
+                WHEN doc_id % 2 = 0 THEN 'wav'
                 WHEN octet_length(encode(text)) = 0 THEN 'empty'
                 ELSE 'unknown' END AS format,
-           CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE -1 END AS sample_rate,
-           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS channels,
-           CASE WHEN doc_id % 2 = 0 THEN 16 ELSE -1 END AS bits_per_sample,
-           CASE WHEN doc_id % 2 = 0
+           CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+                THEN 8000 ELSE -1 END AS sample_rate,
+           CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+                THEN 1 ELSE -1 END AS channels,
+           CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+                THEN 16 ELSE -1 END AS bits_per_sample,
+           CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
                 THEN CAST(floor(octet_length(encode(text)) / 16.0) AS BIGINT)
                 ELSE -1 END AS duration_ms
     FROM documents
@@ -3978,12 +3991,16 @@ def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "media_resized_meta",
     oracle="""
+    -- NULL-text -> NULL payload -> 'empty'/-1, as in media_meta
     SELECT doc_id AS media_id, 'image' AS media_type,
            CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text)) + 24
                 ELSE octet_length(encode(text)) END AS n_bytes,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'unknown' END AS format,
-           CASE WHEN doc_id % 2 = 0 THEN 96 ELSE -1 END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN 72 ELSE -1 END AS height
+           CASE WHEN text IS NULL THEN 'empty'
+                WHEN doc_id % 2 = 0 THEN 'png' ELSE 'unknown' END AS format,
+           CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+                THEN 96 ELSE -1 END AS width,
+           CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+                THEN 72 ELSE -1 END AS height
     FROM documents
     """,
 )
@@ -4610,7 +4627,10 @@ def _semantic_dedup_oracle() -> str | None:
         t = pq.read_table(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         ).sort_by("vec_id")
-        sample = np.array(t.column("embedding").to_pylist()[:4096], dtype=np.float64)
+        # dtype=object: train_ivf_codebook drops NULL vectors from the
+        # sample itself, so all callers derive the identical codebook
+        sample = np.array(t.column("embedding").to_pylist()[:4096],
+                          dtype=object)
         cents = train_ivf_codebook(sample, n_cells=16, seed=7)
     except Exception:  # noqa: BLE001 — no fixture ⇒ honest rows-only check
         return None
@@ -4660,7 +4680,9 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).sort_by("vec_id")
-    sample = np.array(t.column("embedding").to_pylist()[:4096], dtype=np.float64)
+    # dtype=object: train_ivf_codebook drops NULL vectors from the
+    # sample itself, so all callers derive the identical codebook
+    sample = np.array(t.column("embedding").to_pylist()[:4096], dtype=object)
     cents = train_ivf_codebook(sample, n_cells=16, seed=7)
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     cent_df = spark.createDataFrame(
@@ -7103,8 +7125,9 @@ def _kmeans_seed(sf_dir: str | None = None) -> list[list[float]] | None:
         ).sort_by("vec_id")
         return [
             [float(x) for x in v]
-            for v in t.column("embedding").to_pylist()[:8]
-        ]
+            for v in t.column("embedding").to_pylist()
+            if v is not None
+        ][:8]
     except Exception:  # noqa: BLE001 — no fixture ⇒ honest rows-only check
         return None
 
@@ -7181,7 +7204,8 @@ def q_embedding_kmeans_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     if seed is None:  # no local fixture: derive seed in-engine
         rows = (
-            emb.orderBy("vec_id")
+            emb.filter(F.col("embedding").isNotNull())
+            .orderBy("vec_id")
             .limit(8)
             .select("vec_id", "embedding")
             .collect()
@@ -14109,7 +14133,10 @@ def q_embedding_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "neg_id",
         F.round(cosine(F.col("embedding"), F.col("_ne")), 6).alias("cos"),
-        (F.col("label") == F.col("_nl")).cast("int").alias("same_label"),
+        # when/otherwise(0): a NULL label is "not known same" (0) like the
+        # oracle's CASE ELSE 0 — the bare cast would emit NULL (sf_nulls).
+        F.when(F.col("label") == F.col("_nl"), 1).otherwise(0)
+        .cast("int").alias("same_label"),
     )
 
 

@@ -134,6 +134,11 @@ Determinism contract
       output multiset.  (t_range_interval keeps lineitem: RANGE frames
       give tie-peers identical outputs, so intra-peer order is
       projection-invisible.)
+  D19 ``split_part(NULL, sep, n)`` is NULL in Spark but ``''`` in DuckDB
+      (found by the sf_nulls fixture run) — the fuzz surface feeds
+      split_part through ``COALESCE(s, '')`` so both engines see a
+      non-NULL operand; INSTR/LENGTH/UPPER/... propagate NULL
+      identically and stay raw.
 
 Literal pools are frozen constants drawn from the public testdata
 generator's category values and value ranges (``TESTDATA.md``); they are
@@ -839,8 +844,11 @@ def t_str_locate(r: random.Random) -> str:
     s1, s2 = r.sample(_cols_of(t, "s"), 2)
     keys = ", ".join(UNIQUE[t])
     needle = r.choice(["a", "e", "1", "#", "-"])
+    # COALESCE inside split_part per rule D19 (NULL operand: Spark
+    # returns NULL, DuckDB ''); a no-op whenever the columns are non-NULL.
     return (f"SELECT {keys}, CAST(INSTR({s1}, '{needle}') AS BIGINT) AS c0, "
-            f"split_part({s1} || '|' || {s2}, '|', 2) AS c1 "
+            f"split_part(COALESCE({s1}, '') || '|' || COALESCE({s2}, ''), "
+            f"'|', 2) AS c1 "
             f"FROM {t} WHERE {_where(r, t, '', 1)}")
 
 

@@ -1,5 +1,6 @@
-"""Round-14 degenerate-input gate: the FULL registry differential on EMPTY
-and ONE-ROW star schemas (the r13 verdict's top ask).
+"""Round-14 degenerate-input gate: the FULL registry differential on EMPTY,
+ONE-ROW, and ALL-NULL-PAYLOAD star schemas (the r13 verdict's top ask, plus
+the sf_nulls axis it predicted under "NULL-only aggregates").
 
 D12 (``fxspark/sqlfuzz.py``) proved a class of Spark-vs-oracle divergences
 that only degenerate inputs expose; until this round the 249 registry
@@ -28,6 +29,31 @@ D12 discipline; gate-scale parity re-proven for each touched query):
    ``count(*) FILTER`` is 0 — conditional counts rewritten as
    ``count(when(...))`` (orders_quality_audit, doc_pair_budget_estimate,
    profile_table null counters).
+
+The ALL-NULL sweep (sf_nulls: every non-key, non-FK column NULL at full
+row count — the "payload went missing" regime) found six more classes,
+each fixed as a no-op on non-NULL input and re-proven at sf0.01:
+
+6.  QUANTILE BINNING of NULL values: quantile_bins labels them NULL by
+    contract; the oracles' rank-count formula silently called them the
+    last bucket — now stated with CASE.
+7.  PAIRWISE-COMPLETE STATS: welch_ttest gained the same up-front NULL
+    exclusion as mann_whitney_u/ks_two_sample; the A/B oracles state it.
+8.  EVENT-TIME CONTRACT: session_window / tumbling window / the OLS
+    micro-batch split drop NULL-ts rows; oracles say so. SCD2's oracle
+    used 'prev IS NULL' as the first-row marker, which misreads a NULL
+    state as a new version — now rn=1 + IS DISTINCT FROM.
+9.  RENDERING '' vs NULL: Spark array_join over zero non-NULLs is '',
+    DuckDB string_agg/list is NULL — coalesced; CASE ELSE 0 vs bare
+    boolean-cast sums (eb_shrinkage, prf, cusum alerts, negative_pairs).
+10. VECTOR-SPACE DOMAIN: NULL embeddings crash numpy paths — the
+    codebook trainer drops them from its sample (all callers derive the
+    identical codebook), ivf/kmeans/blocked-pairs filter them by
+    contract; all-NULL corpus degrades to rows-only like sf_empty.
+11. GRAPH/HASH DOMAINS: pagerank drops NULL-endpoint edges explicitly;
+    PPR guards the empty-seed teleport; NULL text has no fingerprint
+    (DuckDB's fold yields the seed 0) and textless docs are quarantined
+    from hash sampling/splits; NULL payloads sniff as 'empty' media.
 
 Data-adaptive oracles (IVF/SemDeDup/k-means codebooks baked from
 ``FXSPARK_ORACLE_SF_DIR`` at import) are re-baked per fixture by
@@ -66,6 +92,12 @@ def degenerate_dirs(tmp_path_factory, sf_dir):
     return deg_fixtures.build_pair(sf_dir, str(base))
 
 
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory, sf_dir):
+    base = tmp_path_factory.mktemp("degenerate_nulls")
+    return deg_fixtures.build_nulls(sf_dir, str(base))
+
+
 def test_fixtures_preserve_schema(degenerate_dirs, sf_dir):
     """Both fixtures are physical-schema-identical to the source parquet —
     so the engine's nanos/NTZ read paths run on them, not around them."""
@@ -96,6 +128,32 @@ def test_registry_on_unit_tables(spark, degenerate_dirs):
     ok, fails = deg_sweep.sweep(
         spark, degenerate_dirs[1], verbose=False
     )
+    assert not fails, fails
+    assert len(ok) >= 249
+
+
+def test_nulls_fixture_shape(nulls_dir, sf_dir):
+    """sf_nulls keeps schema, row count, and the relational skeleton —
+    only payload columns are nulled."""
+    import pyarrow.parquet as pq
+
+    for t in deg_fixtures.TABLES:
+        src = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        dst = pq.read_table(os.path.join(nulls_dir, f"{t}.parquet"))
+        assert src.schema.equals(dst.schema), t
+        assert len(src) == len(dst), t
+        keep = set(deg_fixtures.SKELETON[t])
+        for field in dst.schema:
+            col = dst.column(field.name)
+            if field.name in keep:
+                assert col.null_count == src.column(field.name).null_count
+            elif field.nullable:
+                assert col.null_count == len(dst), (t, field.name)
+
+
+def test_registry_on_all_null_payload(spark, nulls_dir):
+    """Full registry differential on the all-NULL-payload star schema."""
+    ok, fails = deg_sweep.sweep(spark, nulls_dir, verbose=False)
     assert not fails, fails
     assert len(ok) >= 249
 
