@@ -50,8 +50,12 @@ def scd2_intervals(
     event time (NULL for the current version), ``is_current`` flag.
 
     ``order`` must make the log deterministic per key (include a unique
-    tiebreaker alongside the timestamp).
+    tiebreaker alongside the timestamp). Rows with a NULL in any ``order``
+    column are unplaceable on the version timeline and are dropped by
+    contract (engines disagree on default NULL placement).
     """
+    for c in order:
+        df = df.filter(F.col(c).isNotNull())
     w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
     versions = df.withColumn("_chg", _changed(attrs, w)).filter(F.col("_chg"))
     w2 = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])

@@ -168,8 +168,16 @@ def quantile_bins_grouped(
     inside (group, boundary-bucket) slices, boundaries carried back as one
     array row per group through a keyed join (no crossJoin, no driver
     collect). Same declared tie semantics as :func:`quantile_bins`.
+
+    Rows whose GROUP key is NULL are outside the grouped-binning domain
+    and are dropped by contract: every internal boundary join is keyed on
+    the group columns, where a NULL key can never match its own group —
+    such rows would otherwise ride through with an incidental NULL bin.
+    (NULL bin VALUES keep the per-row NULL label, as in quantile_bins.)
     """
     g = list(group_cols)
+    for c in g:
+        df = df.filter(F.col(c).isNotNull())
     x = F.col(col)
     vals = df.filter(x.isNotNull()).select(*g, x.alias("_qv"))
 

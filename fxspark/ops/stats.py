@@ -243,6 +243,10 @@ def changepoint_single(
 
     keys = [keys] if isinstance(keys, str) else list(keys)
     order = list(order)
+    # keyed_ewma's domain contract: NULL-order rows are unplaceable in
+    # the series, NULL values are missing observations — both excluded.
+    for c in [*order, value_col]:
+        df = df.filter(F.col(c).isNotNull())
     dec = f"decimal(38,{scale})"
     w = Window.partitionBy(*keys).orderBy(*order)
     wall = Window.partitionBy(*keys)

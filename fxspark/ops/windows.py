@@ -61,6 +61,11 @@ def sessionize(
     from pyspark.sql import Window
 
     keys = [keys] if isinstance(keys, str) else list(keys)
+    # Rows with a NULL session time are unplaceable on the timeline and
+    # are dropped by contract (the k_smallest_per_key discipline): the
+    # engines otherwise disagree on where NULLs sort (Spark ASC=NULLS
+    # FIRST, DuckDB ASC=NULLS LAST), which silently moves session breaks.
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(*keys).orderBy(ts_col, *(tiebreak or []))
     prev_ts = F.lag(ts_col).over(w)
     is_new = F.when(
@@ -95,6 +100,12 @@ def keyed_ewma(
     scale path (state store, incremental). Sequential fold order makes the
     result exactly reproducible by any engine folding the same order
     (DuckDB ``list_reduce``)."""
+    # Rows with a NULL order coordinate (unplaceable in the sequence) or a
+    # NULL value (a missing observation — the recurrence skips it, state
+    # carried) are excluded by contract; NULL placement in array_sort vs
+    # ORDER BY differs across engines.
+    for c in [*order_cols, value_col]:
+        df = df.filter(F.col(c).isNotNull())
     ordered = F.array_sort(
         F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(value_col)))
     )
@@ -137,6 +148,9 @@ def keyed_ewma_chunked(
     which is why the ORACLE query keeps the sequential form)."""
     from pyspark.sql import Window
 
+    # same order/value domain contract as keyed_ewma (parity requires it)
+    for c in [*order_cols, value_col]:
+        df = df.filter(F.col(c).isNotNull())
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     ranked = (
         df.select(
@@ -280,6 +294,10 @@ def keyed_cusum(
     from pyspark.sql import Window
 
     keys = [keys] if isinstance(keys, str) else list(keys)
+    # Unplaceable (NULL-order) rows and missing observations (NULL value)
+    # are outside the chart's domain — the keyed_ewma contract.
+    for c in [*order, value_col]:
+        df = df.filter(F.col(c).isNotNull())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*[F.col(c) for c in order])

@@ -14,7 +14,7 @@ parameter-boundary bugs fixed registry queries never vary into: composite
 keys, rank n past the group size, value-column orderings, cutoffs that empty
 a key).
 
-Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O8):
+Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O9):
 
   O1  Every ORDER-BY spec is made TOTAL by appending the base table's
       unique key columns — window ``row_number``/``max_by``-struct ranks
@@ -49,10 +49,15 @@ Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O8):
       round-14 ``sf_nulls`` fixture (all non-key columns NULL). The
       other rank ops keep NULL-ordered rows and agree there because an
       ALL-NULL order column ties every row and the appended unique key
-      (O1) decides identically in both engines; order columns that are
-      PARTIALLY NULL remain outside the generator's guarantee (the
-      sqlfuzz-D8 default-NULL-placement divergence) — the frozen pools
-      (O2) never produce them on the driver fixtures.
+      (O1) decides identically in both engines.
+  O9  For the rank ops that KEEP NULL-ordered rows (dedup, latest_w,
+      nth_cutoff), the generated oracle spells Spark's default NULL
+      placement explicitly (DESC NULLS LAST / ASC NULLS FIRST — Spark
+      orders NULL as SMALLEST, DuckDB as LARGEST): found by the one
+      divergence in the sf_mixed (alternating-NULL-payload) run, where a
+      NULL l_quantity won DuckDB's DESC rank. With O8+O9 the corpus
+      matches on ALL degenerate fixtures, not just the frozen pools'
+      never-NULL driver data.
 
 ``generate(seed, n)`` is a pure function of its arguments; each composition
 draws from ``random.Random(f"{seed}:{i}")`` (prefix-stable: adding templates
@@ -104,7 +109,14 @@ META = {
         "cols": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
                  "l_quantity", "l_extendedprice", "l_returnflag",
                  "l_shipdate"],
-        "unique": ["l_orderkey", "l_linenumber"],
+        # sqlfuzz rule D18: (l_orderkey, l_linenumber) is NOT unique in the
+        # driver testdata (1,401 dup pairs at sf0.001). The appended
+        # tiebreak is the full FK quad — unique at sf0.01/sf0.1; its one
+        # sf0.001 dup pair differs in every order-visible payload column
+        # on the driver data (ranks stay total) and collapses to
+        # projection-identical rows when the payload is nulled, so rank
+        # winners are well-defined in every fixture regime.
+        "unique": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
         "keys": [["l_suppkey"], ["l_returnflag"], ["l_partkey"]],
         "orders": [["l_shipdate"], ["l_extendedprice"],
                    ["l_quantity", "l_shipdate"]],
@@ -314,7 +326,12 @@ def _spark_frame(spark, sf_dir: str, comp: Composition):
 # SQL contract over the previous CTE).
 # ---------------------------------------------------------------------------
 def _rank_cte(prev: str, cols, keys, order_desc, order, pred: str) -> str:
-    direction = "DESC" if order_desc else "ASC"
+    # Explicit NULL placement spelling SPARK's defaults (DESC = NULLS
+    # LAST, ASC = NULLS FIRST) — the ops' windows and max_by struct
+    # comparisons order NULLs as SMALLEST, while DuckDB's defaults treat
+    # them as LARGEST, a divergence the sf_mixed fixture exposed (rule
+    # O9). ksmall never reaches this: its input is NULL-filtered (O8).
+    direction = "DESC NULLS LAST" if order_desc else "ASC NULLS FIRST"
     ob = ", ".join(f"{c} {direction}" for c in order)
     return (
         f"SELECT {', '.join(cols)} FROM ("

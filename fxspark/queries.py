@@ -273,7 +273,9 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      -- sessionize drops NULL-ts rows by contract (unplaceable on
+      -- the timeline; engines disagree on default NULL placement)
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id,
@@ -1026,7 +1028,8 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(o_totalprice) OVER w AS prev_totalprice,
            round((o_totalprice - lag(o_totalprice) OVER w)
                  / lag(o_totalprice) OVER w * 100, 4) AS pct_change
-    FROM orders
+    -- undated orders are unplaceable in the consecutive ordering
+    FROM orders WHERE o_orderdate IS NOT NULL
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
@@ -1038,7 +1041,9 @@ def q_order_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fxspark.ops.change import pct_change
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()  # see oracle note
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_totalprice").over(w)
     return orders.select(
@@ -1871,8 +1876,9 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,4))) AS sp
       FROM orders GROUP BY o_custkey
     ),
-    st AS (SELECT count(*) AS c FROM spend),
-    r AS (SELECT sp, row_number() OVER (ORDER BY sp) AS rn FROM spend),
+    nn AS (SELECT sp FROM spend WHERE sp IS NOT NULL),
+    st AS (SELECT count(*) AS c FROM nn),
+    r AS (SELECT sp, row_number() OVER (ORDER BY sp) AS rn FROM nn),
     b AS (
       SELECT r.sp AS bv
       FROM r JOIN (SELECT i, (c * i + 3) // 4 AS k
@@ -1928,7 +1934,8 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              last_value(o_totalprice) OVER w AS last_price,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS rn
-      FROM orders
+      -- undated orders are unplaceable in the first/last ordering
+      FROM orders WHERE o_orderdate IS NOT NULL
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ) WHERE rn = 1
@@ -1942,7 +1949,9 @@ def q_first_last_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer. The subtraction is plain IEEE double on identical operands."""
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()  # see oracle note
+    )
     order_cols = [F.col("o_orderdate"), F.col("o_orderkey")]
     wf = (
         Window.partitionBy("o_custkey")
@@ -3522,8 +3531,9 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS spend
       FROM orders GROUP BY o_custkey
     ),
-    st AS (SELECT count(*) AS c FROM spend),
-    r AS (SELECT spend, row_number() OVER (ORDER BY spend) AS rn FROM spend),
+    nn AS (SELECT spend FROM spend WHERE spend IS NOT NULL),
+    st AS (SELECT count(*) AS c FROM nn),
+    r AS (SELECT spend, row_number() OVER (ORDER BY spend) AS rn FROM nn),
     b AS (
       SELECT r.spend AS bv
       FROM r JOIN (SELECT i, (c * i + 9) // 10 AS k
@@ -3880,11 +3890,13 @@ def q_order_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "user_value_locf",
     oracle="""
+    -- event-time contract: NULL-ts rows are unplaceable on the fill
+    -- timeline (engines disagree on where they sort) and are excluded
     SELECT event_id, user_id, ts,
            last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def q_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3896,7 +3908,9 @@ def q_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the differential is bit-exact by construction."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # event-time contract — see oracle note
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -5077,9 +5091,12 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_value_ewma",
     oracle="""
     WITH v AS (
+      -- keyed_ewma's domain contract: NULL-ts rows are unplaceable in
+      -- the sequence, NULL values are skipped observations
       SELECT user_id,
              array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
     )
     SELECT user_id,
            CAST(len(vals) AS BIGINT) AS n_total,
@@ -5522,7 +5539,8 @@ def q_token_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS prev_type,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn
-      FROM events
+      -- scd2_intervals drops NULL-order rows by contract
+      FROM events WHERE ts IS NOT NULL
     ), versions AS (
       -- rn = 1 marks the first row; IS DISTINCT FROM is the null-safe
       -- state comparison scd2_intervals uses (a NULL state following a
@@ -6123,10 +6141,12 @@ def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_transition_matrix",
     oracle="""
     WITH seq AS (
+      -- a sequence point needs a place (ts) and a state (event_type);
+      -- rows missing either are outside the chain
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ), pairs AS (
       SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
       FROM seq WHERE prev_type IS NOT NULL
@@ -6146,7 +6166,9 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction and anomalous-flow detection. The window partitions on
     user_id (near-unique, no skew); the pair aggregation's key domain is
     |event types|^2, broadcast-sized at any corpus scale."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         events.withColumn("prev_type", F.lag("event_type").over(w))
@@ -6242,8 +6264,10 @@ def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_bm25_search",
     oracle="""
     WITH toks AS (
+      -- the BM25 corpus is the TOKENIZABLE documents: a NULL text has no
+      -- tokens (and Spark's size(NULL) would read -1 into the length sum)
       SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), dl AS (
       SELECT doc_id, CAST(count(*) AS DOUBLE) AS len FROM toks GROUP BY doc_id
     ), stats AS (
@@ -6288,7 +6312,9 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k1, b = 1.2, 0.75
     terms = ["data", "model", "quality"]
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()  # see oracle note
+    )
     toks = docs.select(
         "doc_id", F.explode(_tok(F.col("text"))).alias("t")
     )
@@ -6545,7 +6571,10 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS vsum,
              CAST(count(*) AS DECIMAL(8,0)) AS n
-      FROM events GROUP BY user_id
+      -- chart over OBSERVED events: NULL-ts (unplaceable) and NULL-value
+      -- (missing observation) rows are outside the chart domain
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
     ), e AS (
       SELECT e.user_id, e.ts, e.event_id, e.value, m.n,
              CAST(CAST(CAST(e.value AS DECIMAL(18,6)) * m.n AS DECIMAL(28,6))
@@ -6553,6 +6582,7 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - CAST(m.n * CAST(10.0 AS DECIMAL(4,1)) AS DECIMAL(14,1))
                   AS DECIMAL(30,6)) AS ei
       FROM events e JOIN m USING (user_id)
+      WHERE e.ts IS NOT NULL AND e.value IS NOT NULL
     ), c1 AS (
       SELECT user_id, ts, event_id, value, n,
              sum(ei) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -6584,7 +6614,10 @@ def q_user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp, so the chart is computed on ``n·value − Σvalue − n·slack`` — every
     term an exact decimal product — and only divided back by n (pure IEEE,
     identical everywhere) at the output."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        # chart over OBSERVED events — see the oracle note
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     m = events.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,6)"))
         .cast("decimal(28,6)")
@@ -6626,9 +6659,11 @@ def q_user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_cohort_ltv",
     oracle="""
     WITH first_o AS (
+      -- undated orders can neither open a cohort nor land in a month
+      -- offset; excluded throughout
       SELECT o_custkey,
              date_trunc('month', min(o_orderdate)) AS cohort
-      FROM orders GROUP BY o_custkey
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey
     ), size_c AS (
       SELECT cohort, count(*) AS n_customers FROM first_o GROUP BY cohort
     ), rev AS (
@@ -6638,6 +6673,7 @@ def q_user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS n_orders,
              sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS revd
       FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+      WHERE o.o_orderdate IS NOT NULL
       GROUP BY 1, 2
     )
     SELECT r.cohort, r.month_offset, s.n_customers, r.n_orders,
@@ -6656,7 +6692,9 @@ def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (custkey) — one exchange reused; the cumulative window runs over the
     tiny (cohort × offset) matrix, and cohort sizes broadcast-join back.
     Exact-decimal revenue so the running LTV is partitioning-independent."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()  # see oracle note
+    )
     first_o = orders.groupBy("o_custkey").agg(
         F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
     )
@@ -7145,7 +7183,8 @@ def _kmeans_oracle() -> str | None:
     )
     d1 = _L2_SQL.format(a="e.emb", b="cv")
     return f"""
-    WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
+    WITH e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings
+               WHERE embedding IS NOT NULL),
     c0(cell, cv) AS (VALUES {vals}),
     a1 AS (
       SELECT vec_id, emb,
@@ -7597,7 +7636,8 @@ def q_maintained_ols_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST((value - 50.0) - 10.0 AS DECIMAL(38,6)))
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS cum
-      FROM events
+      -- keyed_cusum's domain contract: observed (non-NULL ts/value) only
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     ), c AS (
       SELECT user_id, ts, event_id, cum,
              least(CAST(0 AS DECIMAL(38,6)),
@@ -8613,7 +8653,10 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_new_users",
     oracle="""
     WITH du AS (
+      -- an event without event time belongs to no day (and the engines
+      -- would place the NULL day differently in the cumulative order)
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL
     ), act AS (
       SELECT day, count(*) AS active_users FROM du GROUP BY day
     ), fs AS (
@@ -8641,7 +8684,9 @@ def q_daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered window is a single partition, but its input is calendar-
     bounded (≤ a few thousand rows for a decade of days), stated
     explicitly — never data-sized."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # see oracle note
+    )
     du = events.select(
         "user_id", F.to_date("ts").alias("day")
     ).distinct()
@@ -8711,7 +8756,9 @@ def q_events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY value DESC, event_id DESC
              ) AS rd,
              count(*) OVER (PARTITION BY user_id) AS n
-      FROM events
+      -- missing observations (NULL value) can be neither ranked nor
+      -- averaged; engines disagree on where NULLs rank
+      FROM events WHERE value IS NOT NULL
     )
     SELECT user_id,
            CAST(max(n) AS BIGINT) AS n_obs,
@@ -8733,7 +8780,9 @@ def q_user_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide identical operands. One shuffle on user_id; per-user sort is
     bounded by the per-key event count like every ``user_value_*``
     window."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()  # observed values only — see oracle
+    )
     wa = Window.partitionBy("user_id").orderBy("value", "event_id")
     wd = Window.partitionBy("user_id").orderBy(
         F.col("value").desc(), F.col("event_id").desc()
@@ -9140,7 +9189,9 @@ def q_doc_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      -- sessionize drops NULL-ts rows by contract (unplaceable on
+      -- the timeline; engines disagree on default NULL placement)
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, event_id, event_type,
@@ -9795,9 +9846,11 @@ def q_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_value_autocorr",
     oracle="""
     WITH q AS (
+      -- the series is the user's OBSERVED points: NULL-ts rows are
+      -- unplaceable, NULL values are missing observations
       SELECT user_id, ts, event_id,
              CAST(CAST(value AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS v
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     ), p AS (
       SELECT user_id, v AS y,
              lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
@@ -9827,7 +9880,9 @@ def q_user_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are quantized to DECIMAL(18,6) so every product is an exact
     DECIMAL(37,12) and every sum exact — the final Pearson expression
     divides identical doubles in both engines."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     v = F.col("value").cast("decimal(38,6)").cast("decimal(18,6)")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p = events.select(
@@ -10058,11 +10113,12 @@ def q_doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_transition_eval",
     oracle="""
     WITH r AS (
+      -- same chain domain as event_transition_matrix
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn,
              count(*) OVER (PARTITION BY user_id) AS n
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ), pairs AS (
       SELECT user_id, rn, n, event_type AS dst,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS src
@@ -10098,7 +10154,9 @@ def q_event_transition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rank predicates (rn·10 ≤ 8·n) so the split is engine-
     identical. The model is states²-bounded (broadcast); both phases
     share the per-user sequence shuffle."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wn = Window.partitionBy("user_id")
     r = events.select(
@@ -10674,12 +10732,16 @@ def q_nation_revenue_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey
+      -- a NULL region name is outside the grouped-binning domain
+      -- (quantile_bins_grouped drops NULL group keys by contract)
+      WHERE r.r_name IS NOT NULL
       GROUP BY r.r_name, o.o_custkey
     ),
-    st AS (SELECT region, count(*) AS c FROM spend GROUP BY region),
+    nn AS (SELECT region, sp FROM spend WHERE sp IS NOT NULL),
+    st AS (SELECT region, count(*) AS c FROM nn GROUP BY region),
     rk AS (SELECT region, sp,
                   row_number() OVER (PARTITION BY region ORDER BY sp) AS rn
-           FROM spend),
+           FROM nn),
     b AS (
       SELECT rk.region, rk.sp AS bv
       FROM rk JOIN (SELECT region, i, (c * i + 3) // 4 AS k
@@ -11314,7 +11376,9 @@ def q_customer_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_5
-    FROM events
+    -- event-time contract: NULL-ts rows are unplaceable in the feature
+    -- ordering (lag/rolling positions would be engine-dependent)
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
@@ -11329,7 +11393,9 @@ def q_user_value_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared choice, ``user_value_locf``/``user_value_interp``). The
     rolling sum is decimal-exact; lag/delta are single-value moves with
     no accumulation, so plain doubles are already bit-stable."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # event-time contract — see oracle note
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wr = w.rowsBetween(-4, 0)
     return events.select(
@@ -11943,7 +12009,8 @@ def q_region_nation_revenue_share(
                AS DOUBLE) AS sl,
              CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
                PARTITION BY user_id) AS DOUBLE) AS s
-      FROM events
+      -- changepoint_single's series domain: observed, placeable rows
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), scored AS (
       SELECT user_id, ts, event_id, n,
@@ -12099,7 +12166,8 @@ def q_event_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts > lag(ts) OVER w + INTERVAL 2 HOUR
                   THEN 1 ELSE 0 END AS brk
-      FROM events
+      -- sessionize drops NULL-ts rows by contract
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, event_id, ts,
@@ -13254,8 +13322,9 @@ def q_order_value_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN 1 ELSE 0 END) AS yy
       FROM orders GROUP BY 1
     ),
-    st AS (SELECT count(*) AS c FROM spend),
-    r AS (SELECT spend, row_number() OVER (ORDER BY spend) AS rn FROM spend),
+    nn AS (SELECT spend FROM spend WHERE spend IS NOT NULL),
+    st AS (SELECT count(*) AS c FROM nn),
+    r AS (SELECT spend, row_number() OVER (ORDER BY spend) AS rn FROM nn),
     b AS (
       SELECT r.spend AS bv
       FROM r JOIN (SELECT i, (c * i + 9) // 10 AS k
@@ -13735,10 +13804,11 @@ def q_orders_topk_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_debounce_replay",
     oracle="""
     WITH l AS (
+      -- event-time contract: a NULL-ts event never reaches the stream
       SELECT user_id, event_id, ts,
              lag(ts) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id) AS pts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, event_id, ts
     FROM l
@@ -13760,7 +13830,9 @@ def q_stream_debounce_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     being unknowable at keep-time on a stream."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # event-time contract — see oracle note
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     l = events.withColumn("_pts", F.lag("ts").over(w))
     return l.filter(
@@ -14145,9 +14217,12 @@ def q_embedding_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_price_mannwhitney_binned",
     oracle="""
     WITH j AS (
+      -- pairwise-complete, as in promo_price_mannwhitney: NULL values
+      -- can't be binned, NULL treatment flags belong to neither sample
       SELECT l_returnflag, l_extendedprice AS v,
              CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS t
       FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_extendedprice IS NOT NULL AND p_type IS NOT NULL
     ), st AS (
       SELECT l_returnflag, min(v) AS lo,
              (max(v) - min(v)) / 1024 AS width
@@ -14215,6 +14290,10 @@ def q_promo_price_mannwhitney_binned(
     j = li.join(
         F.broadcast(part.select("p_partkey", "p_type")),
         F.col("l_partkey") == F.col("p_partkey"),
+    ).filter(
+        # pairwise-complete — see the oracle note (the bin stats would
+        # otherwise ride on incidental NULL-skipping in min/max)
+        F.col("l_extendedprice").isNotNull() & F.col("p_type").isNotNull()
     ).select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
@@ -14251,10 +14330,12 @@ def q_promo_price_mannwhitney_binned(
 def _layout_pruning_oracle() -> str:
     from fxspark.ops.layout import hilbert_sql_ctes, zvalue_sql
 
+    # a row whose layout key is uncomputable (NULL value) cannot be laid
+    # out — excluded from the comparison on both engines
     base = (
         "(SELECT ((user_id % 65536) + 65536) % 65536 AS ha,"
         " ((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536"
-        " AS hb FROM events)"
+        " AS hb FROM events WHERE value IS NOT NULL)"
     )
     ctes, fin = hilbert_sql_ctes(base, "ha", "hb", bits=16)
     zv = zvalue_sql("ha", "hb")
@@ -14326,7 +14407,9 @@ def q_events_layout_pruning_compare(
     from fxspark.ops.layout import hilbert_layout_index, zvalue
     from fxspark.ops.quantile import quantile_bins
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()  # see the oracle-builder note
+    )
     base = events.select(
         F.pmod(F.col("user_id"), F.lit(65536)).alias("ha"),
         F.pmod(

@@ -1,6 +1,7 @@
 """Round-14 degenerate-input gate: the FULL registry differential on EMPTY,
-ONE-ROW, and ALL-NULL-PAYLOAD star schemas (the r13 verdict's top ask, plus
-the sf_nulls axis it predicted under "NULL-only aggregates").
+ONE-ROW, ALL-NULL-PAYLOAD, and ALTERNATING-NULL star schemas (the r13
+verdict's top ask, plus the sf_nulls / sf_mixed axes it predicted under
+"NULL-only aggregates").
 
 D12 (``fxspark/sqlfuzz.py``) proved a class of Spark-vs-oracle divergences
 that only degenerate inputs expose; until this round the 249 registry
@@ -55,6 +56,21 @@ each fixed as a no-op on non-NULL input and re-proven at sf0.01:
     (DuckDB's fold yields the seed 0) and textless docs are quarantined
     from hash sampling/splits; NULL payloads sniff as 'empty' media.
 
+The ALTERNATING-NULL sweep (sf_mixed: payload NULL on odd rows — the
+PARTIAL-missing regime where the engines' opposite default NULL
+placement, sqlfuzz D8, changes which row a rank/argmax/cumulation
+touches) found the last class, fixed the same way:
+
+12. ORDER-DOMAIN CONTRACTS: sessionize / keyed_ewma(+chunked) /
+    keyed_cusum / changepoint_single / scd2_intervals now drop rows
+    whose order coordinate (or observed value, for the recurrences) is
+    NULL — the documented k_smallest_per_key discipline — and ~20
+    time-ordered registry oracles state the same exclusion (undated
+    orders, NULL-ts events, unrankable NULL measures). Quantile-oracle
+    boundary CTEs now rank only non-NULL values (quantile_bins'
+    boundary domain); quantile_bins_grouped drops NULL GROUP keys
+    (boundary joins are null-unsafe in both engines' formulations).
+
 Data-adaptive oracles (IVF/SemDeDup/k-means codebooks baked from
 ``FXSPARK_ORACLE_SF_DIR`` at import) are re-baked per fixture by
 ``tools.degenerate_sweep.rebake_adaptive_oracles``; the EMPTY corpus has
@@ -96,6 +112,12 @@ def degenerate_dirs(tmp_path_factory, sf_dir):
 def nulls_dir(tmp_path_factory, sf_dir):
     base = tmp_path_factory.mktemp("degenerate_nulls")
     return deg_fixtures.build_nulls(sf_dir, str(base))
+
+
+@pytest.fixture(scope="module")
+def mixed_dir(tmp_path_factory, sf_dir):
+    base = tmp_path_factory.mktemp("degenerate_mixed")
+    return deg_fixtures.build_mixed(sf_dir, str(base))
 
 
 def test_fixtures_preserve_schema(degenerate_dirs, sf_dir):
@@ -154,6 +176,15 @@ def test_nulls_fixture_shape(nulls_dir, sf_dir):
 def test_registry_on_all_null_payload(spark, nulls_dir):
     """Full registry differential on the all-NULL-payload star schema."""
     ok, fails = deg_sweep.sweep(spark, nulls_dir, verbose=False)
+    assert not fails, fails
+    assert len(ok) >= 249
+
+
+def test_registry_on_alternating_null_payload(spark, mixed_dir):
+    """Full registry differential on the alternating-NULL star schema —
+    the partial-missing regime where default NULL ORDERING (not just NULL
+    propagation) can diverge."""
+    ok, fails = deg_sweep.sweep(spark, mixed_dir, verbose=False)
     assert not fails, fails
     assert len(ok) >= 249
 

@@ -104,6 +104,41 @@ def build_nulls(sf_src: str, out_dir: str) -> str:
     return out_dir
 
 
+def build_mixed(sf_src: str, out_dir: str) -> str:
+    """Write a schema-identical copy with every non-SKELETON nullable
+    column NULLED ON ALTERNATING ROWS (row index % 2 == 1), keys intact —
+    the PARTIAL-missing-payload regime between the pristine driver data
+    and ``build_nulls``'s all-NULL extreme. This is where default NULL
+    ordering (sqlfuzz D8: Spark ASC=NULLS FIRST / DuckDB ASC=NULLS LAST,
+    mirrored for DESC) can change which row a rank/argmax picks, so it
+    probes the registry's NULL-order discipline, not just NULL
+    propagation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(sf_src, f"{t}.parquet")
+        table = pq.read_table(src)
+        keep = set(SKELETON[t])
+        mask = pa.array(np.arange(len(table)) % 2 == 1)
+        arrays, fields = [], []
+        for field in table.schema:
+            col = table.column(field.name)
+            if field.name not in keep and field.nullable and len(table):
+                col = pa.compute.if_else(
+                    mask, pa.nulls(len(table), type=field.type),
+                    col.combine_chunks(),
+                )
+            arrays.append(col)
+            fields.append(field)
+        out = pa.table(arrays, schema=pa.schema(fields))
+        pq.write_table(out, os.path.join(out_dir, f"{t}.parquet"),
+                       version="2.6")
+    return out_dir
+
+
 def build_pair(sf_src: str, base_dir: str) -> tuple[str, str]:
     """Build (sf_empty, sf_unit) under ``base_dir``."""
     return (
@@ -121,3 +156,4 @@ if __name__ == "__main__":  # pragma: no cover — manual builder
     print(e)
     print(u)
     print(build_nulls(src, os.path.join(out, "sf_nulls")))
+    print(build_mixed(src, os.path.join(out, "sf_mixed")))
