@@ -528,9 +528,11 @@ def kmeans_lloyd(
     every row votes in every update.
 
     Topology per iteration (the MLlib topology, expressed declaratively):
-    assignment is a broadcast of the k×d codebook against the corpus — a
-    map-side ``crossJoin(broadcast)`` + lexicographic ``min(struct(dist,
-    cell))`` argmin, no shuffle; the update is ONE partial-combined
+    assignment is a broadcast of the k×d codebook against the corpus — the
+    codebook collapses to ONE array row, crossJoined broadcast, and the
+    argmin is an in-row ``F.aggregate`` fold (no shuffle, no k-fold row
+    blowup, and no reliance on row ids — duplicate ``id_col`` values no
+    longer collapse); the update is ONE partial-combined
     (cell, dim) aggregation, so the exchange carries k×d rows regardless
     of corpus size. Nothing ever collects to the driver — centroids stay
     a (tiny) DataFrame and the loop just deepens the lazy plan.
@@ -559,25 +561,44 @@ def kmeans_lloyd(
         )
 
     def assign(cent: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(cent)).withColumn(
-            "_dist", l2sq(F.col("_v"), F.col("_cv"))
+        # Argmin as an IN-ROW fold over the broadcast-collected codebook
+        # array (sorted by cell id: strict < keeps the LOWEST cell on
+        # exact distance ties — the oracle's ORDER BY dist, cell). This
+        # replaces the earlier crossJoin + groupBy(_id) re-reduce, which
+        # (a) blew each row up k-fold through a shuffle and (b) silently
+        # COLLAPSED duplicate ids — found when the doubled-rows fixture
+        # (sf_dups) halved n_vecs. Map-only: no shuffle, no id reliance.
+        cent_arr = cent.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("_cv")))
+            ).alias("_cs")
+        )
+
+        def step(acc: Column, c: Column) -> Column:
+            d = l2sq(F.col("_v"), c["_cv"])
+            return F.when(
+                acc["cell"].isNull() | (d < acc["dist"]),
+                F.struct(d.alias("dist"), c["cell"].alias("cell")),
+            ).otherwise(acc)
+
+        best = F.aggregate(
+            F.col("_cs"),
+            F.struct(
+                F.lit(None).cast("double").alias("dist"),
+                F.lit(None).cast("int").alias("cell"),
+            ),
+            step,
         )
         return (
-            scored.groupBy("_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        F.col("_dist").alias("dist"), F.col("cell").alias("cell")
-                    )
-                ).alias("_m"),
-                F.first("_v").alias("_v"),  # identical across the k rows
-            )
+            e.crossJoin(F.broadcast(cent_arr))
+            .select("_id", best.alias("_b"), "_v")
             .select(
                 "_id",
-                F.col("_m.cell").alias("cell"),
-                F.col("_m.dist").alias("_dist"),
+                F.col("_b.cell").alias("cell"),
+                F.col("_b.dist").alias("_dist"),
                 "_v",
             )
+            .filter(F.col("cell").isNotNull())  # empty codebook ⇒ no rows
         )
 
     cent = cent0.select("cell", F.col("cv").alias("_cv"))

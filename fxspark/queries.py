@@ -2699,8 +2699,12 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id, date_trunc('day', ts)
     ),
     joined AS (
+      -- DECIMAL(19,6), not 18: DuckDB sizes a DECIMAL(18)x(18) product
+      -- at 36 digits and OVERFLOWS where Spark auto-widens to 37 — found
+      -- by the doubled-rows robustness probe (sf_dups); 19 forces the
+      -- int128 path and a 38-digit result. Values are unchanged (exact).
       SELECT a.user_id AS user_a, b.user_id AS user_b,
-             a.v AS x, b.v AS y
+             CAST(a.v AS DECIMAL(19,6)) AS x, CAST(b.v AS DECIMAL(19,6)) AS y
       FROM daily a JOIN daily b
         ON a.day = b.day AND a.user_id < b.user_id
     ),
