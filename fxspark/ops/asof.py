@@ -40,11 +40,17 @@ def nth_before_cutoff(
 
     ``n=2`` replicates the reference's second-latest-before-cutoff semantics
     exactly (``Fx_1min.py:190-196``); ``n=1`` is a plain as-of lookup.
-    ``cutoff_col`` defaults to the first ``order_by`` column.
+    ``cutoff_col`` defaults to the first ``order_by`` column. NULL order
+    coordinates are dropped per the unified rank-op contract
+    (``ops.latest.drop_null_order``) — the cutoff predicate already
+    excludes a NULL ``cutoff_col`` (NULL <= x is never TRUE), so the
+    explicit drop only adds the remaining order columns.
     """
+    from fxspark.ops.latest import drop_null_order
+
     order = [order_by] if isinstance(order_by, str) else list(order_by)
     cutoff_col = cutoff_col or order[0]
-    filtered = df.filter(F.col(cutoff_col) <= cutoff)
+    filtered = drop_null_order(df, order).filter(F.col(cutoff_col) <= cutoff)
     w = Window.partitionBy(
         *([keys] if isinstance(keys, str) else list(keys))
     ).orderBy(*[F.col(c).desc() for c in order])
@@ -75,6 +81,12 @@ def range_join(
     on the bin key — linear, never quadratic; this is the standard
     distributed range-join rewrite (Spark's own storage-partitioned range
     join does the same under the hood).
+
+    NULL time coordinates self-exclude (consistent with the unified
+    rank-op contract, ``ops.latest.drop_null_order``): a NULL ``on`` yields
+    a NULL bin, the bin equi-join is null-unsafe, and only in-tolerance
+    PAIRS are returned — so NULL-time rows on either side simply produce
+    no pairs.
     """
     keys = [] if keys is None else [keys] if isinstance(keys, str) else list(keys)
     # Integer floor-division (`div`) for bin assignment: double division +
@@ -138,11 +150,21 @@ def asof_join(
     picks the tiebreak-largest, forward the smallest). Without it, equal
     times fall back to sort-order arbitrariness — fine when ``on`` is
     unique per key, required when it isn't.
+
+    Rows whose as-of coordinate ``on`` is NULL are dropped from BOTH sides
+    per the unified rank-op contract (``ops.latest.drop_null_order``): a
+    right row with no time can never be "the latest at-or-before", and a
+    left row with no time has no as-of point — keeping either would rank
+    NULLs by dialect-specific placement (sqlfuzz D8).
     """
+    from fxspark.ops.latest import drop_null_order
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
     backward = direction == "backward"
     keys = [keys] if isinstance(keys, str) else list(keys)
+    left = drop_null_order(left, on)
+    right = drop_null_order(right, on)
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in keys and c != on]
     left_cols = left.columns
@@ -239,11 +261,13 @@ def nearest_join(
     collision) + ``{on}{suffix}`` = matched right timestamp (null when no
     match is in band).
 
-    Right rows with NULL ``on`` are dropped: they carry a non-null payload
-    but a null matched-time, so the two ``last()`` scans over the backward
-    frame could pick DIFFERENT rows (payload from the null-time row, ``_rt``
-    from an earlier real one) — and null ``_t`` rows would sort first in the
-    shared window anyway (ADVICE r6).
+    Rows with NULL ``on`` are dropped from BOTH sides (the unified rank-op
+    contract, ``ops.latest.drop_null_order``). Right side: they carry a
+    non-null payload but a null matched-time, so the two ``last()`` scans
+    over the backward frame could pick DIFFERENT rows (payload from the
+    null-time row, ``_rt`` from an earlier real one) — and null ``_t`` rows
+    would sort first in the shared window anyway (ADVICE r6). Left side: a
+    row with no time has no proximity to anything.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if right_payload is None:
@@ -251,6 +275,7 @@ def nearest_join(
     left_cols = left.columns
     tiebreaks = list(right_tiebreak or [])
 
+    left = left.filter(F.col(on).isNotNull())
     right = right.filter(F.col(on).isNotNull())
     r = right.select(
         *keys,

@@ -20,10 +20,118 @@ Usage::
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+class ContractViolation(ValueError):
+    """An input-contract breach (e.g. a key declared unique has duplicate
+    rows). Raised by :func:`assert_unique` so that queries whose
+    DETERMINISM rests on a FIXTURES.md data contract fail TYPED instead of
+    silently returning entity-miscounted answers — the failure mode the
+    round-14 ``sf_dups`` probe measured (12 registry queries, and the
+    kmeans duplicate-id collapse before it was fixed)."""
+
+
+def key_violations(df: DataFrame, keys: Sequence[str] | str) -> DataFrame:
+    """The duplicated key tuples of ``df``: ``keys + dup_count`` rows for
+    every key appearing more than once. Lazy and cheap — ONE hash
+    aggregate with map-side partial combine (the same shape as any
+    grouped count), no window, no sort; at 100 TB it shuffles one row
+    per distinct key."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def assert_unique(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    *,
+    sample: int = 5,
+    context: str | None = None,
+) -> DataFrame:
+    """Runtime gate for a declared-unique key: returns ``df`` unchanged if
+    ``keys`` is unique, else raises :class:`ContractViolation` naming up
+    to ``sample`` offending key tuples. The check is one bounded action
+    (``limit(sample)`` collect over :func:`key_violations` — never an
+    unbounded pull); it costs one extra job, so hot paths gate it behind
+    :func:`require_unique` instead of calling this unconditionally."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    bad = key_violations(df, keys).limit(sample).collect()
+    if bad:
+        where = f" in {context}" if context else ""
+        shown = ", ".join(
+            "(" + ", ".join(f"{k}={r[k]!r}" for k in keys)
+            + f") ×{r['dup_count']}"
+            for r in bad
+        )
+        raise ContractViolation(
+            f"key {keys} declared unique{where} has duplicate rows: "
+            f"{shown}{' …' if len(bad) == sample else ''}"
+        )
+    return df
+
+
+def quarantine_duplicates(
+    df: DataFrame, keys: Sequence[str] | str
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split for a declared-unique key: ``(clean, quarantined)``
+    where ``quarantined`` holds EVERY row of every key that appears more
+    than once (resolution policy — e.g. last-writer-wins — belongs to
+    ``ops.latest.dedup_latest``, not here) plus a ``quarantine_reason``
+    column, mirroring the ingest quarantine contract
+    (``fxspark/ingest.py``). One shuffle on ``keys`` (a window count), no
+    collect — the distributed sibling of :func:`assert_unique` for
+    pipelines that want to keep flowing on the clean subset."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    marked = df.withColumn("_keycnt", n)
+    clean = marked.filter(F.col("_keycnt") == 1).drop("_keycnt")
+    quarantined = (
+        marked.filter(F.col("_keycnt") > 1)
+        .drop("_keycnt")
+        .withColumn(
+            "quarantine_reason",
+            F.lit("duplicate key (" + ", ".join(keys) + ")"),
+        )
+    )
+    return clean, quarantined
+
+
+def contracts_enforced() -> bool:
+    """True when runtime input-contract validation is switched on via
+    ``FXSPARK_VALIDATE_CONTRACTS=1``. Default OFF: the driver testdata
+    honors the declared contracts (FIXTURES.md), and an extra gate job
+    per query is exactly the validation re-scan this module's header
+    says a 100 TB pipeline can't afford on every run. Probe runs (the
+    ``sf_dups`` class) flip it on to turn silent wrong answers into
+    :class:`ContractViolation`."""
+    return os.environ.get("FXSPARK_VALIDATE_CONTRACTS", "") == "1"
+
+
+def require_unique(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    context: str | None = None,
+) -> DataFrame:
+    """Declare-and-optionally-enforce a unique-key PRECONDITION: identity
+    (zero cost, not even a plan node) unless :func:`contracts_enforced`,
+    then :func:`assert_unique`. Call sites are the registry queries whose
+    determinism the round-14 ``sf_dups`` probe showed resting on
+    FIXTURES.md key uniqueness (entity-keyed dedup/ANN, as-of enrich,
+    id-tied argmax)."""
+    if not contracts_enforced():
+        return df
+    return assert_unique(df, keys, context=context)
 
 
 def observe_checks(

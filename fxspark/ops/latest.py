@@ -29,6 +29,27 @@ def _cols(names: Sequence[str] | str) -> list[str]:
     return [names] if isinstance(names, str) else list(names)
 
 
+def drop_null_order(df: DataFrame, order: Sequence[str] | str) -> DataFrame:
+    """UNIFIED NULL-ORDERING CONTRACT (round 15): rows with a NULL in any
+    ORDER coordinate are outside the ordering domain and are DROPPED before
+    ranking — the discipline ``k_smallest_per_key`` has carried since
+    ADVICE r6 and the sessionize/EWMA/CUSUM/SCD2/quantile family adopted in
+    round 14 (degenerate class 12), now applied to EVERY rank op
+    (``latest_per_key_agg``/``_window``, ``dedup_latest``,
+    ``nth_before_cutoff``, ``asof_join``/``nearest_join`` on their as-of
+    coordinate). Rationale: a NULL recency has no place in a
+    latest/earliest order (Spark would rank it SMALLEST, DuckDB LARGEST —
+    sqlfuzz rule D8 — so any kept-NULL semantics is dialect-specific), and
+    the reference's own order column is NOT NULL by schema
+    (``/root/reference/Fx_1min.py:32`` event_time). Value-identical on any
+    input whose order columns are populated; quarantine-style callers can
+    diff against the input to audit what was dropped."""
+    out = df
+    for c in _cols(order):
+        out = out.filter(F.col(c).isNotNull())
+    return out
+
+
 def latest_per_key_agg(
     df: DataFrame,
     keys: Sequence[str] | str,
@@ -40,8 +61,11 @@ def latest_per_key_agg(
     ``order_by`` columns form the recency ordering (later entries break ties);
     the struct comparison is lexicographic, so ordering is total as long as the
     combined order columns are unique per key.  Returns ``keys + payload``.
+    Rows with a NULL order coordinate are dropped (:func:`drop_null_order`);
+    a key whose rows ALL have NULL order vanishes from the output.
     """
     keys, order = _cols(keys), _cols(order_by)
+    df = drop_null_order(df, order)
     if payload is None:
         payload = [c for c in df.columns if c not in keys]
     ord_struct = F.struct(*[F.col(c) for c in order])
@@ -60,9 +84,12 @@ def latest_per_key_window(
 
     Mirrors the reference's rn=1 filter (``Fx_1min.py:169-172``); ``n>1``
     generalizes it (rank 2 = the "previous" row the reference digs out with a
-    correlated subquery, ``Fx_1min.py:191-196``).
+    correlated subquery, ``Fx_1min.py:191-196``). NULL order coordinates are
+    dropped (:func:`drop_null_order`) — identical output to
+    :func:`latest_per_key_agg` at ``n=1`` on ANY input, NULLs included.
     """
     keys, order = _cols(keys), _cols(order_by)
+    df = drop_null_order(df, order)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -98,7 +125,9 @@ def dedup_latest(
 
     This is the pure-DataFrame equivalent of the reference's
     ``ON DUPLICATE KEY UPDATE`` upsert (``Fx_1min.py:106-109``): among rows
-    sharing ``keys``, keep the one with the greatest ``order_by``.
+    sharing ``keys``, keep the one with the greatest ``order_by``. A row
+    with a NULL order coordinate carries no usable recency and is dropped
+    (:func:`drop_null_order`) — it can neither win nor resurrect a key.
     """
     return latest_per_key_agg(df, keys, order_by)
 
@@ -125,12 +154,13 @@ def k_smallest_per_key(
     Rows with a NULL in any ``order_by`` column are dropped first: NULLs
     sort FIRST in Spark ascending order, so they would be selected as
     "smallest" — and as "largest" too via the negation trick (``-NULL``
-    stays NULL), which is never the intended top-k (ADVICE r6).
+    stays NULL), which is never the intended top-k (ADVICE r6; since
+    round 15 the whole rank-op family shares this contract —
+    :func:`drop_null_order`).
     """
     keys = _cols(keys)
     order = _cols(order_by)
-    for c in order:
-        df = df.filter(F.col(c).isNotNull())
+    df = drop_null_order(df, order)
     w_local = Window.partitionBy(*keys, "_pid").orderBy(*order)
     local = (
         df.withColumn("_pid", F.spark_partition_id())

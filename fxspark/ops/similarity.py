@@ -287,14 +287,21 @@ def ivf_assign(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    # NULL vectors cannot be assigned a cell (and would break np.stack in
-    # the Arrow batch): outside the index domain by contract.
-    df = df.filter(F.col(vec_col).isNotNull())
+    # The training sample is the first sample_size rows by id of the
+    # UN-filtered frame — the oracle builders (_ivf_oracle,
+    # _semantic_dedup_oracle) slice first-4096-by-id and let
+    # train_ivf_codebook drop Nones, so the slice must happen BEFORE any
+    # NULL filter here or the two sides would train different codebooks
+    # once NULL vectors appear among the first sample_size rows.
     sample = np.array(
         [r[0] for r in df.select(vec_col).orderBy(id_col).limit(sample_size).collect()],
         dtype=object,
     )
     centroids = train_ivf_codebook(sample, n_cells, seed)
+    # NULL vectors cannot be assigned a cell (and would break np.stack in
+    # the Arrow batch): outside the index domain by contract — but only
+    # the ASSIGNMENT path drops them, not the sample construction above.
+    df = df.filter(F.col(vec_col).isNotNull())
     cent = np.array(centroids, dtype=np.float64)
 
     def _nearest(vecs):

@@ -14,7 +14,8 @@ parameter-boundary bugs fixed registry queries never vary into: composite
 keys, rank n past the group size, value-column orderings, cutoffs that empty
 a key).
 
-Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O9):
+Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O9;
+consolidated table with per-rule pins: ``DIALECT.md``):
 
   O1  Every ORDER-BY spec is made TOTAL by appending the base table's
       unique key columns — window ``row_number``/``max_by``-struct ranks
@@ -42,22 +43,41 @@ Determinism contract (the ``sqlfuzz`` D-rule discipline, rules O1-O9):
       timestamps, the op resolves them via ``right_tiebreak``; unique
       (key, on) right rows make both engines' choice the same row by
       construction.
-  O8  ``k_smallest_per_key`` DROPS rows with a NULL in any order column
-      (its documented contract since ADVICE r6 — NULLs would sort as
-      "smallest"); the generated oracle wraps that stage's input in the
-      same ``IS NOT NULL`` filter, found by running the corpus on the
-      round-14 ``sf_nulls`` fixture (all non-key columns NULL). The
-      other rank ops keep NULL-ordered rows and agree there because an
-      ALL-NULL order column ties every row and the appended unique key
-      (O1) decides identically in both engines.
-  O9  For the rank ops that KEEP NULL-ordered rows (dedup, latest_w,
-      nth_cutoff), the generated oracle spells Spark's default NULL
-      placement explicitly (DESC NULLS LAST / ASC NULLS FIRST — Spark
-      orders NULL as SMALLEST, DuckDB as LARGEST): found by the one
-      divergence in the sf_mixed (alternating-NULL-payload) run, where a
-      NULL l_quantity won DuckDB's DESC rank. With O8+O9 the corpus
-      matches on ALL degenerate fixtures, not just the frozen pools'
-      never-NULL driver data.
+  O8  UNIFIED NULL-ORDER CONTRACT (round 15, ``ops.latest
+      .drop_null_order``): EVERY rank op — ``dedup_latest``,
+      ``latest_per_key_window``, ``nth_before_cutoff``,
+      ``k_smallest_per_key``, and ``asof_join`` on its ``on``
+      coordinate — DROPS rows with a NULL in any order column, and the
+      generated oracle wraps each stage's input in the same
+      ``IS NOT NULL`` filter. Historically this was two rules: O8
+      (ksmall drops, since ADVICE r6) and O9 (the others KEPT
+      NULL-ordered rows, so the oracle spelled Spark's default NULL
+      placement — DESC NULLS LAST / ASC NULLS FIRST — found via the
+      sf_mixed divergence where a NULL l_quantity won DuckDB's DESC
+      rank). Round 15 unified the op family on the drop semantics (the
+      r14 verdict's top ask), so the placement spelling is moot: no
+      NULL ever reaches a rank op's ORDER BY.
+  O9  RETIRED into O8 (round 15) — kept as a numbered tombstone so
+      older notes' citations stay resolvable.
+  O10 STATEFUL/WINDOW FAMILY (round 15 — the ops that took the most
+      sf_mixed fixes, previously fuzz-uncovered): ``sessionize``
+      (O10a: LAG + cumulated session-break flag, NULL session times
+      dropped per the op contract, Spark's BIGINT session_id vs
+      DuckDB's HUGEINT SUM spelled with a cast), ``keyed_cusum``
+      (O10b: the running-sum-minus-low-water-mark closed form with the
+      exact-DECIMAL(38,6) deviation and the convert-each-side-to-DOUBLE
+      subtraction — byte-for-byte the ops/windows.keyed_cusum
+      discipline proven by stream_cusum_replay/user_value_cusum), and
+      ``keyed_ewma`` (O10c: DuckDB ``list_reduce`` replays the
+      seed-with-first fold over the event-ordered list; alphas are
+      DYADIC so the fold is identical IEEE arithmetic in both engines;
+      ewma rounded to 6 like the user_value_ewma twin). Time
+      coordinates come from the O2/O4 pools (micros-precision parquet
+      verified r14 — sessionize's ts-to-ts gap comparisons inherit that
+      assumption, as the rank ops' ts orderings already do); every
+      stage's oracle input carries the O8 NULL exclusions (order AND
+      value for the recurrences — a NULL value is a skipped
+      observation, the class-12 contract).
 
 ``generate(seed, n)`` is a pure function of its arguments; each composition
 draws from ``random.Random(f"{seed}:{i}")`` (prefix-stable: adding templates
@@ -138,13 +158,16 @@ META = {
 
 @dataclass
 class Stage:
-    op: str                       # dedup | latest_w | ksmall | nth_cutoff | gmax
+    # dedup | latest_w | ksmall | nth_cutoff | gmax
+    # | sessionize | cusum | ewma   (the O10 stateful/window family, r15)
+    op: str
     keys: list
     order: list = field(default_factory=list)   # WITHOUT the unique suffix
-    n: int = 1
-    cutoff: str | None = None
-    cutoff_col: str | None = None
-    agg_col: str | None = None
+    n: int = 1                    # rank bound; gap amount for sessionize
+    cutoff: str | None = None     # cutoff literal; gap UNIT for sessionize
+    cutoff_col: str | None = None  # cutoff col; session time col
+    agg_col: str | None = None    # gmax agg; cusum/ewma value col
+    params: dict | None = None    # cusum target/slack/threshold; ewma alpha
 
 
 @dataclass
@@ -207,6 +230,54 @@ def generate(seed: int = DEFAULT_SEED, n: int = DEFAULT_N) -> list[Composition]:
                     "right_type": rt,
                     "direction": r.choice(["backward", "forward"]),
                 },
+            ))
+            continue
+        if i % 8 == 5:  # round-15: the O10 stateful/window family
+            table = r.choice(["events", "orders"])
+            m = META[table]
+            if table == "events":
+                tscol, unit, gaps, val = "ts", "SECOND", [1800, 3600, 7200], "value"
+                targets, slacks, thrs = [40, 50, 60], [5, 10], [100, 120]
+            else:
+                tscol, unit, gaps, val = (
+                    "o_orderdate", "DAY", [3, 7, 30], "o_totalprice")
+                targets, slacks, thrs = [100000, 150000], [1000], [400000]
+            stages = []
+            if r.random() < 0.5:
+                # a proven rank stage up front: the stateful op must
+                # compose over transformed frames, not only raw tables
+                pk, po = r.choice(m["keys"]), r.choice(m["orders"])
+                stages.append(r.choice([
+                    Stage("dedup", pk, po),
+                    Stage("ksmall", pk, po, n=r.choice([3, 5])),
+                ]))
+            keys = r.choice(m["keys"])
+            if r.random() < 0.5:
+                stages.append(Stage(
+                    "sessionize", keys, n=r.choice(gaps), cutoff=unit,
+                    cutoff_col=tscol,
+                ))
+            else:
+                stages.append(Stage(
+                    "cusum", keys, [tscol], agg_col=val,
+                    params={"target": r.choice(targets),
+                            "slack": r.choice(slacks),
+                            "threshold": r.choice(thrs)},
+                ))
+            tail = r.choice(["none", "ewma", "gmax"])
+            if tail == "ewma":
+                kk = r.choice([k for k in m["keys"] if len(k) == 1])
+                stages.append(Stage(
+                    "ewma", kk, [tscol], agg_col=val,
+                    params={"alpha": r.choice([0.5, 0.25, 0.75])},
+                ))
+            elif tail == "gmax":
+                stages.append(Stage("gmax", r.choice(m["keys"]),
+                                    agg_col=r.choice(m["gmax"])))
+            out.append(Composition(
+                name=f"op{seed}_{i:03d}_" + "_".join(s.op for s in stages),
+                table=table,
+                stages=stages,
             ))
             continue
         if i % 8 == 7:  # every 8th: the O6 pct-change two-branch template
@@ -316,6 +387,35 @@ def _spark_frame(spark, sf_dir: str, comp: Composition):
                 F.lit(s.cutoff).cast("timestamp"),
                 cutoff_col=s.cutoff_col, n=s.n,
             )
+        elif s.op == "sessionize":
+            from fxspark.ops.windows import sessionize
+
+            df = sessionize(
+                df, s.keys, s.cutoff_col,
+                F.expr(f"INTERVAL {s.n} {s.cutoff}"),
+                tiebreak=[c for c in uniq if c != s.cutoff_col],
+            )
+        elif s.op == "cusum":
+            from fxspark.ops.windows import keyed_cusum
+
+            p = s.params
+            df = keyed_cusum(
+                df, s.keys, order, s.agg_col,
+                target=F.lit(float(p["target"])),
+                slack=float(p["slack"]),
+                threshold=float(p["threshold"]),
+            )
+        elif s.op == "ewma":
+            from fxspark.ops.windows import keyed_ewma
+
+            out = keyed_ewma(df, s.keys[0], order, s.agg_col,
+                             alpha=s.params["alpha"])
+            # round like the registry twin (user_value_ewma): the fold is
+            # pure IEEE with dyadic alpha, the round keeps reprs aligned
+            df = out.select(
+                s.keys[0], "n_total",
+                F.round("ewma", 6).alias("ewma"), "last_value",
+            )
         elif s.op == "gmax":
             df = grouped_max(df, s.keys, s.agg_col)
     return df
@@ -325,13 +425,17 @@ def _spark_frame(spark, sf_dir: str, comp: Composition):
 # Oracle SQL for the same composition (each stage = the op's documented
 # SQL contract over the previous CTE).
 # ---------------------------------------------------------------------------
+def _nn(prev: str, order) -> str:
+    # Rule O8 (unified round 15): every rank op drops NULL order
+    # coordinates, so each rank stage's oracle input carries the same
+    # exclusion. With it, no NULL ever reaches an ORDER BY and the two
+    # engines' opposite default NULL placement (sqlfuzz D8) never engages.
+    conds = " AND ".join(f"{c} IS NOT NULL" for c in order)
+    return f"(SELECT * FROM {prev} WHERE {conds})"
+
+
 def _rank_cte(prev: str, cols, keys, order_desc, order, pred: str) -> str:
-    # Explicit NULL placement spelling SPARK's defaults (DESC = NULLS
-    # LAST, ASC = NULLS FIRST) — the ops' windows and max_by struct
-    # comparisons order NULLs as SMALLEST, while DuckDB's defaults treat
-    # them as LARGEST, a divergence the sf_mixed fixture exposed (rule
-    # O9). ksmall never reaches this: its input is NULL-filtered (O8).
-    direction = "DESC NULLS LAST" if order_desc else "ASC NULLS FIRST"
+    direction = "DESC" if order_desc else "ASC"
     ob = ", ".join(f"{c} {direction}" for c in order)
     return (
         f"SELECT {', '.join(cols)} FROM ("
@@ -352,13 +456,15 @@ def oracle_sql(comp: Composition) -> str:
         keys = a["keys"]
         k = ", ".join(keys)
         op = "<=" if a["direction"] == "backward" else ">="
+        # rule O8: asof_join drops NULL `on` rows on BOTH sides
         lf = (f"lf AS (SELECT event_id, {k}, ts, value FROM s0 "
-              f"WHERE event_type = '{a['left_type']}')")
+              f"WHERE event_type = '{a['left_type']}' AND ts IS NOT NULL)")
         rf = (f"rf AS (SELECT {k}, ts, event_id AS r_event_id, "
               f"value AS r_value FROM ("
               f"SELECT *, row_number() OVER (PARTITION BY {k}, ts "
               f"ORDER BY event_id DESC) AS _rn FROM s0 "
-              f"WHERE event_type = '{a['right_type']}') WHERE _rn = 1)")
+              f"WHERE event_type = '{a['right_type']}' AND ts IS NOT NULL) "
+              f"WHERE _rn = 1)")
         on = " AND ".join(f"lf.{c} = rf.{c}" for c in keys)
         return (
             f"WITH {', '.join(ctes + [lf, rf])} "
@@ -375,7 +481,9 @@ def oracle_sql(comp: Composition) -> str:
         cur = (
             f"cur AS (SELECT {', '.join(keys)}, {p['val']} AS cur FROM "
             f"(SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
-            f"ORDER BY {ob}) AS _rn FROM s0) WHERE _rn = 1)"
+            f"ORDER BY {ob}) AS _rn FROM s0 "
+            # rule O8: latest_per_key_window drops NULL order coordinates
+            f"WHERE {p['cutoff_col']} IS NOT NULL) WHERE _rn = 1)"
         )
         prev = (
             f"prv AS (SELECT {', '.join(keys)}, {p['val']} AS prev FROM "
@@ -398,21 +506,85 @@ def oracle_sql(comp: Composition) -> str:
         name = f"s{idx + 1}"
         order = s.order + [c for c in uniq if c not in s.order]
         if s.op == "dedup":
-            body = _rank_cte(prev, cols, s.keys, True, order, "_rn = 1")
+            body = _rank_cte(_nn(prev, order), cols, s.keys, True, order,
+                             "_rn = 1")
         elif s.op == "latest_w":
-            body = _rank_cte(prev, cols, s.keys, True, order,
+            body = _rank_cte(_nn(prev, order), cols, s.keys, True, order,
                              f"_rn <= {s.n}")
         elif s.op == "ksmall":
-            # rule O8: mirror the op's NULL-order exclusion
-            nn = " AND ".join(f"{c} IS NOT NULL" for c in order)
-            filt = f"(SELECT * FROM {prev} WHERE {nn})"
-            body = _rank_cte(filt, cols, s.keys, False, order,
+            body = _rank_cte(_nn(prev, order), cols, s.keys, False, order,
                              f"_rn <= {s.n}")
         elif s.op == "nth_cutoff":
-            filt = (f"(SELECT * FROM {prev} WHERE {s.cutoff_col} <= "
-                    f"TIMESTAMP '{s.cutoff}')")
+            nn = " AND ".join(f"{c} IS NOT NULL" for c in order)
+            filt = (f"(SELECT * FROM {prev} WHERE {nn} "
+                    f"AND {s.cutoff_col} <= TIMESTAMP '{s.cutoff}')")
             body = _rank_cte(filt, cols, s.keys, True, order,
                              f"_rn = {s.n}")
+        elif s.op == "sessionize":
+            # rule O10a: gap-session assignment — LAG + cumulated is_new,
+            # NULL session times dropped (the op's contract), window
+            # totalized by the unique key. Spark's SUM(int)-1 is BIGINT;
+            # DuckDB's SUM(int) is HUGEINT, hence the cast.
+            k = ", ".join(s.keys)
+            tb = ", ".join(c for c in uniq if c != s.cutoff_col)
+            ob = f"{s.cutoff_col}, {tb}" if tb else s.cutoff_col
+            lagts = (f"LAG({s.cutoff_col}) OVER "
+                     f"(PARTITION BY {k} ORDER BY {ob})")
+            body = (
+                f"SELECT {', '.join(cols)}, "
+                f"CAST(SUM(_new) OVER (PARTITION BY {k} ORDER BY {ob} "
+                f"ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id "
+                f"FROM (SELECT *, CASE WHEN {lagts} IS NULL OR "
+                f"{s.cutoff_col} > {lagts} + INTERVAL {s.n} {s.cutoff} "
+                f"THEN 1 ELSE 0 END AS _new FROM (SELECT * FROM {prev} "
+                f"WHERE {s.cutoff_col} IS NOT NULL))"
+            )
+            cols = cols + ["session_id"]
+        elif s.op == "cusum":
+            # rule O10b: the keyed_cusum closed form — running exact-
+            # decimal sum minus its low-water-mark, both windows over the
+            # totalized order; the DECIMAL(38,6)→DOUBLE conversion order
+            # mirrors ops/windows.keyed_cusum exactly (the proven
+            # stream_cusum_replay / user_value_cusum discipline).
+            p = s.params
+            k = ", ".join(s.keys)
+            ob = ", ".join(order)
+            w = (f"PARTITION BY {k} ORDER BY {ob} "
+                 f"ROWS UNBOUNDED PRECEDING")
+            nn = " AND ".join(
+                f"{c} IS NOT NULL" for c in [*order, s.agg_col])
+            e = (f"CAST({s.agg_col} - {float(p['target'])!r} - "
+                 f"{float(p['slack'])!r} AS DECIMAL(38,6))")
+            cus = (f"CAST(_cum AS DOUBLE) - "
+                   f"CAST(LEAST(CAST(0 AS DECIMAL(38,6)), "
+                   f"MIN(_cum) OVER ({w})) AS DOUBLE)")
+            body = (
+                f"SELECT {', '.join(cols)}, cusum, "
+                f"cusum > {float(p['threshold'])!r} AS alert FROM ("
+                f"SELECT *, {cus} AS cusum FROM ("
+                f"SELECT *, SUM({e}) OVER ({w}) AS _cum "
+                f"FROM (SELECT * FROM {prev} WHERE {nn})))"
+            )
+            cols = cols + ["cusum", "alert"]
+        elif s.op == "ewma":
+            # rule O10c: the declared sequential fold — DuckDB replays
+            # keyed_ewma's seed-with-first recurrence via list_reduce over
+            # the event-ordered value list (the user_value_ewma oracle
+            # shape); dyadic alpha keeps the fold pure-IEEE-identical.
+            a = s.params["alpha"]
+            key = s.keys[0]
+            ob = ", ".join(order)
+            nn = " AND ".join(
+                f"{c} IS NOT NULL" for c in [*order, s.agg_col])
+            body = (
+                f"SELECT {key}, CAST(len(vals) AS BIGINT) AS n_total, "
+                f"round(list_reduce(vals, (acc, x) -> {a!r}*x + "
+                f"{1.0 - a!r}*acc), 6) AS ewma, vals[-1] AS last_value "
+                f"FROM (SELECT {key}, array_agg(CAST({s.agg_col} AS DOUBLE) "
+                f"ORDER BY {ob}) AS vals FROM {prev} "
+                f"WHERE {nn} GROUP BY {key})"
+            )
+            cols = [key, "n_total", "ewma", "last_value"]
         elif s.op == "gmax":
             body = (
                 f"SELECT {', '.join(s.keys)}, max({s.agg_col}) AS "

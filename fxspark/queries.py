@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from fxspark.ops.asof import asof_join, nth_before_cutoff
 from fxspark.ops.change import pct_change_label
+from fxspark.ops.checks import require_unique
 from fxspark.ops.joins import anti_join, dim_join, semi_join
 from fxspark.ops.latest import dedup_latest, grouped_max, latest_per_key_agg
 from fxspark.ops.windows import active_window, sessionize, time_bucket
@@ -74,12 +75,17 @@ def exact_sum(col: F.Column, scale: int = 4) -> F.Column:
     FROM (
       SELECT user_id, event_id, ts, event_type, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ) WHERE rn = 1
     """,
 )
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-per-key (Q5, ``Fx_1min.py:159-173``) as a max_by aggregate."""
+    """Latest-per-key (Q5, ``Fx_1min.py:159-173``) as a max_by aggregate.
+
+    NULL-ordering contract (round 15, unified —
+    ``ops.latest.drop_null_order``): rows with NULL ``ts`` carry no
+    recency and are dropped before ranking; the oracle states the same
+    exclusion. No-op on the driver data (``ts`` is never NULL there)."""
     events = load_table(spark, sf_dir, "events")
     return latest_per_key_agg(
         events, "user_id", ["ts", "event_id"],
@@ -213,13 +219,19 @@ def q_rate_change_report_left(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, event_id, ts, value,
              row_number() OVER (PARTITION BY user_id, event_type
                                 ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ) WHERE rn = 1
     """,
 )
 def q_dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins upsert semantics (S5, ``Fx_1min.py:106-109``) as a
-    keyed dedup on (user_id, event_type)."""
+    keyed dedup on (user_id, event_type).
+
+    NULL-ordering contract (round 15, unified —
+    ``ops.latest.drop_null_order``): a row with NULL ``ts`` has no usable
+    recency and is dropped before the LWW reduce (it can neither win nor
+    resurrect a key); the oracle states the same exclusion. No-op on the
+    driver data."""
     events = load_table(spark, sf_dir, "events")
     return dedup_latest(
         events, ["user_id", "event_type"], ["ts", "event_id"]
@@ -643,10 +655,18 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filtered set-similarity join (ops/dedup.jaccard_pairs_prefix):
     only each doc's rarest (1-t)·|A|+1 shingles are indexed, so no
     stop-shingle bucket ever goes quadratic — the plain inverted index
-    (ops/dedup.jaccard_pairs) is its small-N twin and test oracle."""
+    (ops/dedup.jaccard_pairs) is its small-N twin and test oracle.
+
+    Precondition: ``doc_id`` unique (FIXTURES.md; enforced by
+    ``ops.checks.require_unique`` when FXSPARK_VALIDATE_CONTRACTS=1 —
+    duplicate ids would make two physical rows one entity or two
+    depending on formulation, the round-14 sf_dups boundary)."""
     from fxspark.ops.dedup import jaccard_pairs_prefix
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = require_unique(
+        spread(load_table(spark, sf_dir, "documents")), "doc_id",
+        context="doc_jaccard_pairs",
+    )
     return jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
@@ -697,10 +717,16 @@ def q_doc_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint of the capped inverted index — measured 8.0 s → 3.7 s →
     ~3.3 s at sf0.1 vs the plain capped inverted index; the loose 0.5
     threshold keeps the prefix at half of each set, which is the residual
-    cost."""
+    cost.
+
+    Precondition: ``doc_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — sf_dups boundary)."""
     from fxspark.ops.dedup import jaccard_pairs_prefix
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = require_unique(
+        spread(load_table(spark, sf_dir, "documents")), "doc_id",
+        context="doc_jaccard_pairs_capped",
+    )
     return jaccard_pairs_prefix(
         docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=20
     )
@@ -773,10 +799,16 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph (ops/dedup.dup_clusters — iterative min-label propagation;
     the DuckDB oracle walks the same graph with a recursive CTE). This is
     the step real dedup pipelines need after pair generation: keep
-    min-id per cluster, drop the rest."""
+    min-id per cluster, drop the rest.
+
+    Precondition: ``doc_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — sf_dups boundary)."""
     from fxspark.ops.dedup import dup_clusters, jaccard_pairs_prefix
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = require_unique(
+        spread(load_table(spark, sf_dir, "documents")), "doc_id",
+        context="doc_dup_clusters",
+    )
     pairs = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
     return dup_clusters(pairs)
 
@@ -898,10 +930,17 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: top-3 neighbors for each of 3 query vectors (broadcast
-    queries, window rank per query)."""
+    queries, window rank per query).
+
+    Precondition: ``vec_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — duplicate ids make
+    top-k membership formulation-dependent; sf_dups boundary)."""
     from fxspark.ops.similarity import knn_join
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = require_unique(
+        spread(load_table(spark, sf_dir, "embeddings")), "vec_id",
+        context="embedding_knn_join",
+    )
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
@@ -2133,9 +2172,19 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once, versus three self-joins in the literal form; the window's
     re-exchange moves only the already-aggregated (order,supplier) rows.
     count(DISTINCT orderkey) per supplier == count of qualifying
-    (order,supplier) pairs by construction."""
+    (order,supplier) pairs by construction.
+
+    Precondition: ``o_orderkey`` unique in ``orders``
+    (``ops.checks.require_unique``, enforced under
+    FXSPARK_VALIDATE_CONTRACTS=1 — the decorrelated window form counts
+    (order, supplier) pairs once per ORDER ROW, and the oracle's
+    count(DISTINCT)-vs-EXISTS equivalence needs one order row per key;
+    sf_dups boundary)."""
     orders_f = (
-        load_table(spark, sf_dir, "orders")
+        require_unique(
+            load_table(spark, sf_dir, "orders"), "o_orderkey",
+            context="waiting_suppliers",
+        )
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
@@ -2383,10 +2432,16 @@ def q_doc_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-canonical members) is tiny relative to the corpus, so the final
     step is (via AQE, when the list is small) a broadcast anti join and
     the corpus never shuffles; a dup-heavy corpus degrades gracefully to a
-    shuffled anti join."""
+    shuffled anti join.
+
+    Precondition: ``doc_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — sf_dups boundary)."""
     from fxspark.ops.dedup import dup_clusters, jaccard_pairs_prefix
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = require_unique(
+        spread(load_table(spark, sf_dir, "documents")), "doc_id",
+        context="doc_dedup_purge",
+    )
     pairs = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
     clusters = dup_clusters(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
@@ -3036,10 +3091,17 @@ def q_key_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample re-injected with one-character typos — the record-linkage shape
     (dirty IDs → canonical IDs). The DuckDB oracle brute-forces all pairs;
     same result, quadratic plan — the differential proves the linear-cost
-    candidate generation is lossless."""
+    candidate generation is lossless.
+
+    Precondition: ``c_custkey`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — duplicated custkeys
+    would alias distinct entities onto one dirty id; sf_dups boundary)."""
     from fxspark.ops.dedup import edit_distance_pairs
 
-    cust = load_table(spark, sf_dir, "customer")
+    cust = require_unique(
+        load_table(spark, sf_dir, "customer"), "c_custkey",
+        context="key_edit_near_dup",
+    )
     k = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12)
     clean = cust.select(F.col("c_custkey").alias("id"), k.alias("k"))
     typo = (
@@ -3127,11 +3189,17 @@ def q_embedding_rp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist and return the top-10. The scan ranks 8 doubles per vector
     instead of 64 floats; only 30 full vectors are touched — the
     standard two-stage retrieval shape. Dyadic-grid planes make the
-    projection bit-identical in both engines."""
+    projection bit-identical in both engines.
+
+    Precondition: ``vec_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — sf_dups boundary)."""
     from fxspark.ops.similarity import cosine, rp_project
 
     planes = _rp_planes8()
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = require_unique(
+        spread(load_table(spark, sf_dir, "embeddings")), "vec_id",
+        context="embedding_rp_search",
+    )
     p = emb.select("vec_id", "embedding", rp_project(F.col("embedding"), planes).alias("pv"))
     probe = p.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), F.col("pv").alias("qp")
@@ -5431,18 +5499,30 @@ def q_user_value_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean value over the same user's events in the preceding hour
     (inclusive) — the time-based sibling of ``rolling_value_avg``'s
     row-count frame, and the standard feature for burst/velocity signals.
-    The frame is TIME-bounded (``rangeBetween`` on epoch seconds), so
-    irregular event spacing is handled exactly; one shuffle+sort on
-    user_id. The frame sum goes through the decimal-exact route: frame
-    membership is identical across engines, but accumulation order within
-    equal timestamps is not — decimal addition commutes, doubles don't."""
+    The frame is TIME-bounded (``rangeBetween`` on epoch MICROS — the
+    data's full precision), so irregular event spacing is handled exactly;
+    one shuffle+sort on user_id. The frame sum goes through the
+    decimal-exact route: frame membership is identical across engines, but
+    accumulation order within equal timestamps is not — decimal addition
+    commutes, doubles don't.
+
+    Round-15 fix (found by the sf_onekey skew sweep — the first fixture
+    dense enough in same-user pairs to hit it): the frame originally
+    ranged over ``unix_timestamp`` SECONDS, which truncates — same-second
+    rows became mutual RANGE-peers in Spark but not in DuckDB's
+    full-precision INTERVAL frame, and a pair straddling the hour
+    boundary by sub-second spacing joined the Spark frame but not the
+    oracle's. Micros grain restores the query's actual contract (exact
+    trailing hour); value-identical on the driver data, where per-user
+    event spacing never produced such a pair (every prior gate was
+    green)."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return events.select(
         "event_id",
@@ -6311,12 +6391,19 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term-sized aggregate state), df/idf and the corpus stats are
     broadcast scalars, and the final top-k is TakeOrderedAndProject. Score
     sums are decimal-exact; ln is bit-stable across engines (same pattern
-    the driver-green surprisal/bigram queries rely on)."""
+    the driver-green surprisal/bigram queries rely on).
+
+    Precondition: ``doc_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — duplicate ids double
+    tf and doc-length rows; sf_dups boundary)."""
     from fxspark.ops.text import tokens as _tok
 
     k1, b = 1.2, 0.75
     terms = ["data", "model", "quality"]
-    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+    docs = require_unique(
+        spread(load_table(spark, sf_dir, "documents")), "doc_id",
+        context="doc_bm25_search",
+    ).filter(
         F.col("text").isNotNull()  # see oracle note
     )
     toks = docs.select(
@@ -7674,10 +7761,18 @@ def q_stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ``tests/test_streaming_multimodal.py::
     test_stateful_cusum_across_batches_matches_batch_closed_form``. The
     deviations are exact decimals, so the chart is bit-stable under any
-    partitioning."""
+    partitioning.
+
+    Precondition: ``event_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — the closing-value
+    ``max_by`` ties between id-equal rows with distinct payloads;
+    sf_dups boundary)."""
     from fxspark.ops.windows import keyed_cusum
 
-    events = load_table(spark, sf_dir, "events")
+    events = require_unique(
+        load_table(spark, sf_dir, "events"), "event_id",
+        context="stream_cusum_replay",
+    )
     out = keyed_cusum(
         events,
         "user_id",
@@ -10347,11 +10442,17 @@ def q_embedding_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost" BEFORE shipping a quantized index. Both rankings run as
     broadcast-probe kNN joins (corpus never shuffles); the probe cut is
     the two-phase bounded rank, and quantized values are exact 1/127
-    multiples so both engines rank identical doubles."""
+    multiples so both engines rank identical doubles.
+
+    Precondition: ``vec_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — sf_dups boundary)."""
     from fxspark.ops.latest import k_smallest_global
     from fxspark.ops.similarity import cosine, dequantize_vec, quantize_vec
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = require_unique(
+        spread(load_table(spark, sf_dir, "embeddings")), "vec_id",
+        context="embedding_quantized_recall",
+    )
     e = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -11114,10 +11215,17 @@ def q_purchase_regime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     single sort-shuffle, linear in facts+versions, instead of the
     oracle's quadratic interval join + rank. Purchases before any browse
     event keep NULL regime (left semantics); equal-``valid_from``
-    versions resolve by the declared regime_type tiebreak."""
+    versions resolve by the declared regime_type tiebreak.
+
+    Precondition: ``event_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — a duplicated purchase
+    event doubles its enriched fact row; sf_dups boundary)."""
     from fxspark.ops.cdc import scd2_intervals
 
-    events = load_table(spark, sf_dir, "events")
+    events = require_unique(
+        load_table(spark, sf_dir, "events"), "event_id",
+        context="purchase_regime_enrich",
+    )
     browse = events.filter(F.col("event_type").isin("view", "click"))
     dim = scd2_intervals(
         browse, "user_id", ["ts", "event_id"], ["event_type"]
@@ -12598,8 +12706,10 @@ def q_part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_copurchase_weighted_edges`` helper (canonical pairs + checkpoint
     + mirror — the full A/B table is in the helper's docstring). What
     remains is the irreducible pair enumeration: op-distinct + the
-    order-keyed self-join emitting 12M canonical co-occurrence rows —
-    the edge build IS the workload on this dense fixture."""
+    order-keyed self-join emitting ~1.2M canonical co-occurrence rows
+    (1,199,575 measured at sf0.1 — the r11 "12M" figure was the 10×
+    counting error corrected in round 13) — the edge build IS the
+    workload on this dense fixture."""
     from fxspark.ops.graph import personalized_pagerank
 
     part = load_table(spark, sf_dir, "part")
@@ -14796,10 +14906,12 @@ def q_part_copurchase_clustering_sampled(
     )
     # Sample BEFORE dedup: the keep/drop hash is deterministic per pair,
     # so filtering commutes with distinct — and the md5 is map-side CPU
-    # over the ~12M raw co-occurrence rows, while a pre-sampling dedup
-    # would SHUFFLE all 12M rows to save that hashing. A/B in the bench
+    # over the ~1.2M raw co-occurrence rows, while a pre-sampling dedup
+    # would SHUFFLE all ~1.2M rows to save that hashing. A/B in the bench
     # regime: 3.0 s this way vs 7.5 s dedup-first — the engine's internal
-    # distinct then dedups only the ~3M sampled survivors. Checkpoint the
+    # distinct then dedups only the ~300k sampled survivors (25% keep of
+    # ~1.2M; the old "12M raw / 3M survivors" pair was the r11 10×
+    # counting error, corrected round 13/15). Checkpoint the
     # sampled edges (the triangle engine consumes them from several
     # branches — deg, orientation, wedge close — and would re-run the
     # self-join+md5 lineage per branch) AND pn (both the global-estimate
@@ -14923,8 +15035,8 @@ def q_part_copurchase_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full A/B table are in the helper's docstring). REGIME NOTE for the
     twin's margin: after the shared-build fix the exact form is 9.1 s,
     so at sf0.1 the sampled twin wins only ~8% — because on THIS fixture
-    the irreducible pair enumeration (12M rows, paid identically by both
-    forms) dominates, and sampling can only shrink what comes after it
+    the irreducible pair enumeration (~1.2M rows, paid identically by
+    both forms) dominates, and sampling can only shrink what comes after it
     (rollup shuffle 4×, iteration edge frame 4×). The twin's win scales
     with the part of the cost it actually attacks: more iterations,
     graphs whose edge aggregate is large relative to the raw pair

@@ -15,6 +15,9 @@ order-insensitive canonicalization the driver's correctness gate uses
 
 Determinism contract
 --------------------
+(Consolidated D+O rule table with per-rule pin tests: ``DIALECT.md`` at the
+repo root; this docstring stays the full rationale for the D-rules.)
+
 * ``generate(seed, n)`` is a pure function of its arguments: a
   ``random.Random(seed)`` drives every choice, so a failing query name
   (``fz{seed}_{i:03d}_{template}``) reproduces exactly from the seed.
@@ -968,12 +971,17 @@ def t_win_dist(r: random.Random) -> str:
     # the unique key (D5's nondeterminism caveat applies only to
     # non-unique orders). PERCENT_RANK/CUME_DIST emit exact ratios of
     # BIGINTs — the same IEEE division in both engines.
+    # Rule D8 applies to the window ORDER BY too: ``x`` is a nullable
+    # payload column, and a predicate on a never-NULL skeleton column
+    # keeps NULL-x rows on the NULL-bearing fixtures — so the placement
+    # is EXPLICIT, matching Spark's defaults (ASC NULLS FIRST /
+    # DESC NULLS LAST) exactly as t_order_nulls and opsfuzz O9 do.
     t = r.choice(["orders", "events", "customer", "part"])  # D18
     g = r.choice(_cols_of(t, "s"))
     x = r.choice(_cols_of(t, "f"))
     u = ", ".join(UNIQUE[t])
     keys = ", ".join(UNIQUE[t])
-    d = r.choice(["ASC", "DESC"])
+    d = r.choice(["ASC NULLS FIRST", "DESC NULLS LAST"])
     n = r.choice([4, 7, 10])
     return (
         f"SELECT {keys}, "
@@ -1137,7 +1145,11 @@ def t_range_interval(r: random.Random) -> str:
     # column (rule D7 keeps nanos ts out). Ties on the order value are
     # frame-peers, so the frame is a deterministic SET even though the
     # date is non-unique — aggregates over it are order-insensitive
-    # under D1/D2.
+    # under D1/D2. Rule D8: the order date is nullable on NULL-bearing
+    # fixtures and a NULL order value's RANGE-INTERVAL frame is engine-
+    # defined territory (whether NULL rows form one peer frame is an
+    # unprobed assumption), so NULL dates are excluded in the WHERE
+    # rather than relying on incidental agreement.
     t, dc, key = r.choice([("orders", "o_orderdate", "o_custkey"),
                            ("lineitem", "l_shipdate", "l_suppkey")])
     f = r.choice(_cols_of(t, "f"))
@@ -1147,7 +1159,7 @@ def t_range_interval(r: random.Random) -> str:
         f"SELECT {keys}, "
         f"CAST(COUNT(*) OVER w AS BIGINT) AS c0, "
         f"CAST(SUM(CAST({f} AS DECIMAL(28,6))) OVER w AS DOUBLE) AS c1 "
-        f"FROM {t} WHERE {_pred(r, t)} "
+        f"FROM {t} WHERE ({_pred(r, t)}) AND {dc} IS NOT NULL "
         f"WINDOW w AS (PARTITION BY {key} ORDER BY {dc} "
         f"RANGE BETWEEN INTERVAL {n} DAY PRECEDING AND CURRENT ROW)"
     )

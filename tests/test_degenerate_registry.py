@@ -215,3 +215,72 @@ def test_sequence_empty_range_divergence_pin(spark):
     assert duckdb.sql(
         "SELECT len(generate_series(10, 0, 5))"
     ).fetchone()[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-15 SKEW axis (r14 verdict item 2): Zipf-distributed keys and the
+# all-rows-one-key extreme. Key DISTRIBUTION changes, key DOMAIN and unique
+# row ids don't — so every determinism contract must hold while group/join/
+# window cardinality goes heavy-headed (the regime the reference's
+# ccy_couple partition column becomes at 100×). The one-key sweep found a
+# real divergence on its first run: user_value_trailing_1h's RANGE frame
+# ordered by unix_timestamp SECONDS (truncating) vs the oracle's
+# full-precision INTERVAL frame — same-second rows became mutual frame
+# peers only in Spark. Fixed to micros grain (queries.py), value-identical
+# on the driver data.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skew_dirs(tmp_path_factory, sf_dir):
+    base = tmp_path_factory.mktemp("degenerate_skew")
+    return (
+        deg_fixtures.build_skew(sf_dir, str(base / "sf_skew")),
+        deg_fixtures.build_onekey(sf_dir, str(base / "sf_onekey")),
+    )
+
+
+def test_skew_fixture_shape(skew_dirs, sf_dir):
+    """sf_skew keeps schema, row count, unique ids, and each skewed
+    column's value DOMAIN (a subset of the source's distinct set, so FKs
+    stay valid); the head key is genuinely hot. sf_onekey collapses each
+    skewed column to exactly one value."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    skew_dir, onekey_dir = skew_dirs
+    for t, cols in deg_fixtures.SKEW_COLS.items():
+        src = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        skw = pq.read_table(os.path.join(skew_dir, f"{t}.parquet"))
+        one = pq.read_table(os.path.join(onekey_dir, f"{t}.parquet"))
+        assert src.schema.equals(skw.schema) and src.schema.equals(one.schema)
+        assert len(src) == len(skw) == len(one)
+        for c in cols:
+            src_vals = set(pc.unique(src.column(c)).to_pylist())
+            skw_vals = pc.unique(skw.column(c)).to_pylist()
+            assert set(skw_vals) <= src_vals, (t, c)
+            assert len(pc.unique(one.column(c))) == 1, (t, c)
+            if len(src) >= 100 and len(src_vals) >= 20:
+                counts = pc.value_counts(skw.column(c)).to_pylist()
+                top = max(r["counts"] for r in counts)
+                # Zipf(1.2) head: the hot key holds a material share
+                assert top >= len(skw) * 0.15, (t, c, top)
+    # unique row ids untouched
+    ev = pq.read_table(os.path.join(skew_dir, "events.parquet"))
+    assert len(pc.unique(ev.column("event_id"))) == len(ev)
+
+
+def test_registry_on_zipf_skewed_keys(spark, skew_dirs):
+    """Full registry differential on the Zipf-key star schema."""
+    ok, fails = deg_sweep.sweep(spark, skew_dirs[0], verbose=False)
+    assert not fails, fails
+    assert len(ok) >= 249
+
+
+def test_registry_on_single_key(spark, skew_dirs):
+    """Full registry differential on the all-rows-one-key extreme — every
+    keyed window/group/join funnels through one key, so rank totalization
+    and exact-aggregation discipline carry the whole weight."""
+    ok, fails = deg_sweep.sweep(spark, skew_dirs[1], verbose=False)
+    assert not fails, fails
+    assert len(ok) >= 249

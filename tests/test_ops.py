@@ -1129,3 +1129,96 @@ def test_versioned_table_time_travel(spark, tmp_path):
     assert read_versioned(spark, path).count() == 7          # pointer still v3
     v4 = write_versioned(spark.range(9).toDF("id"), path, keep=2)
     assert v4 == 5 and read_versioned(spark, path).count() == 9
+
+
+# ---------------------------------------------------------------------------
+# Round-15 unified NULL-ordering contract (DIALECT.md rule O8): every rank
+# op drops rows whose ORDER coordinates contain a NULL, via
+# ops.latest.drop_null_order — one semantics across the whole family, where
+# rounds ≤14 had two (ksmall/class-12 dropped, latest/dedup/nth/asof kept
+# NULLs under Spark's dialect-specific placement).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def null_ordered(spark):
+    """Keys covering every NULL-order regime: 'a' mixed NULL/real order,
+    'b' ALL-NULL order (must vanish), 'c' never-NULL control."""
+    return spark.createDataFrame(
+        [
+            Row(k="a", t=1, tb=1, v="a-real-old"),
+            Row(k="a", t=5, tb=2, v="a-real-new"),
+            Row(k="a", t=None, tb=9, v="a-null"),  # max tiebreak: would win
+            Row(k="b", t=None, tb=1, v="b-null-1"),
+            Row(k="b", t=None, tb=2, v="b-null-2"),
+            Row(k="c", t=3, tb=1, v="c-real"),
+        ]
+    )
+
+
+def test_latest_ops_drop_null_order(null_ordered):
+    """latest_per_key_agg / latest_per_key_window / dedup_latest drop
+    NULL-order rows; a key with only NULL order coordinates VANISHES
+    (it cannot be won by tiebreak, the pre-round-15 kept-NULL behavior)."""
+    for fn in (
+        lambda df: latest_per_key_agg(df, "k", ["t", "tb"], payload=["v"]),
+        lambda df: latest_per_key_window(df, "k", ["t", "tb"]).select("k", "v"),
+        lambda df: dedup_latest(df, "k", ["t", "tb"]).select("k", "v"),
+    ):
+        got = {r["k"]: r["v"] for r in fn(null_ordered).collect()}
+        assert got == {"a": "a-real-new", "c": "c-real"}, got
+
+
+def test_latest_agg_equals_window_with_nulls(null_ordered):
+    """The agg and window forms agree row-for-row ON NULL-BEARING input —
+    the agreement property that motivated unifying the contract."""
+    agg = latest_per_key_agg(null_ordered, "k", ["t", "tb"], payload=["v"])
+    win = latest_per_key_window(null_ordered, "k", ["t", "tb"]).select("k", "v")
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, win.collect()))
+
+
+def test_nth_before_cutoff_drops_null_secondary_order(spark):
+    """The cutoff predicate already excludes NULL cutoff_col; the unified
+    contract ALSO drops rows NULL in any OTHER order column."""
+    df = spark.createDataFrame(
+        [
+            Row(k="a", t=1, tb=1, v="rank3"),
+            Row(k="a", t=2, tb=None, v="null-tb"),  # dropped by contract
+            Row(k="a", t=3, tb=1, v="rank2"),
+            Row(k="a", t=4, tb=1, v="rank1"),
+        ]
+    )
+    out = nth_before_cutoff(df, "k", ["t", "tb"], cutoff=F.lit(99), n=2)
+    assert [r["v"] for r in out.collect()] == ["rank2"]
+
+
+def test_asof_join_drops_null_on_both_sides(spark):
+    """asof_join: a right row with NULL `on` can never match (even though
+    Spark's window sort would place it first); a left row with NULL `on`
+    has no as-of point and is dropped, not emitted unmatched."""
+    left = spark.createDataFrame(
+        [Row(k="a", t=10, lv="L10"), Row(k="a", t=None, lv="Lnull")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=2, rv="R2"), Row(k="a", t=None, rv="Rnull")]
+    )
+    out = asof_join(left, right, keys="k", on="t", right_payload=["rv"])
+    assert [(r["t"], r["rv"]) for r in out.collect()] == [(10, "R2")]
+
+
+def test_nearest_join_drops_null_on_left(spark):
+    """nearest_join inherits the contract on its left side too (the right
+    side has dropped NULL `on` since round 13)."""
+    from fxspark.ops.asof import nearest_join
+
+    t10 = ts("2024-01-01 00:00:10")
+    left = spark.createDataFrame(
+        [(("a"), t10, "L10"), ("a", None, "Lnull")],
+        "k string, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:12"), "R12")],
+        "k string, t timestamp, rv string",
+    )
+    out = nearest_join(left, right, keys="k", on="t", right_payload=["rv"])
+    assert [(r["t"], r["rv"]) for r in out.collect()] == [(t10, "R12")]

@@ -39,9 +39,11 @@ def test_generator_is_pure_and_prefix_stable():
     # prefix stability: a shorter corpus is a prefix of the longer one
     short = generate(DEFAULT_SEED, 10)
     assert [c.name for c in short] == [c.name for c in a[:10]]
-    # the corpus exercises every op and the pct template
+    # the corpus exercises every op (incl. the round-15 O10 stateful
+    # family) and the pct template
     ops = {s.op for c in a for s in c.stages}
-    assert ops == {"dedup", "latest_w", "ksmall", "nth_cutoff", "gmax"}
+    assert ops == {"dedup", "latest_w", "ksmall", "nth_cutoff", "gmax",
+                   "sessionize", "cusum", "ewma"}
     assert any(c.pct for c in a)
     # the O7 as-of template covers BOTH directions across the corpus
     dirs = {c.asof["direction"] for c in a if c.asof}

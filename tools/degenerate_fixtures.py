@@ -1,4 +1,6 @@
-"""Degenerate-input fixtures: schema-identical EMPTY and ONE-ROW star schemas.
+"""Degenerate-input fixtures: schema-identical EMPTY / ONE-ROW / ALL-NULL /
+ALTERNATING-NULL star schemas, plus (round 15) the SKEW axis — Zipf keys
+(``build_skew``) and all-rows-one-key (``build_onekey``).
 
 Round-14 verdict item 1: the 249-query registry had only ever run on
 well-populated fixtures, while D12 (``fxspark/sqlfuzz.py``) proved a class of
@@ -147,6 +149,109 @@ def build_pair(sf_src: str, base_dir: str) -> tuple[str, str]:
     )
 
 
+# Round 15 (r14 verdict item 2): the SKEW axis. FK / grouping columns whose
+# DISTRIBUTION is reshaped — values stay inside the column's existing
+# distinct set (referential integrity and literal pools survive), only the
+# frequency profile changes. Unique row ids are never touched, so every
+# rank-totalization and key-uniqueness contract (FIXTURES.md) still holds:
+# the axis probes hot-key behavior (the regime the `ccy_couple` partition
+# column becomes at 100×, and what AQE skew handling exists for), not
+# tie-brokenness. `lineitem` is deliberately excluded: its declared "unique"
+# tiebreak is the full FK quad (sqlfuzz D18), which key-skew would collide.
+SKEW_COLS: dict[str, tuple[str, ...]] = {
+    "nation": ("n_regionkey",),
+    "customer": ("c_nationkey",),
+    "supplier": ("s_nationkey",),
+    "orders": ("o_custkey",),
+    "events": ("user_id", "event_type"),
+}
+
+ZIPF_S = 1.2  # classic web/word-frequency exponent: one dominant head key
+
+
+def _zipf_ranks(n_rows: int, n_values: int, token: str):
+    """Deterministic per-row Zipf(ZIPF_S) rank draw: row i's uniform comes
+    from md5(f"{token}:{i}") (the engine's declared-randomness discipline —
+    no RNG state, reproducible from the fixture path alone), mapped through
+    the inverse CDF over ranks 0..n_values-1."""
+    import hashlib
+
+    import numpy as np
+
+    w = 1.0 / np.power(np.arange(1, n_values + 1, dtype=np.float64), ZIPF_S)
+    cdf = np.cumsum(w) / w.sum()
+    u = np.fromiter(
+        (
+            int(hashlib.md5(f"{token}:{i}".encode()).hexdigest()[:13], 16)
+            / 16**13
+            for i in range(n_rows)
+        ),
+        dtype=np.float64,
+        count=n_rows,
+    )
+    return np.searchsorted(cdf, u, side="right")
+
+
+def _remap(table, t: str, pick):
+    """Rebuild ``table`` with each SKEW_COLS[t] column's values replaced by
+    ``pick(sorted_distinct_values, n_rows, token)`` (same arrow type)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = SKEW_COLS.get(t, ())
+    arrays, fields = [], []
+    for field in table.schema:
+        col = table.column(field.name)
+        if field.name in cols and len(table):
+            vals = pc.unique(col.combine_chunks()).drop_null().sort()
+            new = pick(vals, len(table), f"{t}.{field.name}")
+            col = pa.array(new, type=field.type)
+        arrays.append(col)
+        fields.append(field)
+    return pa.table(arrays, schema=pa.schema(fields))
+
+
+def build_skew(sf_src: str, out_dir: str) -> str:
+    """ZIPF-SKEWED key fixture: each skew column's row values are redrawn
+    Zipf(1.2) over its own sorted distinct set — rank 1 (the smallest
+    value) becomes the hot key holding roughly half the rows, with a
+    long tail. Join/group cardinalities turn heavy-headed while the value
+    domain is unchanged."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        table = pq.read_table(os.path.join(sf_src, f"{t}.parquet"))
+
+        def pick(vals, n, token):
+            ranks = _zipf_ranks(n, len(vals), token)
+            return vals.take(ranks)
+
+        pq.write_table(_remap(table, t, pick),
+                       os.path.join(out_dir, f"{t}.parquet"), version="2.6")
+    return out_dir
+
+
+def build_onekey(sf_src: str, out_dir: str) -> str:
+    """ALL-ROWS-ONE-KEY degenerate: every skew column collapses to its
+    minimum distinct value — the single-partition extreme of the skew
+    axis (every window/group/join on these keys funnels through ONE
+    key). The determinism contracts must survive it: ranks stay
+    totalized by the untouched unique ids."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        table = pq.read_table(os.path.join(sf_src, f"{t}.parquet"))
+
+        def pick(vals, n, token):
+            return vals.take([0] * n)
+
+        pq.write_table(_remap(table, t, pick),
+                       os.path.join(out_dir, f"{t}.parquet"), version="2.6")
+    return out_dir
+
+
 if __name__ == "__main__":  # pragma: no cover — manual builder
     import sys
 
@@ -157,3 +262,5 @@ if __name__ == "__main__":  # pragma: no cover — manual builder
     print(u)
     print(build_nulls(src, os.path.join(out, "sf_nulls")))
     print(build_mixed(src, os.path.join(out, "sf_mixed")))
+    print(build_skew(src, os.path.join(out, "sf_skew")))
+    print(build_onekey(src, os.path.join(out, "sf_onekey")))
