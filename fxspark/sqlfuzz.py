@@ -142,6 +142,12 @@ repo root; this docstring stays the full rationale for the D-rules.)
       split_part through ``COALESCE(s, '')`` so both engines see a
       non-NULL operand; INSTR/LENGTH/UPPER/... propagate NULL
       identically and stay raw.
+  D21 SEMI/ANTI join syntax split (wave-6 probe): both dialects parse
+      the BARE ``SEMI JOIN`` / ``ANTI JOIN`` keywords, but the
+      LEFT-prefixed spelling (``LEFT SEMI JOIN``) is Spark-only — DuckDB
+      rejects it with a parser error. The corpus emits only the bare
+      form. (D20, the seconds-truncating RANGE-frame hazard, is a
+      registry-side rule — see DIALECT.md.)
 
 Literal pools are frozen constants drawn from the public testdata
 generator's category values and value ranges (``TESTDATA.md``); they are
@@ -1165,6 +1171,89 @@ def t_range_interval(r: random.Random) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 6 (round 15): SEMI/ANTI joins (bare keyword form), GROUP BY ALL,
+# inline-VALUES dimension joins, COUNT_IF. Every construct probed verbatim
+# in both engines before inclusion (rule D21 records the one syntax split).
+# ---------------------------------------------------------------------------
+
+def t_semi_anti(r: random.Random) -> str:
+    # Rule D21: the BARE `SEMI JOIN` / `ANTI JOIN` keywords parse in BOTH
+    # dialects (probed round 15); Spark additionally accepts the LEFT-
+    # prefixed spelling, which DuckDB REJECTS — so the corpus emits only
+    # the bare form. Semi/anti output is the child's rows verbatim
+    # (projection multiset — no order sensitivity).
+    child, fk, parent, pk = r.choice(FKS)
+    kind = r.choice(["SEMI", "ANTI"])
+    keys = ", ".join(UNIQUE[child])
+    c0 = r.choice(_cols_of(child, "sf"))
+    return (
+        f"SELECT {keys}, {c0} AS c0 FROM {child} {kind} JOIN "
+        f"(SELECT {pk} FROM {parent} WHERE {_pred(r, parent)}) d "
+        f"ON {child}.{fk} = d.{pk} WHERE {_pred(r, child)}"
+    )
+
+
+def t_group_by_all(r: random.Random) -> str:
+    # GROUP BY ALL binds to the non-aggregate select list identically in
+    # both dialects (probed round 15); aggregates follow D1/D2.
+    t = r.choice(["orders", "lineitem", "customer", "events", "part"])
+    gs = r.sample(_cols_of(t, "s"), min(2, len(_cols_of(t, "s"))))
+    f = r.choice(_cols_of(t, "f"))
+    sel_g = ", ".join(f"{c} AS g{i}" for i, c in enumerate(gs))
+    return (
+        f"SELECT {sel_g}, {_sum_exact(f)} AS a0, "
+        f"CAST(COUNT(*) AS BIGINT) AS a1 "
+        f"FROM {t} WHERE {_pred(r, t)} GROUP BY ALL"
+    )
+
+
+def t_values_join(r: random.Random) -> str:
+    # Inline-VALUES dimension join: a literal lookup table folded into the
+    # query text — the broadcast-dim shape in its smallest form; both
+    # dialects parse `(VALUES ...) AS v(k, cat)` (probed round 15). The
+    # dim maps a frozen label pool onto two buckets via a seeded
+    # permutation, so the mapping itself is fuzzed.
+    t, col = r.choice([
+        ("orders", "o_orderstatus"), ("lineitem", "l_returnflag"),
+        ("events", "event_type"), ("customer", "c_mktsegment"),
+        ("part", "p_type"),
+    ])
+    perm = list(STR_LITS[col])
+    r.shuffle(perm)
+    rows = ", ".join(
+        f"({_q(v)}, {_q('b' + str(i % 2))})" for i, v in enumerate(perm)
+    )
+    f = r.choice(_cols_of(t, "f"))
+    return (
+        f"SELECT v.cat AS g0, CAST(COUNT(*) AS BIGINT) AS a0, "
+        f"{_sum_exact(f)} AS a1 "
+        f"FROM {t} JOIN (VALUES {rows}) AS v(k, cat) ON {t}.{col} = v.k "
+        f"WHERE {_pred(r, t)} GROUP BY v.cat"
+    )
+
+
+def t_count_if(r: random.Random) -> str:
+    # COUNT_IF: counts TRUE only — a NULL condition row is uncounted in
+    # both dialects (NULL-fixture safe); BIGINT-cast per D1 (DuckDB
+    # aggregates widen).
+    t, s = r.choice([
+        ("orders", "o_orderstatus"), ("lineitem", "l_returnflag"),
+        ("events", "event_type"), ("customer", "c_mktsegment"),
+        ("part", "p_brand"),
+    ])
+    g = r.choice(_cols_of(t, "s"))
+    f = r.choice(_cols_of(t, "f"))
+    lit = r.choice(NUM_LITS.get(f, [10.0]))
+    return (
+        f"SELECT {g} AS g0, "
+        f"CAST(COUNT_IF({f} > {lit}) AS BIGINT) AS a0, "
+        f"CAST(COUNT_IF({s} = {_q(r.choice(STR_LITS[s]))}) AS BIGINT) AS a1, "
+        f"CAST(COUNT(*) AS BIGINT) AS a2 "
+        f"FROM {t} WHERE {_pred(r, t)} GROUP BY {g}"
+    )
+
+
 TEMPLATES = [
     t_filter_project, t_group_agg, t_join_agg, t_explicit_join, t_left_join,
     t_theta_join, t_window_rank, t_window_running, t_scalar_subquery,
@@ -1176,6 +1265,7 @@ TEMPLATES = [
     t_date_scalar, t_like_family, t_str_group,
     t_win_offset, t_win_dist, t_win_frame, t_win_value, t_full_outer,
     t_setop_all, t_lateral, t_num_scalar, t_arg_minmax, t_range_interval,
+    t_semi_anti, t_group_by_all, t_values_join, t_count_if,
 ]
 
 
