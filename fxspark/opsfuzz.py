@@ -71,7 +71,8 @@ consolidated table with per-rule pins: ``DIALECT.md``):
       ``keyed_ewma`` (O10c: DuckDB ``list_reduce`` replays the
       seed-with-first fold over the event-ordered list; alphas are
       DYADIC so the fold is identical IEEE arithmetic in both engines;
-      ewma rounded to 6 like the user_value_ewma twin). Time
+      ewma emitted RAW — ROUND(double, 6) splits on the exact 1e-6
+      halves dyadic folds produce, rule D22). Time
       coordinates come from the O2/O4 pools (micros-precision parquet
       verified r14 — sessionize's ts-to-ts gap comparisons inherit that
       assumption, as the rank ops' ts orderings already do); every
@@ -410,12 +411,11 @@ def _spark_frame(spark, sf_dir: str, comp: Composition):
 
             out = keyed_ewma(df, s.keys[0], order, s.agg_col,
                              alpha=s.params["alpha"])
-            # round like the registry twin (user_value_ewma): the fold is
-            # pure IEEE with dyadic alpha, the round keeps reprs aligned
-            df = out.select(
-                s.keys[0], "n_total",
-                F.round("ewma", 6).alias("ewma"), "last_value",
-            )
+            # RAW fold output (no round), like the registry twin: the
+            # fold is bit-identical IEEE with dyadic alpha, while
+            # ROUND(double, 6) splits on the exact 1e-6 halves dyadic
+            # folds produce (rule D22 — round-15 sf0.1 skew probe)
+            df = out.select(s.keys[0], "n_total", "ewma", "last_value")
         elif s.op == "gmax":
             df = grouped_max(df, s.keys, s.agg_col)
     return df
@@ -578,8 +578,8 @@ def oracle_sql(comp: Composition) -> str:
                 f"{c} IS NOT NULL" for c in [*order, s.agg_col])
             body = (
                 f"SELECT {key}, CAST(len(vals) AS BIGINT) AS n_total, "
-                f"round(list_reduce(vals, (acc, x) -> {a!r}*x + "
-                f"{1.0 - a!r}*acc), 6) AS ewma, vals[-1] AS last_value "
+                f"list_reduce(vals, (acc, x) -> {a!r}*x + "
+                f"{1.0 - a!r}*acc) AS ewma, vals[-1] AS last_value "
                 f"FROM (SELECT {key}, array_agg(CAST({s.agg_col} AS DOUBLE) "
                 f"ORDER BY {ob}) AS vals FROM {prev} "
                 f"WHERE {nn} GROUP BY {key})"

@@ -5172,7 +5172,13 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(len(vals) AS BIGINT) AS n_total,
-           round(list_reduce(vals, (acc, x) -> 0.5*x + 0.5*acc), 6) AS ewma,
+           -- RAW fold output, deliberately un-rounded: the fold is
+           -- bit-identical IEEE in both engines, while ROUND(double, 6)
+           -- diverges exactly on 1e-6 halves — which dyadic (alpha=0.5)
+           -- combinations of low-decimal values produce routinely (rule
+           -- D22, found by the round-15 sf0.1 Zipf-skew probe where the
+           -- hot key's 40k-step fold hit a tie)
+           list_reduce(vals, (acc, x) -> 0.5*x + 0.5*acc) AS ewma,
            vals[-1] AS last_value
     FROM v
     """,
@@ -5184,16 +5190,18 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's semantics are pinned under the oracle differential (its
     cross-batch behavior stays pytest-pinned; a parity test holds the two
     to the same recurrence). DuckDB replays the identical fold via
-    ``list_reduce``, seeding with the first ordered value."""
+    ``list_reduce``, seeding with the first ordered value. The ewma is
+    emitted RAW (no round): the fold is bit-identical IEEE on both
+    engines, while ROUND(double, 6) splits on the exact 1e-6 halves the
+    dyadic alpha produces — rule D22, found by the round-15 sf0.1
+    Zipf-skew probe."""
     from fxspark.ops.windows import keyed_ewma
 
     events = load_table(spark, sf_dir, "events")
     out = keyed_ewma(
         events, "user_id", ["ts", "event_id"], "value", alpha=0.5
     )
-    return out.select(
-        "user_id", "n_total", F.round("ewma", 6).alias("ewma"), "last_value"
-    )
+    return out.select("user_id", "n_total", "ewma", "last_value")
 
 
 @query(
@@ -5485,9 +5493,14 @@ def q_benchmark_minhash_contamination(
     "user_value_trailing_1h",
     oracle="""
     SELECT event_id, user_id, ts,
-           round(CAST(sum(CAST(value AS DECIMAL(38,6)))
-                        OVER w AS DOUBLE)
-                 / count(*) OVER w, 6) AS trailing_avg,
+           -- RAW IEEE quotient, deliberately un-rounded: sum and count
+           -- are exact and identical on both engines, so the division is
+           -- bit-identical — while ROUND(double, 6) diverges on exact
+           -- 1e-6 halves, which sum/count quotients of low-decimal
+           -- values hit (rule D22; 9 of 100k rows on the round-15 sf0.1
+           -- one-key probe landed on ties like 51.1759375)
+           CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / count(*) OVER w AS trailing_avg,
            CAST(count(*) OVER w AS BIGINT) AS n_trailing
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -5528,10 +5541,10 @@ def q_user_value_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(
+        # raw IEEE quotient — see the oracle's D22 note on ROUND ties
+        (
             F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w),
-            6,
+            / F.count(F.lit(1)).over(w)
         ).alias("trailing_avg"),
         F.count(F.lit(1)).over(w).alias("n_trailing"),
     )
