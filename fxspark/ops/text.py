@@ -69,12 +69,20 @@ def quality_score(col: Column) -> Column:
     length term (saturating at 500 chars) + stopword-ratio term
     - punctuation-density penalty.  The exact formula is declared (and
     oracle-checked), not learned.
+
+    The 4-dp grain is applied as ``floor(x*10^4 + 0.5)/10^4`` — declared
+    half-up-toward-+inf rounding in pure IEEE + floor, which every engine
+    computes bit-identically — instead of native ROUND, whose tie
+    behavior splits across engines exactly on the 10^-4 halves that
+    ratio sums land on (rule D22, DIALECT.md; found by the round-15
+    sf0.1 probe: raw 0.78175 rounded to .7818 in Spark, .7817 in DuckDB).
     """
     n_chars = F.length(col).cast("double")
     length_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     stop_term = F.coalesce(stopword_ratio(col), F.lit(0.0))
     punct_pen = F.try_divide(punct_count(col).cast("double"), n_chars)
-    return F.round(length_term + stop_term - F.coalesce(punct_pen, F.lit(0.0)), 4)
+    raw = length_term + stop_term - F.coalesce(punct_pen, F.lit(0.0))
+    return F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
 
 
 def lang_scores(col: Column, markers: dict[str, list[str]] | None = None) -> dict[str, Column]:

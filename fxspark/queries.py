@@ -562,11 +562,15 @@ _STOP_SQL = "['the','a','an','and','or','of','to','in','is','it']"
            length(text) AS n_chars,
            length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
            len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS stop_hits,
-           round(least(length(text)/500.0, 1.0)
+           -- floor(x*1e4 + 0.5)/1e4: declared half-up rounding in pure
+           -- IEEE + floor, engine-identical — native ROUND splits on the
+           -- 1e-4 halves ratio sums land on (rule D22)
+           floor((least(length(text)/500.0, 1.0)
                  + coalesce(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))
                             / CAST(nullif(len(toks), 0) AS DOUBLE), 0.0)
                  - coalesce(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-                            / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 4) AS quality
+                            / CAST(nullif(length(text), 0) AS DOUBLE), 0.0))
+                 * 10000.0 + 0.5) / 10000.0 AS quality
     FROM t
     """,
 )
@@ -3257,13 +3261,14 @@ def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shapes.
 # ---------------------------------------------------------------------------
 
-_QUALITY_SQL = f"""round(least(length(text)/500.0, 1.0)
+_QUALITY_SQL = f"""(floor((least(length(text)/500.0, 1.0)
                  + coalesce(len(list_filter(string_split(lower(trim(text)), ' '),
                                 t -> list_contains({_STOP_SQL}, t)))
                             / CAST(nullif(len(string_split(lower(trim(text)), ' ')), 0)
                                    AS DOUBLE), 0.0)
                  - coalesce(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-                            / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 4)"""
+                            / CAST(nullif(length(text), 0) AS DOUBLE), 0.0))
+                 * 10000.0 + 0.5) / 10000.0)"""
 
 
 @query(
@@ -3476,8 +3481,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            count(*) - CAST(count(DISTINCT md5(lower(trim(text))))
                            AS BIGINT) AS n_exact_dups,
-           round(CAST(sum(CAST({_QUALITY_SQL} AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 6) AS avg_quality
+           -- RAW quotient (exact-decimal sum / exact count): bit-identical
+           -- on both engines, while ROUND(double, 6) splits on 1e-6
+           -- halves — which means of 4-dp-grained qualities hit (D22)
+           CAST(sum(CAST({_QUALITY_SQL} AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_quality
     FROM documents GROUP BY source
     """,
 )
@@ -3495,9 +3503,10 @@ def q_source_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         (F.count(F.lit(1)) - F.countDistinct(fingerprint(F.col("text"))))
         .alias("n_exact_dups"),
-        F.round(
+        # raw quotient — see the oracle's D22 note
+        (
             F.sum(quality_score(F.col("text")).cast("decimal(18,4)"))
-            .cast("double") / F.count(F.lit(1)), 6
+            .cast("double") / F.count(F.lit(1))
         ).alias("avg_quality"),
     )
 
@@ -6782,10 +6791,13 @@ def q_user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.cohort, r.month_offset, s.n_customers, r.n_orders,
            CAST(r.revd AS DOUBLE) AS revenue,
-           round(CAST(sum(r.revd) OVER (PARTITION BY r.cohort
-                                        ORDER BY r.month_offset
-                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                 / s.n_customers, 6) AS cum_ltv_per_customer
+           -- RAW quotient (exact-decimal running sum / exact count):
+           -- bit-identical both engines; ROUND(double, 6) splits on the
+           -- 1e-6 halves cumulative-revenue/headcount quotients hit (D22)
+           CAST(sum(r.revd) OVER (PARTITION BY r.cohort
+                                  ORDER BY r.month_offset
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / s.n_customers AS cum_ltv_per_customer
     FROM rev r JOIN size_c s ON r.cohort = s.cohort
     """,
 )
@@ -6834,9 +6846,9 @@ def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "n_orders",
             F.col("_revd").cast("double").alias("revenue"),
-            F.round(
-                F.col("_cum").cast("double") / F.col("n_customers"), 6
-            ).alias("cum_ltv_per_customer"),
+            # raw quotient — see the oracle's D22 note
+            (F.col("_cum").cast("double") / F.col("n_customers"))
+            .alias("cum_ltv_per_customer"),
         )
     )
 
@@ -12860,7 +12872,12 @@ def q_events_p90_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT user_id, n_gaps,
-           round(mu / 1000000.0, 6) AS mean_gap_s,
+           -- mean gap RAW: s/(n*1e6) is a small-denominator rational, so
+           -- ROUND(…, 6) lands on 1e-6 halves (rule D22) — the raw IEEE
+           -- quotient of identical operands is bit-identical. cv and
+           -- burstiness keep the round: sqrt outputs are tie-free and the
+           -- round masks any last-ulp drift.
+           mu / 1000000.0 AS mean_gap_s,
            round(sigma / mu, 6) AS cv,
            round((sigma - mu) / (sigma + mu), 6) AS burstiness
     FROM v
@@ -12874,10 +12891,13 @@ def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles, and the feature that separates bot-like from human-like
     accounts. Gaps are exact integer micros from one lag window; Σgap
     and Σgap² accumulate in DECIMAL(38,0) (the square is an IEEE-exact
-    double product of <2^26 values cast to integer decimal); outputs
-    round to 6 because Σgap² crosses 17 significant digits — the
-    DECIMAL→DOUBLE edge-cast trap (NOTES_r8). Users with <2 gaps drop
-    (σ undefined)."""
+    double product of <2^26 values cast to integer decimal). cv and
+    burstiness round to 6 (sqrt outputs are decimal-tie-free and the
+    round masks Σgap²'s 17-significant-digit DECIMAL→DOUBLE edge, the
+    NOTES_r8 trap); mean_gap_s is emitted RAW — its s/(n·10⁶)
+    small-denominator rational DOES land on 1e-6 halves where native
+    ROUND splits across engines (rule D22, round-15 sf0.1 probe).
+    Users with <2 gaps drop (σ undefined)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = events.select(
@@ -12913,7 +12933,8 @@ def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "user_id",
         "n_gaps",
-        F.round(F.col("mu") / 1000000.0, 6).alias("mean_gap_s"),
+        # raw quotient — see the oracle's D22 note
+        (F.col("mu") / 1000000.0).alias("mean_gap_s"),
         F.round(F.col("sigma") / F.col("mu"), 6).alias("cv"),
         F.round(
             (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")), 6
