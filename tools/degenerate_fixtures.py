@@ -141,6 +141,68 @@ def build_mixed(sf_src: str, out_dir: str) -> str:
     return out_dir
 
 
+def build_inulls(sf_src: str, out_dir: str) -> str:
+    """INDEPENDENT-NULL fixture: every non-SKELETON nullable column nulls
+    its own ~1/3 of rows, chosen by md5(f"{table}.{col}:{i}") — each
+    column's missingness pattern is INDEPENDENT of every other column's.
+
+    ``build_nulls`` / ``build_mixed`` null all payload columns on the SAME
+    rows, so cross-column regimes — ``ts`` NULL while ``event_type`` is a
+    live ``'purchase'`` — are unreachable there: any filter on one payload
+    column also excludes the other's NULLs. That co-null masking hid the
+    asof/nearest left-side NULL-``on`` contract divergence (round-16
+    ADVICE, medium): the ops drop NULL-coordinate rows from BOTH sides,
+    while three oracles kept NULL-ts left rows as unmatched. This axis
+    makes every such single-column-NULL-under-live-filter state reachable.
+    Keys/FKs stay populated (SKELETON), so row identity and join
+    cardinality survive; the draw is the declared-randomness md5
+    discipline — no RNG state, reproducible from the path alone."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(sf_src, f"{t}.parquet")
+        table = pq.read_table(src)
+        keep = set(SKELETON[t])
+        arrays, fields = [], []
+        for field in table.schema:
+            col = table.column(field.name)
+            if field.name not in keep and field.nullable and len(table):
+                token = f"{t}.{field.name}"
+                null_mask = pa.array(
+                    np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(
+                                    f"{token}:{i}".encode()
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % 3
+                            == 0
+                            for i in range(len(table))
+                        ),
+                        dtype=bool,
+                        count=len(table),
+                    )
+                )
+                col = pa.compute.if_else(
+                    null_mask,
+                    pa.nulls(len(table), type=field.type),
+                    col.combine_chunks(),
+                )
+            arrays.append(col)
+            fields.append(field)
+        out = pa.table(arrays, schema=pa.schema(fields))
+        pq.write_table(out, os.path.join(out_dir, f"{t}.parquet"),
+                       version="2.6")
+    return out_dir
+
+
 def build_pair(sf_src: str, base_dir: str) -> tuple[str, str]:
     """Build (sf_empty, sf_unit) under ``base_dir``."""
     return (
@@ -189,7 +251,11 @@ def _zipf_ranks(n_rows: int, n_values: int, token: str):
         dtype=np.float64,
         count=n_rows,
     )
-    return np.searchsorted(cdf, u, side="right")
+    # cumsum/sum float error can leave cdf[-1] a hair below 1.0, and a
+    # hash-derived u above it would index past the value set — clamp.
+    return np.minimum(
+        np.searchsorted(cdf, u, side="right"), n_values - 1
+    )
 
 
 def _remap(table, t: str, pick):
@@ -264,3 +330,4 @@ if __name__ == "__main__":  # pragma: no cover — manual builder
     print(build_mixed(src, os.path.join(out, "sf_mixed")))
     print(build_skew(src, os.path.join(out, "sf_skew")))
     print(build_onekey(src, os.path.join(out, "sf_onekey")))
+    print(build_inulls(src, os.path.join(out, "sf_inulls")))
