@@ -31,10 +31,20 @@ def pct_change_label(cur: Column, prev: Column, scale: int = 2) -> Column:
 
     Uses ``format_string`` so both engines print a fixed number of decimals
     (``0.20%`` not ``0.2%`` — golden output PDF p.5).
-    """
-    return F.when(prev.isNull(), F.lit(NO_PREVIOUS)).otherwise(
-        F.concat(
-            F.format_string(f"%.{scale}f", pct_change(cur, prev, scale)),
-            F.lit("%"),
+
+    A NULL ``cur`` (no defined change; unreachable in the reference, whose
+    rate column is NOT NULL by schema — ``Fx_1min.py:34``) yields NULL, the
+    SQL ``printf(...) || '%'`` propagation. Spelled explicitly because
+    Spark's ``format_string`` Java-formats a NULL argument as the STRING
+    ``"null"`` (here precision-truncated to ``"nu"``) instead of
+    propagating — found by the round-16 independent-null fixture sweep."""
+    return (
+        F.when(prev.isNull(), F.lit(NO_PREVIOUS))
+        .when(cur.isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.format_string(f"%.{scale}f", pct_change(cur, prev, scale)),
+                F.lit("%"),
+            )
         )
     )

@@ -111,8 +111,14 @@ def largest_remainder_quota(
         "_budget",
     )
     # leftover seats = budget - sum(base); stratum gets +1 iff its remainder
-    # rank is within the leftover count
-    w = Window.orderBy(F.desc("_rem"), *[F.col(k) for k in keys])
+    # rank is within the leftover count. Key columns are GROUP identities,
+    # so a NULL stratum is legitimate here (not an order-domain drop) —
+    # the tiebreak spells Spark's default placement (ASC NULLS FIRST) so
+    # oracles can restate it verbatim (D8; round-16 independent-null
+    # sweep caught the unspelled form flipping a seat).
+    w = Window.orderBy(
+        F.desc("_rem"), *[F.col(k).asc_nulls_first() for k in keys]
+    )
     totals = scored.agg(F.sum("_base").alias("_sumbase"))
     ranked = scored.crossJoin(F.broadcast(totals)).withColumn(
         "_rk", F.row_number().over(w)

@@ -352,10 +352,21 @@ def grid_interpolate(
     One shuffle on the key; grid density is bounded by span/step per key,
     so output size is declared, not data-dependent. Returns
     ``(keys..., grid_ts, value)`` with ``value`` UNROUNDED.
+
+    NULL contract (the order-domain discipline, round-15 class 12): a row
+    with NULL ``ts_col`` is unplaceable on the timeline and a row with
+    NULL ``value_col`` is not an observation — both are dropped up front.
+    Without the value drop, the ignore-nulls sweep desyncs the anchor
+    PAIR: the NULL-value row's timestamp becomes ``p_us`` while ``p_v``
+    carries an OLDER observation's value (round-16 independent-null
+    sweep).
     """
     from pyspark.sql import Window
 
     keys = [keys] if isinstance(keys, str) else list(keys)
+    df = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     step_us = int(step_seconds) * 1_000_000
     us = F.unix_micros(F.col(ts_col))
 

@@ -353,8 +353,10 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id, p.user_id, p.ts, p.value,
            c.event_id AS click_event_id, c.ts AS click_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+    ASOF LEFT JOIN (SELECT * FROM events
+                    WHERE event_type = 'click' AND ts IS NOT NULL) c
       ON p.user_id = c.user_id AND c.ts <= p.ts
     """,
 )
@@ -1569,7 +1571,11 @@ def _ivf_oracle() -> str | None:
     )
     return f"""
     WITH cent(cell, cv) AS (VALUES {vals}),
-    e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings),
+    -- class 10: NULL embeddings are not vectors — excluded from corpus
+    -- AND query (a NULL query vector makes every distance NULL: the
+    -- probe pick degenerates to an untied all-NULL sort on both engines)
+    e AS (SELECT vec_id, {_dbl('embedding')} AS emb FROM embeddings
+          WHERE embedding IS NOT NULL),
     assigned AS (
       SELECT vec_id, emb,
              (SELECT cell FROM cent
@@ -1597,7 +1603,16 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pandas-UDF assignment: partitions follow the data (worker+Arrow cost
     # per partition — see _doc_media), not the core count
     emb = spread(load_table(spark, sf_dir, "embeddings"), parts=8)
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # class 10: a NULL query vector is not a query — the frame goes EMPTY
+    # and the top-k is empty (defined), rather than an all-NULL-distance
+    # probe sort with no tiebreak. The CORPUS is passed unfiltered: the
+    # codebook sample must stay the raw first-4096-by-id slice (the r15
+    # ivf_assign contract — the trainer drops Nones itself) and the
+    # assignment path already excludes NULL vectors.
+    q = (
+        emb.filter((F.col("vec_id") == 0) & F.col("embedding").isNotNull())
+        .select(F.col("embedding").alias("qv"))
+    )
     return ivf_topk(emb, q, n_cells=16, n_probe=4, k=10)
 
 
@@ -2237,7 +2252,8 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT event_type, value, event_id
       FROM events
-      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+      WHERE value IS NOT NULL
+        AND CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
                  AS BIGINT) / 1152921504606846976.0 < 0.25
     ), samp AS (
       SELECT event_type, value,
@@ -2316,7 +2332,12 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         / F.lit(float(2**60))
     )
-    samp = events.filter(hs < 0.25).select("event_type", "value", "event_id")
+    # NULL value is not an observation: it must neither occupy a sample
+    # slot (inflating ns) nor rank in the median order (D8 placement
+    # split) — round-16 independent-null sweep; no-op on driver data
+    samp = events.filter(hs < 0.25).filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value", "event_id")
     wm = Window.partitionBy("event_type").orderBy("value", "event_id")
     wc = Window.partitionBy("event_type")
     med = (
@@ -3380,12 +3401,17 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_balanced_sample",
     oracle="""
-    WITH ranked AS (
+    WITH hashable AS (
+      -- class-11 discipline: NULL text has no content hash — textless
+      -- docs are quarantined from hash sampling (else D8 placement of the
+      -- NULL md5 reorders every language's ranks cross-engine)
+      SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+    ), ranked AS (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
-      FROM documents
+      FROM hashable
     ), target AS (
-      SELECT min(c) AS m FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+      SELECT min(c) AS m FROM (SELECT count(*) AS c FROM hashable GROUP BY lang)
     )
     SELECT doc_id, lang, rk FROM ranked, target WHERE rk <= m
     """,
@@ -3400,6 +3426,10 @@ def q_doc_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # class-11: NULL text has no content hash — quarantined from the
+    # sample (both the ranks and the per-language floor), like every
+    # other hash-sampling/split query; no-op on driver data
+    docs = docs.filter(F.col("text").isNotNull())
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("text").cast("binary")), "doc_id"
     )
@@ -4285,6 +4315,7 @@ def q_curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(value, ts) AS close,
            count(*) AS n_ticks
     FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
     GROUP BY user_id, date_trunc('hour', ts)
     """,
 )
@@ -4298,8 +4329,18 @@ def q_hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie discipline: events.ts is microsecond-unique per user in the
     fixtures, so arg_min/min_by agree across engines without a tiebreaker.
+
+    NULL contract: a tick is a price observation — rows missing EITHER
+    coordinate are excluded up front (no-op on the reference schema, both
+    NOT NULL — ``Fx_1min.py:32,34``). Stated because the engines split on
+    NULL payloads under argmax: Spark ``max_by`` returns the (NULL) value
+    carried by the max-ts row, DuckDB ``arg_max`` skips NULL-arg rows —
+    found by the round-16 independent-null sweep (D23 in DIALECT.md).
     """
     events = load_table(spark, sf_dir, "events")
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     bar = F.date_trunc("hour", F.col("ts")).alias("bar_hour")
     return events.groupBy("user_id", bar).agg(
         F.min_by("value", "ts").alias("open"),
@@ -4481,12 +4522,14 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, g.i AS pos,
              CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,10)) AS val
       FROM embeddings, generate_series(1, 64) g(i)
+      WHERE embedding IS NOT NULL
     ), cent AS (
       SELECT label, pos,
              CAST(sum(val) AS DOUBLE) / count(*) AS c
       FROM ex GROUP BY label, pos
     ), n AS (
-      SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+      SELECT label, count(*) AS n_vecs FROM embeddings
+      WHERE embedding IS NOT NULL GROUP BY label
     )
     SELECT cent.label, max(n.n_vecs) AS n_vecs,
            round(sqrt(CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
@@ -4505,6 +4548,12 @@ def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size. Decimal-exact sums keep the hash stable
     under any partitioning (same discipline as exact_sum)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # vector-space domain (class 10): a NULL embedding is not a vector —
+    # excluded from BOTH the centroid mass and n_vecs. Spelled on both
+    # sides because posexplode(NULL) silently emits no rows while the
+    # oracle's bracket-index emits NULL elements that its count(*) mean
+    # denominator WOULD count (round-16 independent-null sweep).
+    emb = emb.filter(F.col("embedding").isNotNull())
     ex = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "val")
     ).select(
@@ -4551,8 +4600,9 @@ def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(value, event_id) AS latest_rate,
            count(*) AS n_obs
     -- NULL-ts rows have no tumbling window (same event-time contract
-    -- as the session replays)
-    FROM events WHERE ts IS NOT NULL
+    -- as the session replays); a NULL value is not a rate observation
+    -- (D23: Spark max_by carries the NULL payload, DuckDB arg_max skips)
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )
@@ -4566,6 +4616,9 @@ def q_stream_windowed_rate_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     from fxspark.streaming.runner import windowed_rate_stats
 
     events = load_table(spark, sf_dir, "events")
+    # a NULL value is not a rate observation (D23); NULL ts is dropped by
+    # the windowing itself — stated here so the feed matches the oracle
+    events = events.filter(F.col("value").isNotNull())
     feed = events.select(
         "ts", "user_id",
         F.col("value").alias("rate"),
@@ -6948,11 +7001,14 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "user_value_interp",
     oracle="""
-    WITH span AS (
+    WITH clean AS (
+      SELECT user_id, ts, value FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), span AS (
       SELECT user_id,
              CAST(epoch_us(min(ts)) AS BIGINT) AS lo,
              CAST(epoch_us(max(ts)) AS BIGINT) AS hi
-      FROM events GROUP BY user_id
+      FROM clean GROUP BY user_id
     ), grid AS (
       SELECT user_id,
              unnest(generate_series(((lo + 21599999999) // 21600000000)
@@ -6964,7 +7020,7 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), obs AS (
       SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, 0 AS is_grid,
              value AS v
-      FROM events
+      FROM clean
     ), u AS (
       SELECT * FROM obs UNION ALL BY NAME SELECT * FROM grid
     ), sw AS (
@@ -7393,7 +7449,7 @@ def q_embedding_kmeans_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 1 HOUR
       ORDER BY t.ts DESC, t.event_id DESC LIMIT 1
     ) t ON TRUE
-    WHERE p.event_type = 'purchase'
+    WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
     """,
 )
 def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8268,7 +8324,7 @@ def q_orders_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                ORDER BY (n_rows * CAST(0.8 AS DECIMAL(18,6))
                          - floor(n_rows * CAST(0.8 AS DECIMAL(18,6)))) DESC,
-                        lang, source) AS rk
+                        lang NULLS FIRST, source NULLS FIRST) AS rk
       FROM c
     )
     SELECT lang, source, n_rows,
@@ -8466,7 +8522,10 @@ def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id, value,
              row_number() OVER (PARTITION BY user_id, event_type
                                 ORDER BY ts ASC, event_id ASC) AS rn
-      FROM events
+      -- event-time contract: a NULL-ts event never reaches the
+      -- watermarked stream (Spark's min_by struct order would otherwise
+      -- rank the NULL first where DuckDB ranks it last — D8)
+      FROM events WHERE ts IS NOT NULL
     ) WHERE rn = 1
     """,
 )
@@ -8482,6 +8541,8 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-arrival duplicate swallow
     (``/root/reference/update_exchange_rates.py:101-102``)."""
     events = load_table(spark, sf_dir, "events")
+    # event-time contract (class 8): NULL-ts rows never enter the stream
+    events = events.filter(F.col("ts").isNotNull())
     first = events.groupBy("user_id", "event_type").agg(
         F.min_by(
             F.struct("ts", "event_id", "value"),
@@ -8660,6 +8721,7 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
              e.ts AS touch_ts
       FROM events e
       WHERE e.user_id = p.user_id AND e.event_type IN ('click', 'view')
+        AND e.ts IS NOT NULL
         AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 30 * 60 * 1000000
       ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)) ASC,
                (e.ts <= p.ts) DESC,
@@ -8667,7 +8729,7 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE e.event_id END ASC
       LIMIT 1
     ) t ON TRUE
-    WHERE p.event_type = 'purchase'
+    WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
     """,
 )
 def q_purchase_nearest_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9183,8 +9245,12 @@ def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE NOT (o.o_orderdate < TIMESTAMP '1995-07-01'
-               AND o.o_orderstatus = 'F')
+    -- an undated order has no tick (never enters state OR delta); a NULL
+    -- status is NOT a finalized order, so it is never retracted — spelled
+    -- null-safe because bare status='F' is three-valued under NULLs
+    WHERE o.o_orderdate IS NOT NULL
+      AND NOT (o.o_orderdate < TIMESTAMP '1995-07-01'
+               AND coalesce(o.o_orderstatus, '') = 'F')
     GROUP BY n.n_name
     """,
 )
@@ -10327,9 +10393,13 @@ def q_event_transition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_outliers",
     oracle="""
     WITH ex AS (
+      -- NULL embedding = not a vector (class 10): posexplode emits no
+      -- rows for it, so the oracle states the same exclusion — else the
+      -- bracket-index NULL elements inflate the centroid mean denominator
       SELECT vec_id, label, g.i AS pos,
              CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,10)) AS val
       FROM embeddings, generate_series(1, 64) g(i)
+      WHERE embedding IS NOT NULL
     ), cent AS (
       SELECT label, pos, CAST(sum(val) AS DOUBLE) / count(*) AS c
       FROM ex GROUP BY label, pos
@@ -10943,8 +11013,10 @@ def q_region_customer_spend_quartiles(
       SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w
       FROM lineitem
     ),
-    st AS (SELECT sum(w) AS tw FROM src),
-    dv AS (SELECT v, sum(w) AS wv FROM src GROUP BY v),
+    mass AS (SELECT v, w FROM src
+             WHERE v IS NOT NULL AND w IS NOT NULL),
+    st AS (SELECT sum(w) AS tw FROM mass),
+    dv AS (SELECT v, sum(w) AS wv FROM mass GROUP BY v),
     cw AS (SELECT v, sum(wv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
                     AS cum FROM dv),
     b AS (
@@ -10956,7 +11028,7 @@ def q_region_customer_spend_quartiles(
     ),
     binned AS (
       SELECT s.v, s.w,
-             CASE WHEN s.v IS NULL THEN NULL
+             CASE WHEN s.v IS NULL OR s.w IS NULL THEN NULL
                   ELSE CAST(4 - (SELECT count(*) FROM b WHERE b.bv < s.v)
                        AS INTEGER) END AS quartile
       FROM src s
@@ -11209,13 +11281,14 @@ def q_minhash_estimate_agreement(
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events WHERE event_type IN ('view', 'click')
+      FROM events
+      WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
     ), versions AS (
       SELECT user_id, event_type AS regime_type, ts AS valid_from
       FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
     ), purchases AS (
       SELECT user_id, event_id AS p_event_id, ts AS p_ts, value AS p_value
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     )
     SELECT user_id, p_event_id, p_ts, p_value, regime_type, regime_since
     FROM (
@@ -13484,6 +13557,7 @@ def q_order_value_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS INTEGER) AS decile,
              y.yy
       FROM spend s JOIN y USING (o_custkey)
+      WHERE s.spend IS NOT NULL
     ), a AS (
       SELECT decile, count(*) AS n_cust, sum(yy) AS n_pos
       FROM d GROUP BY 1
@@ -13529,6 +13603,11 @@ def q_customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate") < cut)
         .groupBy("o_custkey")
         .agg(exact_sum(F.col("o_totalprice"), 4).alias("spend"))
+        # a customer whose every pre-cutoff order has a NULL totalprice has
+        # no score — unrankable, excluded from the gains table by contract
+        # (a NULL decile row would also hit D8 NULL placement in the
+        # cumulative-capture window); no-op when totalprice is populated
+        .filter(F.col("spend").isNotNull())
         .localCheckpoint(eager=False)
     )
     y = orders.groupBy("o_custkey").agg(
@@ -13878,8 +13957,9 @@ def q_events_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t AS (SELECT unnest(range(4)) AS tick),
     alive AS (
       SELECT t.tick, o.o_orderkey, o.o_totalprice
+      -- NULL status is not finalized: never retracted (null-safe spell)
       FROM t JOIN o ON o.tk <= t.tick
-        AND NOT (o.o_orderstatus = 'F' AND o.tk < t.tick)
+        AND NOT (coalesce(o.o_orderstatus, '') = 'F' AND o.tk < t.tick)
     ), r AS (
       SELECT tick, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY tick
@@ -13936,9 +14016,17 @@ def q_orders_topk_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ticks.append((ins, dels))
 
     def alive_at(i: int):
+        # null-safe: a NULL status is NOT finalized — it must survive the
+        # rebuild exactly as it survives the incremental path (whose
+        # delete filter status=='F' is null-safe FALSE); the bare ~(=&<)
+        # spell silently dropped it (three-valued logic, round-16
+        # independent-null sweep)
         return o.filter(
             (F.col("_tk") <= i)
-            & ~((F.col("o_orderstatus") == "F") & (F.col("_tk") < i))
+            & ~(
+                (F.coalesce(F.col("o_orderstatus"), F.lit("")) == "F")
+                & (F.col("_tk") < i)
+            )
         )
 
     return topk_retraction(
@@ -14001,7 +14089,7 @@ def q_stream_debounce_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY ts, event_id) AS e2,
              lead(event_type, 2) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS e3
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     )
     SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
            CAST(count(*) AS BIGINT) AS support,
@@ -14023,6 +14111,14 @@ def q_user_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
+    # sequence elements need BOTH coordinates: NULL ts is unplaceable on
+    # the per-user timeline (D8 placement split) and a NULL event_type has
+    # no label — Spark's concat_ws would silently SKIP it, splicing
+    # non-adjacent events into a fake trigram, where the oracle's || chain
+    # nullifies (round-16 independent-null sweep). No-op on driver data.
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = events.select(
         "user_id",

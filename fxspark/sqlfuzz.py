@@ -148,6 +148,17 @@ repo root; this docstring stays the full rationale for the D-rules.)
       rejects it with a parser error. The corpus emits only the bare
       form. (D20, the seconds-truncating RANGE-frame hazard, is a
       registry-side rule — see DIALECT.md.)
+  D23 MAX_BY/MIN_BY NULL-PAYLOAD split (round-16 sf_inulls run): Spark
+      returns the (possibly NULL) payload carried by the extreme-key
+      row; DuckDB's arg_max/arg_min SKIP rows whose payload is NULL and
+      return the extreme among the rest. t_arg_minmax appends
+      ``AND <payload> IS NOT NULL`` so both engines see the same
+      observation set (the registry twin is the D23 row in DIALECT.md).
+  D26 CONCAT NULL split (round-16 sf_inulls run): Spark ``CONCAT``
+      propagates NULL (any NULL argument nullifies the result), DuckDB
+      ``CONCAT`` SKIPS NULL arguments per the SQL-standard CONCAT. The
+      corpus emits the ``||`` operator instead, which is NULL-propagating
+      in BOTH dialects.
 
 Literal pools are frozen constants drawn from the public testdata
 generator's category values and value ranges (``TESTDATA.md``); they are
@@ -388,9 +399,10 @@ def _scalar(r: random.Random, t: str, a: str, alias: str) -> str:
                        f"CAST(LENGTH({a}{s}) AS BIGINT)"])
         return f"{fn} AS {alias}"
     if form == "concat":
+        # D26: || is NULL-propagating in both dialects; CONCAT is not
         s = r.choice(scols)
         s2 = r.choice(scols)
-        return f"CONCAT({a}{s}, '-', {a}{s2}) AS {alias}"
+        return f"({a}{s} || '-' || {a}{s2}) AS {alias}"
     x = r.choice(icols)
     return f"({a}{x} % {r.choice([7, 10, 13])}) AS {alias}"
 
@@ -1138,11 +1150,13 @@ def t_arg_minmax(r: random.Random) -> str:
     vcols = [c for c in _cols_of(t, "sf") if c != g]
     v = r.choice(vcols or [u])
     lit = r.choice(NUM_LITS.get(f, [10.0]))
+    # D23: the payload must be non-NULL — Spark MAX_BY carries a NULL
+    # payload where DuckDB arg_max skips it
     return (
         f"SELECT {g} AS g0, MAX_BY({v}, {u}) AS c0, MIN_BY({v}, {u}) AS c1, "
         f"MEDIAN({f}) AS c2, BOOL_AND({f} >= {lit}) AS c3, "
         f"BOOL_OR({f} > {lit}) AS c4 "
-        f"FROM {t} WHERE {_pred(r, t)} GROUP BY {g}"
+        f"FROM {t} WHERE ({_pred(r, t)}) AND {v} IS NOT NULL GROUP BY {g}"
     )
 
 

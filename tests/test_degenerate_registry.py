@@ -284,3 +284,45 @@ def test_registry_on_single_key(spark, skew_dirs):
     ok, fails = deg_sweep.sweep(spark, skew_dirs[1], verbose=False)
     assert not fails, fails
     assert len(ok) >= 249
+
+
+@pytest.fixture(scope="module")
+def inulls_dir(tmp_path_factory, sf_dir):
+    base = tmp_path_factory.mktemp("degenerate_inulls")
+    return deg_fixtures.build_inulls(sf_dir, str(base))
+
+
+def test_inulls_fixture_shape(inulls_dir, sf_dir):
+    """sf_inulls keeps schema/rows/keys, nulls each payload column on its
+    OWN ~1/3 of rows, and — the axis's reason to exist — makes the
+    cross-column regime reachable: rows where ``ts`` is NULL while
+    ``event_type`` is a live value (the state sf_nulls/sf_mixed co-null
+    masking can never produce)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for t in deg_fixtures.TABLES:
+        src = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        inu = pq.read_table(os.path.join(inulls_dir, f"{t}.parquet"))
+        assert src.schema.equals(inu.schema) and len(src) == len(inu)
+        for k in deg_fixtures.SKELETON[t]:
+            assert inu.column(k).null_count == 0, (t, k)
+    ev = pq.read_table(os.path.join(inulls_dir, "events.parquet"))
+    ts_null = pc.is_null(ev["ts"])
+    et_live = pc.invert(pc.is_null(ev["event_type"]))
+    n_cross = pc.sum(pc.cast(pc.and_(ts_null, et_live), "int64")).as_py()
+    n = len(ev)
+    assert n_cross > 0, "independent nulling produced no cross-column rows"
+    # each column nulls ~1/3 independently: expect ~n*(1/3)*(2/3)
+    assert n_cross >= n * 0.1, (n_cross, n)
+
+
+def test_registry_on_independent_nulls(spark, inulls_dir):
+    """Full registry differential on the INDEPENDENT-NULL star schema —
+    every single-column-NULL-under-live-filter state is reachable, so a
+    rank/asof op that drops NULL order coordinates while its oracle keeps
+    them (or vice versa) diverges HERE even when co-nulled fixtures stay
+    green (the round-16 ADVICE class: asof/nearest left-side NULL ts)."""
+    ok, fails = deg_sweep.sweep(spark, inulls_dir, verbose=False)
+    assert not fails, fails
+    assert len(ok) >= 249

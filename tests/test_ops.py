@@ -185,6 +185,21 @@ def test_pct_change_golden(spark):
     ).collect()[0]["pc"]
     assert out2 == "No Previous Rate"
 
+    # D24 pin: NULL cur must yield a NULL label (SQL printf propagation),
+    # never Spark format_string's Java-rendered "nu%" (precision-truncated
+    # "null") — round-16 independent-null sweep, rate_change_report
+    df3 = spark.createDataFrame(
+        [Row(cur=None, prev=2.0), Row(cur=None, prev=None)],
+        "cur double, prev double",
+    )
+    out3 = [
+        r["pc"]
+        for r in df3.select(
+            pct_change_label(F.col("cur"), F.col("prev")).alias("pc")
+        ).collect()
+    ]
+    assert out3 == [None, "No Previous Rate"]
+
 
 def test_rolling_fingerprint(spark):
     """The declared fold — h = (h*131 + codepoint) % 1e9+7 over normalized

@@ -1,6 +1,8 @@
 """Degenerate-input fixtures: schema-identical EMPTY / ONE-ROW / ALL-NULL /
 ALTERNATING-NULL star schemas, plus (round 15) the SKEW axis — Zipf keys
-(``build_skew``) and all-rows-one-key (``build_onekey``).
+(``build_skew``) and all-rows-one-key (``build_onekey``) — and (round 16)
+the INDEPENDENT-NULL axis (``build_inulls``: per-column missingness, so
+cross-column NULL states the co-nulled axes mask become reachable).
 
 Round-14 verdict item 1: the 249-query registry had only ever run on
 well-populated fixtures, while D12 (``fxspark/sqlfuzz.py``) proved a class of
