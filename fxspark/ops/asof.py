@@ -156,6 +156,13 @@ def asof_join(
     right row with no time can never be "the latest at-or-before", and a
     left row with no time has no as-of point — keeping either would rank
     NULLs by dialect-specific placement (sqlfuzz D8).
+
+    NULL ``keys`` follow SQL equi-join semantics (null-unsafe): a RIGHT
+    row with a NULL key can anchor nothing and is dropped; a LEFT row with
+    a NULL key stays, unmatched. Spelled because the union + keyed-window
+    plan would otherwise GROUP all NULL keys into one partition and match
+    NULL-key lefts to NULL-key rights — exactly what ``ON l.k = r.k``
+    never does (round-16 ``sf_nullkeys`` sweep, 4 registry hits).
     """
     from fxspark.ops.latest import drop_null_order
 
@@ -165,6 +172,8 @@ def asof_join(
     keys = [keys] if isinstance(keys, str) else list(keys)
     left = drop_null_order(left, on)
     right = drop_null_order(right, on)
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in keys and c != on]
     left_cols = left.columns
@@ -268,6 +277,10 @@ def nearest_join(
     null-time row, ``_rt`` from an earlier real one) — and null ``_t`` rows
     would sort first in the shared window anyway (ADVICE r6). Left side: a
     row with no time has no proximity to anything.
+
+    NULL ``keys``: SQL equi-join semantics (null-unsafe) — a NULL-key
+    right row anchors nothing (dropped), a NULL-key left row stays
+    unmatched; see :func:`asof_join` (round-16 ``sf_nullkeys`` sweep).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if right_payload is None:
@@ -277,6 +290,8 @@ def nearest_join(
 
     left = left.filter(F.col(on).isNotNull())
     right = right.filter(F.col(on).isNotNull())
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     r = right.select(
         *keys,
         F.col(on).alias("_t"),

@@ -79,6 +79,13 @@ def snapshot_diff(
     change set a downstream incremental consumer applies.
 
     Output columns: key, change_type, old_<c>/new_<c> per compare column.
+
+    NULL keys follow SQL equi-join semantics (D27): the full-outer join
+    never matches them, so an old NULL-key state reads as ``delete`` and
+    a new one as ``insert`` — classification runs on PRESENCE FLAGS
+    (``_in_old``/``_in_new``), never on ``key IS NULL``, which would
+    mislabel exactly those rows (round-16 ``sf_nullkeys`` sweep pinned
+    the oracle's key-probing form doing so).
     """
     o = old.select(
         F.col(key), *[F.col(c).alias(f"old_{c}") for c in compare]

@@ -116,35 +116,35 @@ def merge_ols_rollup(
     keys: Sequence[str],
     y_scale: int = 6,
 ) -> DataFrame:
-    """Merge two OLS states: full-outer on keys, add every moment
-    (absent side = zero, at the state's own ``y_scale``). Associative/
-    commutative — batch arrival order cannot change a bit of the stored
-    state."""
+    """Merge two OLS states: union + keyed hash re-aggregation (sum of
+    every moment — exact decimals, so associative/commutative: batch
+    arrival order cannot change a bit of the stored state).
+
+    Union+groupBy rather than a keyed full-outer join: GROUP BY collects
+    NULL keys into ONE group exactly like the batch-local rollup did, so
+    the maintained view keeps GROUP BY semantics under NULL keys — the
+    previous null-unsafe join left one never-merged NULL-key state per
+    batch (round-16 ``sf_nullkeys`` sweep), and a join of two frames
+    derived from the same source also trips Spark's ambiguous-self-join
+    analysis. Same single shuffle, plus map-side partial aggregation the
+    join never had."""
     if existing is None:
         return incoming
-    e = existing.select(
-        *keys, *[F.col(c).alias(f"_e_{c}") for c in _OLS_MOMENTS]
-    )
-    i = incoming.select(
-        *keys, *[F.col(c).alias(f"_i_{c}") for c in _OLS_MOMENTS]
-    )
-    merged = e.join(i, list(keys), "full_outer")
-    zero = {
-        "n_obs": F.lit(0).cast("long"),
-        "sx": F.lit(0).cast("decimal(38,0)"),
-        "sy": F.lit(0).cast(f"decimal(38,{y_scale})"),
-        "sxy": F.lit(0).cast(f"decimal(38,{y_scale})"),
-        "sxx": F.lit(0).cast("decimal(38,0)"),
+    types = {
+        "n_obs": "long",
+        "sx": "decimal(38,0)",
+        "sy": f"decimal(38,{y_scale})",
+        "sxy": f"decimal(38,{y_scale})",
+        "sxx": "decimal(38,0)",
     }
-    return merged.select(
-        *keys,
+    merged = existing.select(*keys, *_OLS_MOMENTS).unionByName(
+        incoming.select(*keys, *_OLS_MOMENTS)
+    )
+    return merged.groupBy(*keys).agg(
         *[
-            (
-                F.coalesce(F.col(f"_e_{c}"), zero[c])
-                + F.coalesce(F.col(f"_i_{c}"), zero[c])
-            ).alias(c)
+            F.sum(c).cast(types[c]).alias(c)
             for c in _OLS_MOMENTS
-        ],
+        ]
     )
 
 

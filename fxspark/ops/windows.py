@@ -655,8 +655,15 @@ def activity_streaks(
     ``n_active_days``, ``n_streaks``, ``longest_streak`` (days),
     ``longest_streak_start`` (the FIRST such start if several streaks tie,
     stated for oracle replay).
+
+    NULL keys are dropped by contract: a streak summary describes ONE
+    entity's continuity, and a NULL key identifies no entity — grouping
+    all unattributed rows into a shared pseudo-entity would fabricate
+    streaks no user had (round-16 ``sf_nullkeys`` sweep).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    for k in keys:
+        df = df.filter(F.col(k).isNotNull())
     days = df.select(
         *keys, F.to_date(ts_col).alias("_day")
     ).distinct()

@@ -5754,14 +5754,20 @@ def q_user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND ts < TIMESTAMP '{CUTOFF}'
       ) WHERE rn = 1
     )
+    -- presence FLAGS, not key-NULL probes: with a NULL user_id key the
+    -- null-unsafe FULL OUTER never matches, and the old-only NULL-key
+    -- row would read as 'insert' under `o.user_id IS NULL` (round-16
+    -- sf_nullkeys sweep) — the engine classifies by _in_old/_in_new
     SELECT COALESCE(o.user_id, n.user_id) AS user_id,
-           CASE WHEN o.user_id IS NULL THEN 'insert'
-                WHEN n.user_id IS NULL THEN 'delete'
+           CASE WHEN o.in_old IS NULL THEN 'insert'
+                WHEN n.in_new IS NULL THEN 'delete'
                 WHEN o.old_value IS DISTINCT FROM n.new_value THEN 'update'
            END AS change_type,
            o.old_value, n.new_value
-    FROM old_snap o FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
-    WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+    FROM (SELECT *, TRUE AS in_old FROM old_snap) o
+    FULL OUTER JOIN (SELECT *, TRUE AS in_new FROM new_snap) n
+      ON o.user_id = n.user_id
+    WHERE NOT (o.in_old IS NOT NULL AND n.in_new IS NOT NULL
                AND o.old_value IS NOT DISTINCT FROM n.new_value)
     """,
 )
@@ -8784,7 +8790,9 @@ def q_purchase_nearest_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_activity_streaks",
     oracle="""
     WITH days AS (
+      -- NULL user identifies no entity: dropped by the op's contract
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE user_id IS NOT NULL
     ), rn AS (
       SELECT user_id, day,
              day - CAST(row_number() OVER (
@@ -14574,12 +14582,13 @@ def q_promo_price_mannwhitney_binned(
 def _layout_pruning_oracle() -> str:
     from fxspark.ops.layout import hilbert_sql_ctes, zvalue_sql
 
-    # a row whose layout key is uncomputable (NULL value) cannot be laid
-    # out — excluded from the comparison on both engines
+    # a row with ANY uncomputable layout key (NULL value OR NULL user_id)
+    # cannot be laid out — excluded from the comparison on both engines
     base = (
         "(SELECT ((user_id % 65536) + 65536) % 65536 AS ha,"
         " ((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536"
-        " AS hb FROM events WHERE value IS NOT NULL)"
+        " AS hb FROM events"
+        " WHERE value IS NOT NULL AND user_id IS NOT NULL)"
     )
     ctes, fin = hilbert_sql_ctes(base, "ha", "hb", bits=16)
     zv = zvalue_sql("ha", "hb")
@@ -14652,7 +14661,8 @@ def q_events_layout_pruning_compare(
     from fxspark.ops.quantile import quantile_bins
 
     events = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()  # see the oracle-builder note
+        # see the oracle-builder note: both layout key inputs must exist
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
     )
     base = events.select(
         F.pmod(F.col("user_id"), F.lit(65536)).alias("ha"),

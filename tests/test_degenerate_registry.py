@@ -326,3 +326,37 @@ def test_registry_on_independent_nulls(spark, inulls_dir):
     ok, fails = deg_sweep.sweep(spark, inulls_dir, verbose=False)
     assert not fails, fails
     assert len(ok) >= 249
+
+
+@pytest.fixture(scope="module")
+def nullkeys_dir(tmp_path_factory, sf_dir):
+    base = tmp_path_factory.mktemp("degenerate_nullkeys")
+    return deg_fixtures.build_nullkeys(sf_dir, str(base))
+
+
+def test_nullkeys_fixture_shape(nullkeys_dir, sf_dir):
+    """sf_nullkeys keeps schema/rows/unique ids and nulls each SKEW_COLS
+    join/partition key on its own ~1/5 of rows — the regime that splits
+    null-unsafe SQL equi-joins from window-PARTITION-BY NULL grouping."""
+    import pyarrow.parquet as pq
+
+    for t in deg_fixtures.TABLES:
+        src = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        nk = pq.read_table(os.path.join(nullkeys_dir, f"{t}.parquet"))
+        assert src.schema.equals(nk.schema) and len(src) == len(nk)
+    ev = pq.read_table(os.path.join(nullkeys_dir, "events.parquet"))
+    assert ev["event_id"].null_count == 0
+    assert ev["user_id"].null_count > len(ev) * 0.1
+
+
+def test_registry_on_null_join_keys(spark, nullkeys_dir):
+    """Full registry differential on the NULL-JOIN-KEY star schema: keyed
+    ops realized as window partitions (which GROUP NULL keys) must still
+    deliver the SQL equi-join/GROUP BY semantics their oracles state —
+    the round-16 sweep caught the as-of family matching NULL-key lefts to
+    NULL-key rights, a key-NULL-probing CDC oracle, a never-merging
+    maintained-rollup state, and entity summaries fabricating a NULL
+    pseudo-entity (rule D27)."""
+    ok, fails = deg_sweep.sweep(spark, nullkeys_dir, verbose=False)
+    assert not fails, fails
+    assert len(ok) >= 249

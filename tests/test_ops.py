@@ -128,6 +128,27 @@ def test_asof_join_matches_naive(spark):
     }
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """D27 pin: SQL equi-join key semantics — a NULL-key RIGHT row anchors
+    nothing, a NULL-key LEFT row stays, unmatched (the union+window plan
+    must not group NULL-key lefts with NULL-key rights)."""
+    left = spark.createDataFrame(
+        [Row(k="a", t=10, lv="La"), Row(k=None, t=10, lv="Lnull")],
+        "k string, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=5, rv="Ra"), Row(k=None, t=5, rv="Rnull")],
+        "k string, t long, rv string",
+    )
+    got = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, keys="k", on="t", right_payload=["rv"]
+        ).collect()
+    }
+    assert got == {"La": "Ra", "Lnull": None}
+
+
 def test_sessionize(spark):
     df = spark.createDataFrame(
         [Row(k="u", t=ts(x)) for x in

@@ -205,6 +205,64 @@ def build_inulls(sf_src: str, out_dir: str) -> str:
     return out_dir
 
 
+def build_nullkeys(sf_src: str, out_dir: str) -> str:
+    """NULL-JOIN-KEY fixture: each SKEW_COLS column (the FK / partition
+    keys — NOT the unique row ids) nulls its own ~1/5 of rows, chosen by
+    md5(f"{table}.{col}:{i}") like ``build_inulls``.
+
+    The axis splits two implementation families that agree everywhere
+    else: SQL equi-joins are null-unsafe (a NULL key matches nothing),
+    while window-PARTITION-BY groups all NULL keys into ONE partition —
+    so an as-of/nearest join realized as a union + keyed running window
+    would happily match NULL-user purchases to NULL-user clicks where the
+    oracle's ``ON p.user_id = c.user_id`` drops both. Unique row ids stay
+    populated, so row identity and rank totalization survive."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(sf_src, f"{t}.parquet")
+        table = pq.read_table(src)
+        targets = set(SKEW_COLS.get(t, ()))
+        arrays, fields = [], []
+        for field in table.schema:
+            col = table.column(field.name)
+            if field.name in targets and field.nullable and len(table):
+                token = f"{t}.{field.name}"
+                null_mask = pa.array(
+                    np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(
+                                    f"{token}:{i}".encode()
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % 5
+                            == 0
+                            for i in range(len(table))
+                        ),
+                        dtype=bool,
+                        count=len(table),
+                    )
+                )
+                col = pa.compute.if_else(
+                    null_mask,
+                    pa.nulls(len(table), type=field.type),
+                    col.combine_chunks(),
+                )
+            arrays.append(col)
+            fields.append(field)
+        out = pa.table(arrays, schema=pa.schema(fields))
+        pq.write_table(out, os.path.join(out_dir, f"{t}.parquet"),
+                       version="2.6")
+    return out_dir
+
+
 def build_pair(sf_src: str, base_dir: str) -> tuple[str, str]:
     """Build (sf_empty, sf_unit) under ``base_dir``."""
     return (
@@ -333,3 +391,4 @@ if __name__ == "__main__":  # pragma: no cover — manual builder
     print(build_skew(src, os.path.join(out, "sf_skew")))
     print(build_onekey(src, os.path.join(out, "sf_onekey")))
     print(build_inulls(src, os.path.join(out, "sf_inulls")))
+    print(build_nullkeys(src, os.path.join(out, "sf_nullkeys")))
