@@ -2238,10 +2238,14 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_approx_stats",
     oracle="""
     WITH h AS (
+      -- a NULL user_id is not a user: its NULL hash would rank FIRST in
+      -- Spark's 64-smallest and LAST in DuckDB's (D8), shifting the kth
+      -- statistic once the domain exceeds k (round-16 sf0.01 nullkeys
+      -- probe)
       SELECT DISTINCT event_type,
         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
           / 1152921504606846976.0 AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), r AS (
       SELECT event_type, h,
              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -2311,7 +2315,11 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         / F.lit(float(2**60))
     )
-    hh = events.select("event_type", h.alias("h")).distinct()
+    hh = (
+        events.filter(F.col("user_id").isNotNull())  # not a user (D8 rank)
+        .select("event_type", h.alias("h"))
+        .distinct()
+    )
     salted = hh.withColumn("_salt", F.pmod(F.xxhash64("h"), F.lit(32)))
     w1 = Window.partitionBy("event_type", "_salt").orderBy("h")
     cand = (
@@ -9696,18 +9704,31 @@ def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       GROUP BY c.c_custkey
     ),
-    st AS (SELECT count(*) AS c FROM base),
-    tk AS (SELECT i, (c * i + 4) // 5 AS k
-           FROM st, (SELECT unnest(range(1, 5)) AS i)),
+    -- boundaries are PER-DIMENSION over that dimension's NON-NULL values
+    -- (quantile_bins' domain): a shared rank set from the total row count
+    -- would shift every boundary as soon as one dimension has NULLs
+    -- (round-16 sf0.01-scale independent-null probe)
+    rst AS (SELECT count(*) AS c FROM base WHERE recency_days IS NOT NULL),
+    rtk AS (SELECT i, (c * i + 4) // 5 AS k
+            FROM rst, (SELECT unnest(range(1, 5)) AS i)),
     rr AS (SELECT recency_days AS v,
-                  row_number() OVER (ORDER BY recency_days) AS rn FROM base),
-    rb AS (SELECT rr.v AS bv FROM rr JOIN tk ON rr.rn = tk.k),
+                  row_number() OVER (ORDER BY recency_days) AS rn
+           FROM base WHERE recency_days IS NOT NULL),
+    rb AS (SELECT rr.v AS bv FROM rr JOIN rtk ON rr.rn = rtk.k),
+    fst AS (SELECT count(*) AS c FROM base WHERE n_orders IS NOT NULL),
+    ftk AS (SELECT i, (c * i + 4) // 5 AS k
+            FROM fst, (SELECT unnest(range(1, 5)) AS i)),
     fr AS (SELECT n_orders AS v,
-                  row_number() OVER (ORDER BY n_orders) AS rn FROM base),
-    fb AS (SELECT fr.v AS bv FROM fr JOIN tk ON fr.rn = tk.k),
+                  row_number() OVER (ORDER BY n_orders) AS rn
+           FROM base WHERE n_orders IS NOT NULL),
+    fb AS (SELECT fr.v AS bv FROM fr JOIN ftk ON fr.rn = ftk.k),
+    mst AS (SELECT count(*) AS c FROM base WHERE monetary IS NOT NULL),
+    mtk AS (SELECT i, (c * i + 4) // 5 AS k
+            FROM mst, (SELECT unnest(range(1, 5)) AS i)),
     mr AS (SELECT monetary AS v,
-                  row_number() OVER (ORDER BY monetary) AS rn FROM base),
-    mb AS (SELECT mr.v AS bv FROM mr JOIN tk ON mr.rn = tk.k),
+                  row_number() OVER (ORDER BY monetary) AS rn
+           FROM base WHERE monetary IS NOT NULL),
+    mb AS (SELECT mr.v AS bv FROM mr JOIN mtk ON mr.rn = mtk.k),
     scored AS (
       -- NULL dimension values are outside the bin domain (NULL score),
       -- matching quantile_bins_multi; n_orders is a count and never NULL.
