@@ -127,7 +127,18 @@ def merge_ols_rollup(
     batch (round-16 ``sf_nullkeys`` sweep), and a join of two frames
     derived from the same source also trips Spark's ambiguous-self-join
     analysis. Same single shuffle, plus map-side partial aggregation the
-    join never had."""
+    join never had.
+
+    NULL moments merge like SQL ``SUM``: NULL inputs are skipped, and a
+    group whose moment is NULL in EVERY contributing state stays NULL —
+    which is exactly what the from-scratch GROUP BY over the union of the
+    batches produces (``ols_rollup_table``'s ``sum(value)`` is NULL for an
+    all-NULL-value group), so maintained ≡ rebuilt holds bit-for-bit even
+    there. This intentionally differs from the pre-round-16 full-outer
+    form, which coalesced absent sides to zero: coalescing would turn an
+    all-NULL ``sy`` into 0 in the maintained view while the from-scratch
+    GROUP BY keeps NULL (round-16 ADVICE; pinned in
+    ``tests/test_ops.py::test_merge_ols_rollup_null_moments``)."""
     if existing is None:
         return incoming
     types = {

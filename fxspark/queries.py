@@ -7771,8 +7771,10 @@ def q_maintained_ols_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MAINTAINED per-user OLS trend (``ops/rollup.ols_rollup_*``): the
     events table split at two fixed dates plays three micro-batches, each
     reduced to its five exact-decimal sufficient statistics
-    (``ols_rollup_table``), merged pairwise (``merge_ols_rollup`` — keyed
-    full-outer adds, associative to the bit), then fit once at read time.
+    (``ols_rollup_table``), merged pairwise (``merge_ols_rollup`` — union +
+    keyed groupBy re-aggregation, so the maintained state keeps GROUP BY
+    NULL-key semantics; associative to the bit), then fit once at read
+    time.
     The oracle is ``user_value_trend``'s from-scratch SQL plus the
     explicit NULL-ts exclusion the micro-batch time-split implies: exact
     decimal moments merge exactly, so maintaining the fit incrementally —

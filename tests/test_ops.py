@@ -1258,3 +1258,32 @@ def test_nearest_join_drops_null_on_left(spark):
     )
     out = nearest_join(left, right, keys="k", on="t", right_payload=["rv"])
     assert [(r["t"], r["rv"]) for r in out.collect()] == [(t10, "R12")]
+
+
+def test_merge_ols_rollup_null_moments(spark):
+    """merge_ols_rollup keeps SQL-SUM NULL semantics for the moments: a
+    moment that is NULL in one contributing state is skipped (the live
+    value wins), and one that is NULL in EVERY state stays NULL — exactly
+    the from-scratch GROUP-BY-over-the-union result, which an old
+    coalesce-to-zero merge would have broken (round-16 ADVICE pin)."""
+    from fxspark.ops.rollup import merge_ols_rollup, ols_rollup_table
+
+    batch_live = spark.createDataFrame(
+        [Row(k="a", x=1, y=2.0), Row(k="b", x=1, y=None)],
+        "k string, x long, y double",
+    )
+    batch_null = spark.createDataFrame(
+        [Row(k="a", x=2, y=None), Row(k="b", x=2, y=None)],
+        "k string, x long, y double",
+    )
+    state = merge_ols_rollup(
+        ols_rollup_table(batch_live, ["k"], F.col("x"), F.col("y")),
+        ols_rollup_table(batch_null, ["k"], F.col("x"), F.col("y")),
+        ["k"],
+    )
+    got = {r["k"]: r for r in state.collect()}
+    # 'a': sy=2 from batch_live survives batch_null's NULL contribution.
+    assert float(got["a"]["sy"]) == 2.0 and got["a"]["n_obs"] == 2
+    # 'b': every contribution NULL -> stays NULL (not coalesced to 0),
+    # matching sum(y) over the unioned rows.
+    assert got["b"]["sy"] is None and got["b"]["n_obs"] == 2

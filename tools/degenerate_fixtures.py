@@ -143,6 +143,40 @@ def build_mixed(sf_src: str, out_dir: str) -> str:
     return out_dir
 
 
+def _md5_u32(token: str, n: int):
+    """The declared-randomness primitive shared by every hash-drawn axis:
+    row i's draw is the first 4 bytes of md5(f"{token}:{i}") as a uint32
+    (== the historical ``int(hexdigest()[:8], 16)`` — same bytes, no hex
+    round-trip). One md5 state is seeded with the ``f"{token}:"`` prefix
+    and ``.copy()``-extended per row, which hashes the identical byte
+    stream while skipping the per-row f-string + re-absorb of the prefix
+    (round-16 ADVICE, low: the per-row loop is interpreter-bound — this
+    keeps every existing mask BYTE-IDENTICAL, trading the suggested
+    numpy re-derivation away because mask stability IS the fixture
+    contract: fixtures are a pure function of the path, and every pinned
+    sweep/gate references these exact draws)."""
+    import hashlib
+
+    import numpy as np
+
+    prefix = hashlib.md5(f"{token}:".encode())
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        h = prefix.copy()
+        h.update(str(i).encode())
+        out[i] = int.from_bytes(h.digest()[:4], "big")
+    return out
+
+
+def _md5_mod_mask(token: str, n: int, k: int):
+    """Boolean mask selecting rows whose md5 draw ≡ 0 (mod k) — ~1/k of
+    rows, independently per ``token`` (one column's pattern says nothing
+    about another's)."""
+    import pyarrow as pa
+
+    return pa.array(_md5_u32(token, n) % k == 0)
+
+
 def build_inulls(sf_src: str, out_dir: str) -> str:
     """INDEPENDENT-NULL fixture: every non-SKELETON nullable column nulls
     its own ~1/3 of rows, chosen by md5(f"{table}.{col}:{i}") — each
@@ -159,9 +193,6 @@ def build_inulls(sf_src: str, out_dir: str) -> str:
     Keys/FKs stay populated (SKELETON), so row identity and join
     cardinality survive; the draw is the declared-randomness md5
     discipline — no RNG state, reproducible from the path alone."""
-    import hashlib
-
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -174,23 +205,8 @@ def build_inulls(sf_src: str, out_dir: str) -> str:
         for field in table.schema:
             col = table.column(field.name)
             if field.name not in keep and field.nullable and len(table):
-                token = f"{t}.{field.name}"
-                null_mask = pa.array(
-                    np.fromiter(
-                        (
-                            int(
-                                hashlib.md5(
-                                    f"{token}:{i}".encode()
-                                ).hexdigest()[:8],
-                                16,
-                            )
-                            % 3
-                            == 0
-                            for i in range(len(table))
-                        ),
-                        dtype=bool,
-                        count=len(table),
-                    )
+                null_mask = _md5_mod_mask(
+                    f"{t}.{field.name}", len(table), 3
                 )
                 col = pa.compute.if_else(
                     null_mask,
@@ -217,9 +233,6 @@ def build_nullkeys(sf_src: str, out_dir: str) -> str:
     would happily match NULL-user purchases to NULL-user clicks where the
     oracle's ``ON p.user_id = c.user_id`` drops both. Unique row ids stay
     populated, so row identity and rank totalization survive."""
-    import hashlib
-
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -232,23 +245,8 @@ def build_nullkeys(sf_src: str, out_dir: str) -> str:
         for field in table.schema:
             col = table.column(field.name)
             if field.name in targets and field.nullable and len(table):
-                token = f"{t}.{field.name}"
-                null_mask = pa.array(
-                    np.fromiter(
-                        (
-                            int(
-                                hashlib.md5(
-                                    f"{token}:{i}".encode()
-                                ).hexdigest()[:8],
-                                16,
-                            )
-                            % 5
-                            == 0
-                            for i in range(len(table))
-                        ),
-                        dtype=bool,
-                        count=len(table),
-                    )
+                null_mask = _md5_mod_mask(
+                    f"{t}.{field.name}", len(table), 5
                 )
                 col = pa.compute.if_else(
                     null_mask,
@@ -302,15 +300,15 @@ def _zipf_ranks(n_rows: int, n_values: int, token: str):
 
     w = 1.0 / np.power(np.arange(1, n_values + 1, dtype=np.float64), ZIPF_S)
     cdf = np.cumsum(w) / w.sum()
-    u = np.fromiter(
-        (
-            int(hashlib.md5(f"{token}:{i}".encode()).hexdigest()[:13], 16)
-            / 16**13
-            for i in range(n_rows)
-        ),
-        dtype=np.float64,
-        count=n_rows,
-    )
+    # Same prefix-copy/digest-bytes trick as _md5_u32, 52-bit variant:
+    # first 13 hex chars == first 7 digest bytes >> 4. Byte-identical to
+    # the historical hexdigest form.
+    prefix = hashlib.md5(f"{token}:".encode())
+    u = np.empty(n_rows, dtype=np.float64)
+    for i in range(n_rows):
+        h = prefix.copy()
+        h.update(str(i).encode())
+        u[i] = (int.from_bytes(h.digest()[:7], "big") >> 4) / 2**52
     # cumsum/sum float error can leave cdf[-1] a hair below 1.0, and a
     # hash-derived u above it would index past the value set — clamp.
     return np.minimum(
