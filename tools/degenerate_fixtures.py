@@ -261,6 +261,38 @@ def build_nullkeys(sf_src: str, out_dir: str) -> str:
     return out_dir
 
 
+def build_dups(sf_src: str, out_dir: str) -> str:
+    """DUPLICATE-KEY fixture (round-17, carried from the r14 ad-hoc probe):
+    every table concatenated with itself, so every FIXTURES.md "unique" id
+    collides with an exact copy. The duplicate row is indistinguishable
+    (every column equal), which makes the axis a clean CONTRACT probe:
+
+    - the queries wired with ``ops.checks.require_unique`` must fail as a
+      typed ``ContractViolation`` under ``FXSPARK_VALIDATE_CONTRACTS=1``
+      (never a silent entity-miscount — the r14 kmeans collapse class);
+    - every OTHER query must still MATCH its DuckDB oracle, because both
+      engines see the same doubled rows and a tiebreak between identical
+      rows cannot change emitted values — any mismatch here is a new
+      uniqueness dependency that belongs behind the gate.
+
+    Gated by ``tests/test_degenerate_registry.py::
+    test_registry_on_duplicate_keys``. Reference anchor: the reference's
+    upsert exists precisely because its natural key collides
+    (`/root/reference/Fx_1min.py:38,106-109`)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        table = pq.read_table(os.path.join(sf_src, f"{t}.parquet"))
+        pq.write_table(
+            pa.concat_tables([table, table]),
+            os.path.join(out_dir, f"{t}.parquet"),
+            version="2.6",
+        )
+    return out_dir
+
+
 def build_pair(sf_src: str, base_dir: str) -> tuple[str, str]:
     """Build (sf_empty, sf_unit) under ``base_dir``."""
     return (
@@ -376,17 +408,29 @@ def build_onekey(sf_src: str, out_dir: str) -> str:
     return out_dir
 
 
+# The AXIS REGISTRY — the single source of truth for which degenerate-input
+# axes exist. Docs (README's fixture list, the verify skill's sweep step)
+# are LINTED against this dict (`tests/test_docs_ledger_lint.py`, round-17
+# verdict item 2: the fixture list drifted from the builders twice), and
+# the __main__ builder derives its output set from it. Key = the fixture
+# directory name every sweep/gates uses; value = builder(sf_src, out_dir).
+AXES: dict[str, "object"] = {
+    "sf_empty": lambda src, out: build(src, out, 0),
+    "sf_unit": lambda src, out: build(src, out, 1),
+    "sf_nulls": build_nulls,
+    "sf_mixed": build_mixed,
+    "sf_skew": build_skew,
+    "sf_onekey": build_onekey,
+    "sf_inulls": build_inulls,
+    "sf_nullkeys": build_nullkeys,
+    "sf_dups": build_dups,
+}
+
+
 if __name__ == "__main__":  # pragma: no cover — manual builder
     import sys
 
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fxspark_degenerate"
-    e, u = build_pair(src, out)
-    print(e)
-    print(u)
-    print(build_nulls(src, os.path.join(out, "sf_nulls")))
-    print(build_mixed(src, os.path.join(out, "sf_mixed")))
-    print(build_skew(src, os.path.join(out, "sf_skew")))
-    print(build_onekey(src, os.path.join(out, "sf_onekey")))
-    print(build_inulls(src, os.path.join(out, "sf_inulls")))
-    print(build_nullkeys(src, os.path.join(out, "sf_nullkeys")))
+    for axis, builder in AXES.items():
+        print(builder(src, os.path.join(out, axis)))
