@@ -9906,11 +9906,21 @@ def q_embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     (``ops/similarity.knn_join``), so the corpus never shuffles:
     eval cost is |probes| × corpus map-side, constant in corpus count
     for a fixed probe budget; the probe CUT itself is the two-phase
-    bounded rank."""
+    bounded rank.
+
+    Precondition: ``vec_id`` unique (``ops.checks.require_unique``,
+    enforced under FXSPARK_VALIDATE_CONTRACTS=1 — sf_dups boundary):
+    duplicate ids fan out the label re-join AND double neighbor slots,
+    silently corrupting agreement@5 (found by the round-17 full-registry
+    sf_dups sweep — the one silent mismatch among 13 affected queries)."""
     from fxspark.ops.latest import k_smallest_global
     from fxspark.ops.similarity import knn_join
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = require_unique(
+        spread(load_table(spark, sf_dir, "embeddings")),
+        "vec_id",
+        context="embedding_knn_label_agreement",
+    )
     probes = k_smallest_global(
         emb.withColumn("_h", F.md5(F.col("vec_id").cast("string"))),
         ["_h", "vec_id"],

@@ -360,3 +360,78 @@ def test_registry_on_null_join_keys(spark, nullkeys_dir):
     ok, fails = deg_sweep.sweep(spark, nullkeys_dir, verbose=False)
     assert not fails, fails
     assert len(ok) >= 249
+
+
+@pytest.fixture(scope="module")
+def dups_dir(tmp_path_factory, sf_dir):
+    base = tmp_path_factory.mktemp("degenerate_dups")
+    return deg_fixtures.build_dups(sf_dir, str(base / "sf_dups"))
+
+
+# The DECLARED uniqueness-boundary set: exactly the queries wired with
+# ops.checks.require_unique. A query appearing here must RAISE a typed
+# ContractViolation on duplicate-key input under FXSPARK_VALIDATE_CONTRACTS=1;
+# every other query must still MATCH its oracle there (a duplicated row is
+# value-identical, so any engine's tiebreak between the copies emits the
+# same values — a mismatch is an unwired uniqueness dependency, the class
+# the round-17 sweep caught in embedding_knn_label_agreement).
+DUPS_BOUNDARY = {
+    "doc_bm25_search",
+    "doc_dedup_purge",
+    "doc_dup_clusters",
+    "doc_jaccard_pairs",
+    "doc_jaccard_pairs_capped",
+    "embedding_knn_join",
+    "embedding_knn_label_agreement",
+    "embedding_quantized_recall",
+    "embedding_rp_search",
+    "key_edit_near_dup",
+    "purchase_regime_enrich",
+    "stream_cusum_replay",
+    "waiting_suppliers",
+}
+
+
+def test_dups_boundary_set_matches_wiring():
+    """The frozen set above IS the require_unique wiring — adding or
+    removing a wired query without updating the declaration fails here."""
+    import re
+
+    with open(
+        os.path.join(os.path.dirname(__file__), os.pardir,
+                     "fxspark", "queries.py"),
+        encoding="utf-8",
+    ) as f:
+        src = f.read()
+    wired = set()
+    for m in re.finditer(r"require_unique\(", src):
+        # the context= kwarg sits within the call's next few lines;
+        # nested parens (loader chains) make a balanced regex brittle
+        ctx = re.search(r'context="([a-z_0-9]+)"', src[m.start(): m.start() + 400])
+        if ctx:
+            wired.add(ctx.group(1))
+    assert wired == DUPS_BOUNDARY, (
+        f"wired-but-undeclared={sorted(wired - DUPS_BOUNDARY)} "
+        f"declared-but-unwired={sorted(DUPS_BOUNDARY - wired)}"
+    )
+
+
+def test_registry_on_duplicate_keys(spark, dups_dir, monkeypatch):
+    """THE ninth fixture gate (round-17 verdict item 3): on the
+    every-row-duplicated star schema with contract validation ON, the
+    boundary queries fail TYPED (never silently wrong) and the entire
+    rest of the registry still matches its oracles."""
+    from fxspark.ops.checks import ContractViolation  # noqa: F401
+
+    monkeypatch.setenv("FXSPARK_VALIDATE_CONTRACTS", "1")
+    ok, fails = deg_sweep.sweep(spark, dups_dir, verbose=False)
+    raised = {
+        n for n, r in fails.items() if "ContractViolation" in r
+    }
+    other = {n: r for n, r in fails.items() if n not in raised}
+    assert raised == DUPS_BOUNDARY, (
+        f"raised-but-undeclared={sorted(raised - DUPS_BOUNDARY)} "
+        f"declared-but-did-not-raise={sorted(DUPS_BOUNDARY - raised)}"
+    )
+    assert not other, f"silent divergence on duplicate keys: {other}"
+    assert len(ok) >= 236

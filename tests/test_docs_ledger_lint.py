@@ -14,7 +14,9 @@ enumerates a registry is a cache; this lint makes the caches validated:
    exist.
 3. Every RANGE string ``D1-D<n>`` / ``O1-O<n>`` (either dash) in README /
    the verify skill must end at the CURRENT ledger maximum — the exact
-   drift class that recurred.
+   drift class that recurred. Range syntax is therefore RESERVED for
+   describing the full ledger; a doc describing a subset (one fuzzer's
+   rules) must name it without first-to-N range syntax.
 4. Every fixture axis in ``tools/degenerate_fixtures.AXES`` (the single
    source of truth for which degenerate fixtures exist) must be named in
    README.md and in the verify skill's sweep step, and conversely every
@@ -49,7 +51,12 @@ def _ledger_ids() -> tuple[set[int], set[int]]:
 
 
 DOC_FILES = ("README.md", ".claude/skills/verify/SKILL.md")
-RULE_FILES = ("fxspark/sqlfuzz.py", "fxspark/opsfuzz.py", "DIALECT.md")
+RULE_FILES = (
+    "fxspark/sqlfuzz.py",
+    "fxspark/opsfuzz.py",
+    "fxspark/streamfuzz.py",
+    "DIALECT.md",
+)
 
 
 def test_ledger_is_contiguous():
