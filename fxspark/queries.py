@@ -4316,15 +4316,26 @@ def q_curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "hourly_ohlc_bars",
     oracle="""
-    SELECT user_id, date_trunc('hour', ts) AS bar_hour,
-           arg_min(value, ts) AS open,
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bar_hour, ts, event_id,
+             value
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), r AS (
+      SELECT user_id, bar_hour, value,
+             row_number() OVER (PARTITION BY user_id, bar_hour
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY user_id, bar_hour
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM obs
+    )
+    SELECT user_id, bar_hour,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
            max(value) AS high,
            min(value) AS low,
-           arg_max(value, ts) AS close,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
            count(*) AS n_ticks
-    FROM events
-    WHERE ts IS NOT NULL AND value IS NOT NULL
-    GROUP BY user_id, date_trunc('hour', ts)
+    FROM r GROUP BY user_id, bar_hour
     """,
 )
 def q_hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4335,8 +4346,15 @@ def q_hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE partial/final hash-agg shuffle; open/close are carried values
     (bit-exact), high/low are exact comparisons.
 
-    Tie discipline: events.ts is microsecond-unique per user in the
-    fixtures, so arg_min/min_by agree across engines without a tiebreaker.
+    Tie discipline (D5): open/close argmax over ``struct(ts, event_id)``
+    — the unique-key suffix TOTALIZES the event-time order, mirrored by
+    the oracle's ``row_number`` spelling (the ``stream_cusum_replay``
+    pattern). The previous bare ``min_by(value, ts)`` leaned on the
+    driver data's microsecond-unique timestamps; the round-17
+    ``sf_tsties`` axis (events.ts floored to day grain — exact-tie
+    event times, unreachable in every prior fixture) made both engines
+    pick arbitrary tied rows and was this registry's ONE divergence on
+    that sweep.
 
     NULL contract: a tick is a price observation — rows missing EITHER
     coordinate are excluded up front (no-op on the reference schema, both
@@ -4350,11 +4368,12 @@ def q_hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
     bar = F.date_trunc("hour", F.col("ts")).alias("bar_hour")
+    tiebreak = F.struct("ts", "event_id")
     return events.groupBy("user_id", bar).agg(
-        F.min_by("value", "ts").alias("open"),
+        F.min_by("value", tiebreak).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", tiebreak).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
 

@@ -435,3 +435,47 @@ def test_registry_on_duplicate_keys(spark, dups_dir, monkeypatch):
     )
     assert not other, f"silent divergence on duplicate keys: {other}"
     assert len(ok) >= 236
+
+
+@pytest.fixture(scope="module")
+def tsties_dir(tmp_path_factory, sf_dir):
+    base = tmp_path_factory.mktemp("degenerate_tsties")
+    return deg_fixtures.build_tsties(sf_dir, str(base / "sf_tsties"))
+
+
+def test_tsties_fixture_shape(tsties_dir, sf_dir):
+    """sf_tsties collapses events.ts onto day instants (exact event-time
+    ties — unreachable in the all-distinct driver data) and touches
+    nothing else."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    dst = pq.read_table(os.path.join(tsties_dir, "events.parquet"))
+    assert src.schema.equals(dst.schema)
+    assert len(src) == len(dst)
+    n_src = len(pc.unique(src.column("ts").combine_chunks()))
+    n_dst = len(pc.unique(dst.column("ts").combine_chunks()))
+    assert n_dst < n_src / 4, (n_src, n_dst)  # dense ties exist
+    # every other column byte-identical
+    for field in src.schema:
+        if field.name != "ts":
+            assert src.column(field.name).equals(dst.column(field.name))
+    # non-event tables untouched
+    for t in deg_fixtures.TABLES:
+        if t == "events":
+            continue
+        a = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        b = pq.read_table(os.path.join(tsties_dir, f"{t}.parquet"))
+        assert a.equals(b), t
+
+
+def test_registry_on_timestamp_ties(spark, tsties_dir):
+    """THE tenth fixture gate (round-17 axis): full registry differential
+    with exact event-time ties the common case. First sweep: 248/249 —
+    hourly_ohlc_bars' bare min_by/max_by(value, ts) leaned on data-level
+    timestamp uniqueness (both engines picked arbitrary tied rows); fixed
+    with the D5 struct(ts, event_id) totalization + row_number oracle."""
+    ok, fails = deg_sweep.sweep(spark, tsties_dir, verbose=False)
+    assert not fails, fails
+    assert len(ok) >= 249

@@ -408,6 +408,54 @@ def build_onekey(sf_src: str, out_dir: str) -> str:
     return out_dir
 
 
+def build_tsties(sf_src: str, out_dir: str) -> str:
+    """EVENT-TIME-TIE fixture (round-17 axis): ``events.ts`` floored to
+    DAY grain, every other column untouched.
+
+    The driver testdata's ``events.ts`` is microsecond-precision and ALL
+    DISTINCT at every scale factor — so exact event-time EQUALITY (two
+    observations at the same instant, same or different key) is an input
+    state no prior fixture could represent, and every tie path is dead
+    code under the whole existing gate surface: as-of anchors exactly AT
+    the probe time (``<=`` vs ``<``), RANGE-frame peer sets (D20's
+    micros-precision frames suddenly have dense peers), session gaps of
+    exactly zero, interarrival gaps of zero (burstiness/CV denominators),
+    window ORDER BY ties that only the D5 unique-key suffix totalizes,
+    and argmax ties on (value, ts) pairs. Flooring to day grain collapses
+    each user's events onto a handful of instants (~20 events over 31
+    days at sf0.001), which makes within-key ties the COMMON case rather
+    than a measure-zero accident. Timestamps stay valid day boundaries,
+    so D7's whole-second predicate discipline and the NY-cutoff logic are
+    unaffected; keys, payloads, and row identity are untouched."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        table = pq.read_table(os.path.join(sf_src, f"{t}.parquet"))
+        if t == "events" and len(table):
+            arrays, fields = [], []
+            for field in table.schema:
+                col = table.column(field.name)
+                if field.name == "ts":
+                    day_us = 86_400_000_000
+                    unit = str(field.type.unit)
+                    per_day = {"s": 86_400, "ms": 86_400_000,
+                               "us": day_us, "ns": day_us * 1000}[unit]
+                    ints = pc.cast(col.combine_chunks(), pa.int64())
+                    floored = pc.multiply(
+                        pc.divide(ints, per_day), per_day
+                    )
+                    col = pc.cast(floored, field.type)
+                arrays.append(col)
+                fields.append(field)
+            table = pa.table(arrays, schema=pa.schema(fields))
+        pq.write_table(table, os.path.join(out_dir, f"{t}.parquet"),
+                       version="2.6")
+    return out_dir
+
+
 # The AXIS REGISTRY — the single source of truth for which degenerate-input
 # axes exist. Docs (README's fixture list, the verify skill's sweep step)
 # are LINTED against this dict (`tests/test_docs_ledger_lint.py`, round-17
@@ -424,6 +472,7 @@ AXES: dict[str, "object"] = {
     "sf_inulls": build_inulls,
     "sf_nullkeys": build_nullkeys,
     "sf_dups": build_dups,
+    "sf_tsties": build_tsties,
 }
 
 
