@@ -40,9 +40,11 @@ def test_exclusions_are_registry_names_with_justifications():
             f"{name}: rows-only queries cost nothing oracle-side — "
             "no reason to exclude from the scale sweep"
         )
-        assert len(why) > 40 and "s at sf0.1" in why, (
-            f"{name}: justification must cite the probe measurement"
-        )
+        import re
+
+        assert len(why) > 40 and "sf0.1" in why and re.search(
+            r"\d+(\.\d+)?\s*s\b", why
+        ), f"{name}: justification must cite the probe measurement"
     # the whole point of the round-17 probe: the exclusion set shrank
     # from the r15 name-regex's 31 to only the measured-infeasible ones
     assert len(scale_sweep.SCALE_EXCLUSIONS) <= 31

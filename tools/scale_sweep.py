@@ -9,11 +9,13 @@ events / 600k lineitem / 5k documents: 10× the correctness gate) and runs
 the FULL driver-contract registry differential on each, minus the
 enumerated ``SCALE_EXCLUSIONS`` below.
 
-Exclusion policy (each entry carries its measurement): a query is
-excluded ONLY if its probe at sf0.1 could not finish Spark+oracle inside
-a 360 s budget (``NOTES_r17`` — the probe ran every r15-excluded name
-rather than inheriting the old name-regex, and MOST of the 31 turned out
-to run in seconds and are now INCLUDED). The survivors are quadratic
+Exclusion policy (each entry carries its measurement): a query stays in
+the recurring gate unless its sf0.1 ORACLE blows a 360 s budget; the
+round-17 probe ran every r15-excluded name (up to 900 s, phases timed
+separately) rather than inheriting the old name-regex, and MOST of the
+31 turned out to run in seconds and are now INCLUDED — one slow-but-
+finite oracle (doc_jaccard_pairs, 679 s) was VERIFIED MATCH once and
+then excluded on cost; two exceeded 900 s outright. The survivors are quadratic
 PAIR-ENUMERATION oracles: DuckDB must materialize O(n²) shingle/edit
 pairs where the engine's own plan is inverted-index / LSH-bounded — the
 cost gap IS the operator's reason to exist, so at 10× scale the oracle
@@ -43,9 +45,33 @@ DEFAULT_SRC = "/root/testdata/sf0.1"
 DEFAULT_BASE = "/tmp/fxspark_scale01"
 FIXTURES = ("sf_skew01", "sf_onekey01")
 
-# name -> justification. Every entry measured by the round-17 probe
-# (360 s Spark+oracle budget per query at sf0.1; times in NOTES_r17).
-SCALE_EXCLUSIONS: dict[str, str] = {}  # finalized from /tmp/probe_excluded.json
+# name -> justification. Every entry measured by the round-17 probe, which
+# ran ALL 31 r15-regex-excluded queries at sf0.1 solo with phased timeouts:
+# 28 of them MATCH in single-digit seconds (worst oracle 86 s,
+# key_edit_near_dup) and are now swept; only these three remain excluded.
+# All three ENGINE plans finish in <20 s at sf0.1 — the bottleneck is the
+# DuckDB oracle's O(n²) shingle-pair enumeration (12.5M doc pairs with
+# list_intersect), i.e. exactly the cost the engine's inverted-index /
+# prefix-filter plans exist to avoid. Their correctness stays pinned every
+# round at sf0.01 (gate + all fixture sweeps).
+SCALE_EXCLUSIONS: dict[str, str] = {
+    "doc_jaccard_pairs": (
+        "quadratic pair-enumeration oracle: at sf0.1 (solo run) DuckDB "
+        "takes 679 s vs the engine's 14.5 s — VERIFIED MATCH once in the "
+        "round-17 probe, excluded from the recurring gate on cost alone"
+    ),
+    "doc_dedup_purge": (
+        "quadratic pair-enumeration + purge oracle: at sf0.1 (solo run) "
+        "DuckDB exceeds the 900 s budget vs the engine's 19.5 s; the "
+        "sf0.01 gate + fixture sweeps pin it every round"
+    ),
+    "doc_dup_clusters": (
+        "quadratic pair-enumeration + iterative-clustering oracle: at "
+        "sf0.1 (solo run) DuckDB exceeds the 900 s budget vs the "
+        "engine's 16.0 s; the sf0.01 gate + fixture sweeps pin it every "
+        "round"
+    ),
+}
 
 
 def build_fixtures(src: str | None = None, base: str | None = None) -> dict:
