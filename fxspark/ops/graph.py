@@ -19,6 +19,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread_iteration_frame(df: DataFrame) -> DataFrame:
+    """Rebalance the per-iteration edge frame to the session's full
+    parallelism BEFORE it is checkpointed, iff it arrives with fewer
+    partitions than cores (guide §2.5: scale-adaptive partitioning, not a
+    constant). The rank-propagation iteration stage is CPU-bound — one
+    double→DECIMAL(38,18) conversion plus a wide-decimal partial sum per
+    edge row, repeated n_iter times — so its task count should track
+    cores, not the shuffle-partition setting tuned for the KB-sized
+    rollups (the bench pins 8). One extra exchange before the single
+    materialization buys n_iter fully-parallel passes; at cluster scale
+    the upstream shuffle already yields >= cores partitions and this is a
+    no-op (measured: part_copurchase_ppr 8.7 → 7.8 s at sf0.1 under the
+    bench regime; micro-bench of the iteration sum alone 0.99 → 0.66 s
+    at 2.4M rows, 8 → 32 tasks)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -57,7 +77,8 @@ def pagerank(
     # materialize once so the join/agg per iteration reads a checkpoint, not
     # the full upstream lineage.
     e = e.join(out, "_src").withColumn("_share", F.col("_w") / F.col("_out"))
-    e = e.select("_src", "_dst", "_share").localCheckpoint()
+    e = _spread_iteration_frame(e.select("_src", "_dst", "_share"))
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -233,20 +254,26 @@ def triangles_per_node(
     )
     # The wedge close is the algorithm's largest join: Σ out-deg² wedge
     # rows (83M on the dense sf0.1 fixture) semi-probed against the
-    # oriented edge set. The INITIAL plan is SMJ (the checkpointed edge
-    # frame has no planning-time stats), but the session enables AQE's
-    # full join ladder (session.py: shuffledHashJoinLocalMapThreshold),
-    # so at runtime this becomes broadcast when |E| fits the 64m
-    # threshold (this fixture) and SHUFFLED HASH when per-partition
-    # build slices fit 128m (cluster scale) — the streamed wedge frame
-    # is never sorted in either case. A hard `shuffle_hash` hint was
-    # measured equal locally (SMJ-initial 3.34 s / SHJ 3.05 s /
-    # broadcast 3.01 s, overlapping reps) and REJECTED because user
-    # hints pin AQE: the hint forced the wedge shuffle even where the
-    # runtime broadcast avoids shuffling the wedges at all. Pinned by
-    # tests/test_plans.py on the runtime-final plan.
+    # oriented edge set. The build side carries a SHUFFLE_HASH hint so
+    # the wedge frame is HASH-probed, never sorted, under EVERY planner
+    # regime. History: round 11 rejected the hint because with AQE's
+    # full join ladder (session.py) the runtime pick was already
+    # broadcast/SHJ and the hint only pinned AQE (SMJ-initial 3.34 s /
+    # SHJ 3.05 s / broadcast 3.01 s, overlapping reps). Round 17
+    # re-measured under the bench regime — AQE OFF, 8 shuffle
+    # partitions — where the checkpointed edge frame carries no
+    # planning-time stats, the static planner never upgrades the join,
+    # and the fallback SMJ SORTS the 83M-row wedge frame in 8 tasks:
+    # 14.3 s vs 6.2 s hinted (guide §3.1 — pick the strategy
+    # deliberately when statistics can't). At cluster scale the edge
+    # set outgrows broadcast anyway, so SHJ is the correct pinned
+    # strategy, with per-partition build slices bounded by the shuffle
+    # partitioning. Pinned by tests/test_plans.py on the runtime-final
+    # plan.
     tri = wedge.join(
-        oe.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        oe.select(F.col("a").alias("x"), F.col("b").alias("y")).hint(
+            "shuffle_hash"
+        ),
         ["x", "y"],
         "left_semi",
     )
@@ -337,6 +364,7 @@ def personalized_pagerank(
     n_iter: int = 5,
     damping: float = 0.85,
     prune_eps: float | None = None,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Personalized PageRank: identical recurrence to :func:`pagerank`
     except the teleport mass returns to a SOURCE SET instead of spreading
@@ -373,12 +401,22 @@ def personalized_pagerank(
     )
     out = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     e = e.join(out, "_src").withColumn("_share", F.col("_w") / F.col("_out"))
-    e = e.select("_src", "_dst", "_share").localCheckpoint()
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .union(e.select(F.col("_dst").alias("node")))
-        .distinct()
-    )
+    e = _spread_iteration_frame(e.select("_src", "_dst", "_share"))
+    e = e.localCheckpoint()
+    # ``nodes``: caller-supplied node frame (one column, exactly the union
+    # of edge endpoints — the callers that pass it derive it from the SAME
+    # checkpointed edge aggregate). Skips this op's full-edge-list distinct,
+    # which the registered PPR queries were otherwise paying twice: once
+    # here and once caller-side for the seed semi-join (round-17 phase
+    # profile: ~1 s each at sf0.1 under the bench regime).
+    if nodes is None:
+        nodes = (
+            e.select(F.col("_src").alias("node"))
+            .union(e.select(F.col("_dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
     s = sources.select("node").distinct()
     n_src = s.count()
     if n_src == 0:

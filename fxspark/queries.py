@@ -11177,7 +11177,10 @@ def q_doc_pair_budget_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the estimator's quality is itself differentially pinned."""
     from fxspark.ops.dedup import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the shingle explode is the CPU-heavy step and the scan is a
+    # single row group locally (round 17 — this was the one heavy documents
+    # query missing the module-standard rebalance; solo 2.0 → ~1.2 s).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     inv = docs.select(F.explode(shingles(F.col("text"), 3)).alias("s"))
     hfrac = (
         F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
@@ -12799,11 +12802,24 @@ def _copurchase_weighted_edges(
         .agg(F.count(F.lit(1)).alias("w"))
         .localCheckpoint(eager=False)
     )
-    return und.select("src", "dst", "w").union(
+    edges = und.select("src", "dst", "w").union(
         und.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
+    # Node set off the CANONICAL checkpoint (half the rows of the mirrored
+    # edge list, same endpoint set by symmetry): shared by the seed
+    # semi-join AND passed into personalized_pagerank's ``nodes`` so the
+    # op skips its own full-edge-list distinct (round 17 — the two PPR
+    # queries were paying the node distinct twice; phase profile ~1 s per
+    # pass at sf0.1, bench regime).
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return edges, nodes
 
 
 
@@ -12871,19 +12887,15 @@ def q_part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fxspark.ops.graph import personalized_pagerank
 
     part = load_table(spark, sf_dir, "part")
-    edges = _copurchase_weighted_edges(spark, sf_dir)
-    nodes_in_graph = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    edges, nodes_in_graph = _copurchase_weighted_edges(spark, sf_dir)
     sources = (
         part.filter(F.col("p_brand") == "Brand#1")
         .select(F.col("p_partkey").alias("node"))
         .join(nodes_in_graph, "node", "left_semi")
     )
     ranks = personalized_pagerank(
-        edges, sources, weight="w", n_iter=5, damping=0.85
+        edges, sources, weight="w", n_iter=5, damping=0.85,
+        nodes=nodes_in_graph,
     )
     return ranks.select(
         F.col("node").alias("part"), F.round("rank", 9).alias("ppr")
@@ -15240,11 +15252,8 @@ def q_part_copurchase_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fxspark.ops.graph import personalized_pagerank
 
     part = load_table(spark, sf_dir, "part")
-    edges = _copurchase_weighted_edges(spark, sf_dir, sample_pct=25)
-    nodes_in_graph = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    edges, nodes_in_graph = _copurchase_weighted_edges(
+        spark, sf_dir, sample_pct=25
     )
     sources = (
         part.filter(F.col("p_brand") == "Brand#1")
@@ -15252,7 +15261,8 @@ def q_part_copurchase_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nodes_in_graph, "node", "left_semi")
     )
     ranks = personalized_pagerank(
-        edges, sources, weight="w", n_iter=5, damping=0.85, prune_eps=1e-15
+        edges, sources, weight="w", n_iter=5, damping=0.85, prune_eps=1e-15,
+        nodes=nodes_in_graph,
     )
     return (
         ranks.orderBy(F.round("rank", 9).desc(), F.col("node").asc())

@@ -103,6 +103,24 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
 
 
+# Plan cache for load_table: (abspath, mtime) → (session, DataFrame).
+#
+# This caches table METADATA (the analyzed read plan), never results — every
+# action on the returned frame still scans the parquet from disk, so bench
+# and oracle runs always recompute (optimization-round contract). It is the
+# DataFrame analogue of a catalog's table registration: without it every
+# load_table call re-lists the file, re-reads the footer schema, and re-runs
+# the nanos/NTZ normalization analysis — measured 98 ms/call warm at sf0.1,
+# ~600 scan sites across the 249-query registry ≈ tens of seconds per sweep
+# of pure driver-side metadata work (OPTIMIZATION_r17.md, guide §7.3: the
+# driver should do almost no data work — including repeated planning).
+#
+# Safety: the key carries the file mtime (a rebuilt fixture at the same path
+# misses), and the value carries the owning session (a different session —
+# e.g. the driver gate's own — misses and rebuilds under its own confs).
+_TABLE_CACHE: dict[tuple[str, float], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
@@ -112,6 +130,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle differential exact.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        cache_key = (os.path.abspath(path), os.path.getmtime(path))
+    except OSError:
+        cache_key = None
+    if cache_key is not None:
+        hit = _TABLE_CACHE.get(cache_key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
     # Runtime-settable: the driver's correctness gate passes ITS OWN session
     # (not one built by get_spark), so the builder-time config alone never
     # reaches that path — without this line every events-table read dies with
@@ -139,6 +165,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         for c in ntz_cols:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if cache_key is not None:
+        if len(_TABLE_CACHE) > 512:  # bound growth across fixture sweeps
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[cache_key] = (spark, df)
     return df
 
 
