@@ -381,13 +381,21 @@ def _signature_from_sets(sets_: DataFrame, k: int, hash_fn: str = "xxhash64") ->
     inv = sets_.select("_id", F.explode("_sh").alias("_s")).select(
         "_id", F.pmod(base_hash(F.col("_s"), hash_fn), F.lit(_MERSENNE_31)).alias("_x")
     )
+    # One F.expr per permutation instead of a 5-deep Column-API tree:
+    # identical expressions after parsing, but ONE py4j round-trip each —
+    # the k=64 Column-API form spent ~0.6 s per query BUILD in driver
+    # round-trips (round-17 phase profile; expr form 0.18 s, collected
+    # signatures asserted identical).
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("_x") + F.lit(b), F.lit(_MERSENNE_31))).alias(f"h{i}")
+        F.expr(f"min(pmod({a}L * _x + {b}L, {_MERSENNE_31}L))").alias(f"h{i}")
         for i, (a, b) in enumerate(_minhash_perms(k))
     ]
     sig = inv.groupBy("_id").agg(*aggs)
     return sig.select(
-        "_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("signature")
+        "_id",
+        F.expr("array(" + ",".join(f"h{i}" for i in range(k)) + ")").alias(
+            "signature"
+        ),
     )
 
 
@@ -398,11 +406,19 @@ def _band_key_exprs(k: int, bands: int, hash_fn: str) -> list:
     r = k // bands
     if hash_fn == "xxhash64":
         return [
-            F.xxhash64(*[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
+            F.expr(
+                "xxhash64("
+                + ",".join(f"signature[{i}]" for i in range(b * r, (b + 1) * r))
+                + ")"
+            )
             for b in range(bands)
         ]
     return [
-        F.concat_ws(",", *[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
+        F.expr(
+            "concat_ws(','"
+            + "".join(f",signature[{i}]" for i in range(b * r, (b + 1) * r))
+            + ")"
+        )
         for b in range(bands)
     ]
 
@@ -645,28 +661,29 @@ def simhash_codes(
     hashed = df.select(
         F.col(id_col).alias("_id"), F.explode(sh).alias("_s")
     ).select("_id", base_hash(F.col("_s"), hash_fn).alias("_h"))
+    # Vote aggregates and the 64-way code fold as F.expr strings: the
+    # Column-API form (64 × when/bitwiseAND/sum plus a 64-deep bitwiseOR
+    # chain) cost ~1.1 s of driver py4j round-trips per query BUILD; the
+    # parsed-expression form is the identical tree after analysis at
+    # 0.24 s (round 17, codes asserted bit-identical on the fixture
+    # corpus). The sign bit's mask is spelled without a bare
+    # -9223372036854775808L literal (it would overflow before negation).
+    masks = [
+        f"{1 << b}L" if b < 63 else "(-9223372036854775807L - 1L)"
+        for b in range(64)
+    ]
     votes = [
-        F.sum(
-            F.when(
-                F.col("_h").bitwiseAND(
-                    F.lit(1 << b) if b < 63 else F.lit(-(2**63))
-                )
-                != 0,
-                1,
-            ).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (_h & {masks[b]}) != 0 THEN 1 ELSE -1 END)"
         ).alias(f"_v{b}")
         for b in range(64)
     ]
     agg = hashed.groupBy("_id").agg(*votes)
-    code = F.lit(0).cast("long")
-    for b in range(64):
-        code = code.bitwiseOR(
-            F.when(
-                F.col(f"_v{b}") > 0,
-                F.lit(1 << b if b < 63 else -(2**63)),
-            ).otherwise(F.lit(0))
-        )
-    return agg.select("_id", code.alias("_code"))
+    code_sql = " | ".join(
+        f"(CASE WHEN _v{b} > 0 THEN {masks[b]} ELSE 0L END)"
+        for b in range(64)
+    )
+    return agg.select("_id", F.expr(code_sql).alias("_code"))
 
 
 def simhash64(col: Column, n: int = 1) -> Column:

@@ -127,6 +127,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 4,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distance, ``max_hops`` synchronous frontier
     expansions — the reachability twin of :func:`pagerank`'s iterative
@@ -147,9 +148,15 @@ def bfs_hops(
     Returns (node, hops) for every node reachable within ``max_hops``
     (seeds at 0). Unreached nodes are absent.
     """
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).distinct().localCheckpoint()
+    # ``assume_distinct``: the caller certifies the edge list is already
+    # deduplicated (e.g. it mirrored a canonical ``u < v`` distinct —
+    # dedup on the 1.2M canonical pairs instead of the 2.4M directed rows,
+    # and the mirror union then reads a checkpoint instead of re-running
+    # the edge build per branch; round 17, q_part_copurchase_bfs).
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()

@@ -17,22 +17,43 @@ from pyspark.sql import functions as F
 
 
 def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
-    """Morton (Z-order) interleave of two non-negative ints, ``bits`` bits
-    each: bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
+    """Morton (Z-order) interleave of two non-negative ints in
+    ``[0, 2^bits)``, ``bits <= 32``: bit i of ``a`` lands at position 2i,
+    bit i of ``b`` at 2i+1.
 
-    Unrolled floor-div/mod arithmetic (2·bits terms) — stays inside
-    whole-stage codegen as one long expression; no UDF, no shuffle."""
-    a = a.cast("long")
-    b = b.cast("long")
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = (
-            z
-            + (F.floor(a / F.lit(2**i)).cast("long") % 2) * F.lit(2 ** (2 * i))
-            + (F.floor(b / F.lit(2**i)).cast("long") % 2)
-            * F.lit(2 ** (2 * i + 1))
+    Implemented as the classic parallel bit-spread (Hacker's Delight
+    interleave): mask the low ``bits`` bits, then five shift-or-mask
+    rounds open a zero between every bit — ~12 integer ops per row
+    instead of the 2·bits floor-div/mod terms of the unrolled form
+    (round 17; bit-identical on the contract domain — the unrolled
+    arithmetic also only ever read the low ``bits`` bits — and pinned
+    against the same reference-Morton test). The DuckDB oracle twin
+    (``zvalue_sql``) keeps the engine-neutral floor-div form; both agree
+    on every non-negative input, which the differential proves. Stays
+    inside whole-stage codegen as one expression; no UDF, no shuffle."""
+    if bits > 32:
+        raise ValueError("zvalue supports at most 32 bits per coordinate")
+    lim = F.lit((1 << bits) - 1).cast("long")
+
+    def _spread(v: Column) -> Column:
+        v = v.cast("long").bitwiseAND(lim)
+        v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(
+            F.lit(0x0000FFFF0000FFFF)
         )
-    return z
+        v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(
+            F.lit(0x00FF00FF00FF00FF)
+        )
+        v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(
+            F.lit(0x0F0F0F0F0F0F0F0F)
+        )
+        v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(
+            F.lit(0x3333333333333333)
+        )
+        return (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(
+            F.lit(0x5555555555555555)
+        )
+
+    return _spread(a).bitwiseOR(F.shiftleft(_spread(b), 1))
 
 
 def zvalue_sql(a: str, b: str, bits: int = 16) -> str:

@@ -9258,16 +9258,24 @@ def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
     )
-    # no .distinct() here: bfs_hops dedups its edge input once before
-    # checkpointing, so a second distinct would just add a full shuffle
-    e0 = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select(
-        "src", "dst"
+    # Dedup on the CANONICAL (src < dst) pairs — half the rows of the
+    # directed list — and checkpoint BEFORE mirroring, so the union's two
+    # branches read the materialized 1.2M-row frame instead of each
+    # re-running the order-keyed self-join (round 17; the mirror of a
+    # canonical distinct is distinct by construction, so bfs_hops skips
+    # its own 2.4M-row dedup via assume_distinct).
+    e0 = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     seeds = li.agg(F.min("l_partkey").alias("node"))
-    return bfs_hops(edges, seeds, max_hops=3).select(
+    return bfs_hops(edges, seeds, max_hops=3, assume_distinct=True).select(
         F.col("node").alias("part"),
         F.col("hops").cast("int").alias("hops"),
     )
