@@ -32,9 +32,21 @@ def _spread_iteration_frame(df: DataFrame) -> DataFrame:
     the upstream shuffle already yields >= cores partitions and this is a
     no-op (measured: part_copurchase_ppr 8.7 → 7.8 s at sf0.1 under the
     bench regime; micro-bench of the iteration sum alone 0.99 → 0.66 s
-    at 2.4M rows, 8 → 32 tasks)."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    at 2.4M rows, 8 → 32 tasks).
+
+    The decision reads the shuffle-partitions CONF — the frame always
+    arrives off a shuffle (the out-weight join), so that conf IS its
+    partition count — rather than probing ``df.rdd.getNumPartitions()``:
+    the rdd probe forces a full extra physical planning of the caller's
+    edge-build lineage per query build (+0.6 s on nation_trade_pagerank's
+    6-table join lineage, round-17 after-bench regression, reverted)."""
+    sess = df.sparkSession
+    n = sess.sparkContext.defaultParallelism
+    try:
+        upstream = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" — leave the frame alone
+        return df
+    if upstream < n:
         return df.repartition(n)
     return df
 

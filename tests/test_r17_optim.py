@@ -144,12 +144,21 @@ def test_minhash_signature_expr_matches_python_replay(spark):
 
 
 def test_spread_iteration_frame_is_scale_adaptive(spark):
+    """Conf-driven (the frame always arrives off a shuffle, so the
+    shuffle-partitions conf IS its width): narrow regime widens to cores,
+    the >=-cores regime is an identity — and never probes df.rdd (which
+    would re-plan the caller's whole edge lineage)."""
     from fxspark.ops.graph import _spread_iteration_frame
 
     cores = spark.sparkContext.defaultParallelism
-    wide = spark.range(1000, numPartitions=cores + 1)
-    assert _spread_iteration_frame(wide) is wide  # already >= cores: no-op
-    narrow = spark.range(1000, numPartitions=1)
-    assert (
-        _spread_iteration_frame(narrow).rdd.getNumPartitions() == cores
-    )
+    df = spark.range(1000)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cores + 8))
+        assert _spread_iteration_frame(df) is df  # wide regime: no-op
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        out = _spread_iteration_frame(df)
+        assert out is not df
+        assert out.rdd.getNumPartitions() == cores
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
