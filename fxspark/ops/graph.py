@@ -34,6 +34,16 @@ def _spread_iteration_frame(df: DataFrame) -> DataFrame:
     bench regime; micro-bench of the iteration sum alone 0.99 → 0.66 s
     at 2.4M rows, 8 → 32 tasks).
 
+    Only called when the CALLER opts in (``spread_iterations=True`` on the
+    rank ops): the op cannot cheaply see the frame's size (a row-count
+    probe forces an extra materialization; the rdd partition probe forces
+    an extra physical planning pass — both measured regressions), but the
+    caller knows whether its graph SCALES WITH THE INPUT. The co-purchase
+    graphs grow linearly in orders and opt in; the nation trade graph is
+    ≤ 625 edges at any scale factor and must not pay a 32-partition
+    shuffle plus n_iter × 32 near-empty tasks (round-17 regression:
+    nation_trade_pagerank 1.60 → 2.21 s from an unguarded spread).
+
     The decision reads the shuffle-partitions CONF — the frame always
     arrives off a shuffle (the out-weight join), so that conf IS its
     partition count — rather than probing ``df.rdd.getNumPartitions()``:
@@ -58,6 +68,7 @@ def pagerank(
     weight: str | None = None,
     n_iter: int = 5,
     damping: float = 0.85,
+    spread_iterations: bool = False,
 ) -> DataFrame:
     """Weighted PageRank, ``n_iter`` synchronous iterations.
 
@@ -75,6 +86,10 @@ def pagerank(
     fell out incidentally at the out-weight equi-join, which is Spark
     join semantics, not a declared contract.
 
+    ``spread_iterations``: opt-in widening of the per-iteration edge frame
+    to full parallelism (see :func:`_spread_iteration_frame`) — pass True
+    only for graphs that scale with the input data.
+
     Returns (node, rank) with rank a raw double — round at the query edge.
     """
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
@@ -89,7 +104,9 @@ def pagerank(
     # materialize once so the join/agg per iteration reads a checkpoint, not
     # the full upstream lineage.
     e = e.join(out, "_src").withColumn("_share", F.col("_w") / F.col("_out"))
-    e = _spread_iteration_frame(e.select("_src", "_dst", "_share"))
+    e = e.select("_src", "_dst", "_share")
+    if spread_iterations:
+        e = _spread_iteration_frame(e)
     e = e.localCheckpoint()
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -384,6 +401,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     prune_eps: float | None = None,
     nodes: DataFrame | None = None,
+    spread_iterations: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: identical recurrence to :func:`pagerank`
     except the teleport mass returns to a SOURCE SET instead of spreading
@@ -413,6 +431,17 @@ def personalized_pagerank(
     ``prune_eps`` several orders below 1/n so the deficit vanishes at
     the output rounding scale. Exact-zero ranks (unreached nodes) are
     always pruned, which is pure savings with zero error.
+
+    ``nodes``: optional one-column frame that must equal EXACTLY the
+    union of edge endpoints (a superset would add spurious rank-0 rows;
+    a subset silently drops reachable nodes). Callers that already hold
+    that set (e.g. off the same checkpointed edge aggregate) pass it in
+    to skip this op's full-edge-list distinct; when in doubt, leave it
+    None and let the op derive it.
+
+    ``spread_iterations``: opt-in widening of the per-iteration edge
+    frame to full parallelism (see :func:`_spread_iteration_frame`) —
+    pass True only for graphs that scale with the input data.
     """
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
@@ -420,7 +449,9 @@ def personalized_pagerank(
     )
     out = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     e = e.join(out, "_src").withColumn("_share", F.col("_w") / F.col("_out"))
-    e = _spread_iteration_frame(e.select("_src", "_dst", "_share"))
+    e = e.select("_src", "_dst", "_share")
+    if spread_iterations:
+        e = _spread_iteration_frame(e)
     e = e.localCheckpoint()
     # ``nodes``: caller-supplied node frame (one column, exactly the union
     # of edge endpoints — the callers that pass it derive it from the SAME

@@ -12740,11 +12740,12 @@ _PPR_ITER = """
 
 def _copurchase_weighted_edges(
     spark: SparkSession, sf_dir: str, sample_pct: int | None = None
-) -> DataFrame:
-    """Shared weighted co-purchase edge build for the PPR family:
-    canonical pairs (src < dst) from the order-keyed self-join, optional
-    DOULION md5 sampling, co-occurrence-count weights, ONE materialization,
-    then a mirror union to the symmetric directed edge list.
+) -> tuple[DataFrame, DataFrame]:
+    """Shared weighted co-purchase ``(edges, nodes)`` build for the PPR
+    family: canonical pairs (src < dst) from the order-keyed self-join,
+    optional DOULION md5 sampling, co-occurrence-count weights, ONE
+    materialization, a mirror union to the symmetric directed edge list,
+    plus the node set derived once off the canonical checkpoint.
 
     Three measured design points (sf0.1, interleaved 3-rep medians,
     round 11):
@@ -12903,7 +12904,7 @@ def q_part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = personalized_pagerank(
         edges, sources, weight="w", n_iter=5, damping=0.85,
-        nodes=nodes_in_graph,
+        nodes=nodes_in_graph, spread_iterations=True,
     )
     return ranks.select(
         F.col("node").alias("part"), F.round("rank", 9).alias("ppr")
@@ -15270,7 +15271,7 @@ def q_part_copurchase_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = personalized_pagerank(
         edges, sources, weight="w", n_iter=5, damping=0.85, prune_eps=1e-15,
-        nodes=nodes_in_graph,
+        nodes=nodes_in_graph, spread_iterations=True,
     )
     return (
         ranks.orderBy(F.round("rank", 9).desc(), F.col("node").asc())

@@ -130,6 +130,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle differential exact.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Runtime-settable session pins, BEFORE the cache-hit return so hits and
+    # misses leave the session in the same state (a future tz reset between
+    # calls would otherwise make cached NTZ→LTZ casts execute under the wrong
+    # zone). nanosAsLong: the driver's correctness gate passes ITS OWN session
+    # (not one built by get_spark), so the builder-time config alone never
+    # reaches that path — without it every events-table read dies with
+    # PARQUET_TYPE_ILLEGAL INT64 TIMESTAMP(NANOS). timeZone: makes the
+    # NTZ→LTZ cast below (and any cached frame's) deterministic.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         cache_key = (os.path.abspath(path), os.path.getmtime(path))
     except OSError:
@@ -138,11 +148,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         hit = _TABLE_CACHE.get(cache_key)
         if hit is not None and hit[0] is spark:
             return hit[1]
-    # Runtime-settable: the driver's correctness gate passes ITS OWN session
-    # (not one built by get_spark), so the builder-time config alone never
-    # reaches that path — without this line every events-table read dies with
-    # PARQUET_TYPE_ILLEGAL INT64 TIMESTAMP(NANOS).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
 
@@ -161,10 +166,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ntz_cols = [f.name for f in df.schema.fields
                 if isinstance(f.dataType, TimestampNTZType)]
-    if ntz_cols:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        for c in ntz_cols:
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     if cache_key is not None:
         if len(_TABLE_CACHE) > 512:  # bound growth across fixture sweeps
             _TABLE_CACHE.clear()

@@ -28,9 +28,13 @@ def test_zvalue_bitspread_matches_floor_div_reference(spark):
         return z
 
     rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
-            (2**31 - 1, 17), (3, 2**31 - 1)]
+            (2**30 - 1, 17), (3, 2**30 - 1), (2**31 - 1, 2**31 - 1)]
     df = spark.createDataFrame(rows, "a long, b long")
-    for bits in (16, 32):
+    # bits=31 is the widest supported coordinate: bit 30 of b lands at
+    # position 61, still inside the long's non-negative range. bits=32
+    # would put bit 31 of b in the sign bit and diverge from the
+    # unbounded-integer SQL twin — capped with a ValueError (round 18).
+    for bits in (16, 31):
         lim = (1 << bits) - 1
         got = {
             (r["a"], r["b"]): r["z"]
@@ -40,8 +44,9 @@ def test_zvalue_bitspread_matches_floor_div_reference(spark):
         }
         for a, b in rows:
             assert got[(a, b)] == ref(a & lim, b & lim, bits), (a, b, bits)
-    with pytest.raises(ValueError):
-        zvalue(F.col("a"), F.col("b"), 33)
+    for bad_bits in (32, 33):
+        with pytest.raises(ValueError):
+            zvalue(F.col("a"), F.col("b"), bad_bits)
 
 
 def test_bfs_assume_distinct_equivalent(spark):
