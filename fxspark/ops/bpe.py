@@ -109,9 +109,15 @@ def bpe_train(
             int(top[0]["pair_count"]),
         )
         out.append((rank, a, b, cnt))
-        state = state.withColumn(
-            "syms", _apply_merge(F.col("syms"), a, b)
-        ).localCheckpoint()
+        if rank < n_merges:
+            # The post-merge state only feeds the NEXT iteration's pair
+            # count — after the final argmax it is never read, so the last
+            # merge application + checkpoint job was pure waste (round-18
+            # phase profile: build 1.28 s / 8 jobs for 3 merges; one of
+            # those jobs was this dead final merge).
+            state = state.withColumn(
+                "syms", _apply_merge(F.col("syms"), a, b)
+            ).localCheckpoint()
     return out
 
 

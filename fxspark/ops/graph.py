@@ -15,8 +15,38 @@ partitionings and engines — an unrolled SQL oracle replays it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _wide_shuffle(sess: SparkSession):
+    """Temporarily raise ``spark.sql.shuffle.partitions`` to the session's
+    defaultParallelism for an EAGER materialization of a heavy stage, iff
+    the session conf is narrower (guide §2.1: size shuffles to the stage's
+    data, not one global knob). The bench regime pins 8 partitions for the
+    KB-sized rollups; a stage that probes tens of millions of rows should
+    run at ≥ cores tasks instead — widening the conf around the
+    materializing action widens the EXISTING exchanges without adding one
+    (the round-17 keyed-repartition variants added a full extra pass of
+    the wedge frame and measured worse). On a cluster whose conf already
+    ≥ cores this is a no-op. The conf is restored before downstream
+    KB-sized aggregations plan."""
+    n = sess.sparkContext.defaultParallelism
+    try:
+        cur = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" — leave the conf alone
+        cur = None
+    if cur is None or cur >= n:
+        yield
+        return
+    sess.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", str(cur))
 
 
 def _spread_iteration_frame(df: DataFrame) -> DataFrame:
@@ -217,6 +247,7 @@ def triangles_per_node(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    wide_close: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected edge list (rows may arrive in either direction and
@@ -235,6 +266,19 @@ def triangles_per_node(
     degree ≥ 2, where ``clustering = 2·T / (deg·(deg−1))`` — plain double
     on exact integers. Plan: three hash joins + two hash-aggs, all keyed;
     nothing global, nothing quadratic in any node's degree.
+
+    ``wide_close``: caller opt-in (the ``spread_iterations`` discipline —
+    pass True only for graphs that scale with the input data): eagerly
+    materialize the per-node triangle counts with the shuffle-partition
+    conf temporarily widened to defaultParallelism, so the wedge
+    enumeration + close (the Σ out-deg² stage — 41M rows at sf0.1,
+    probed in only 8 tasks under the bench regime) runs at ≥ cores tasks
+    with NO extra exchange. Round-18 skew probe first: per-8-bucket wedge
+    mass max/median 1.02 (top-20 keys own 0.21%), so the stage is
+    parallelism-bound, not skew-bound — salting declined, widening wins
+    (interleaved A/B 6.17 → 5.10 s solo; the r17 keyed-repartition
+    variants that ADDED an exchange measured worse and stay rejected).
+    Counts are exact integers, so the result is partitioning-invariant.
     """
     u, v = F.col(src), F.col(dst)
     e = (
@@ -320,6 +364,13 @@ def triangles_per_node(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+    if wide_close:
+        # The lazy e/oe checkpoints materialize inside this job too, so the
+        # whole wedge pipeline (orientation joins, wedge join, semi close,
+        # count rollup) runs under the widened conf; the final degree join
+        # below plans later, back at the session's setting.
+        with _wide_shuffle(edges.sparkSession):
+            per_node = per_node.localCheckpoint()
     d = F.col("deg").cast("double")
     return (
         deg.filter(F.col("deg") >= 2)

@@ -12613,7 +12613,7 @@ def q_part_copurchase_clustering(
     a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
     edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
-    return triangles_per_node(edges)
+    return triangles_per_node(edges, wide_close=True)
 
 
 @query(

@@ -431,22 +431,36 @@ def test_apriori_no_cartesian_and_broadcast_sets(spark, sf_dir):
 def test_triangles_orientation_keyed_joins(spark, sf_dir):
     """Wedge and closing joins must be hash equi-joins (keyed on the
     shared endpoint / the closing pair) — never a nested-loop over
-    edges; the only BroadcastNestedLoop allowed is none."""
+    edges; the only BroadcastNestedLoop allowed is none.
+
+    Since round 18 the registered query passes ``wide_close=True``, which
+    EAGERLY materializes the per-node counts at query-build time (under a
+    temporarily widened shuffle conf), so the returned frame's plan is a
+    degree join over the checkpoint and no longer contains the closing
+    semi-join. The join-strategy pin therefore executes the SAME wedge
+    pipeline via the op's lazy path (``wide_close=False`` — identical plan
+    construction, the flag only changes when/at what width it runs) and
+    reads the AQE-final plan — the round-11 lesson: initial-plan lints
+    mislead under AQE (a "SortMergeJoin" in the pre-execution string ran
+    as broadcast all along)."""
     plan = _plan(spark, sf_dir, "part_copurchase_clustering")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     # The wedge close must not SORT the Σ out-deg² wedge frame at
     # RUNTIME: with the session's full AQE join ladder the final plan's
     # closing semi-join is broadcast (edge set fits here) or shuffled
-    # hash (cluster regime) — never a surviving sort-merge. The INITIAL
-    # plan legitimately shows SMJ (checkpointed frames carry no
-    # planning-time stats), so this pin executes the query and reads
-    # the AQE-final plan — the round-11 lesson: initial-plan lints
-    # mislead under AQE (a "SortMergeJoin" in the pre-execution string
-    # ran as broadcast all along).
-    from fxspark.queries import QUERIES
+    # hash (cluster regime) — never a surviving sort-merge.
+    from pyspark.sql import functions as F
 
-    df = QUERIES["part_copurchase_clustering"](spark, sf_dir)
+    from fxspark.ops.graph import triangles_per_node
+    from fxspark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
+    df = triangles_per_node(edges)
     df.collect()
     full = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in full, full[:500]

@@ -49,6 +49,28 @@ def test_ppr_spread_opt_in_is_value_identical(spark):
     assert base == spread
 
 
+def test_triangles_wide_close_is_value_identical(spark):
+    from fxspark.ops.graph import triangles_per_node
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (4, 5), (2, 1)],
+        "src int, dst int",
+    )
+
+    def rows(df):
+        return sorted(
+            (r["node"], r["deg"], r["triangles"], round(r["clustering"], 12))
+            for r in df.collect()
+        )
+
+    base = rows(triangles_per_node(edges))
+    wide = rows(triangles_per_node(edges, wide_close=True))
+    assert base == wide
+    assert base  # non-empty
+    # the conf is restored after the widened materialization
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+
 def test_hilbert_plan_cache_hits_and_misses(spark):
     from fxspark.ops.layout import _HILBERT_PLAN_CACHE, hilbert_layout_index
 
