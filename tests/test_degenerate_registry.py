@@ -102,6 +102,40 @@ deg_fixtures = _load("degenerate_fixtures")
 deg_sweep = _load("degenerate_sweep")
 
 
+# ---------------------------------------------------------------------------
+# Default-tier sizing (round 18, VERDICT r17 item 2): ten FULL registry
+# sweeps (~2,490 query-vs-oracle differentials) pushed the default
+# `pytest tests/` far past the driver's verify window — VERIFY_r17 recorded
+# a truncated run (53 dots, no summary), which left the suite without
+# driver-side green. The default tier now sweeps a DETERMINISTIC 1/8 slice
+# of the registry per axis (sorted names[axis_idx::8], so the ten axes
+# cover interleaved slices and every registry query runs on at least one
+# degenerate axis per default run); FXSPARK_FULL_DEGEN=1 restores the full
+# ten-sweep gate (the per-round out-of-band verification — the verify
+# skill's step 5 — runs it that way). The fixture-shape tests and the
+# divergence pins always run in full.
+_FULL_DEGEN = os.environ.get("FXSPARK_FULL_DEGEN") == "1"
+
+
+def _axis_slice(axis_idx: int, always: set[str] | None = None):
+    """Registry subset for the default tier; None (= full registry) under
+    FXSPARK_FULL_DEGEN=1. ``always`` names are included regardless (the
+    dups axis must see its whole declared contract-boundary set)."""
+    if _FULL_DEGEN:
+        return None
+    from fxspark.queries import QUERIES
+
+    names = sorted(QUERIES)
+    picked = set(names[axis_idx % 8 :: 8]) | (always or set())
+    return sorted(picked)
+
+
+def _expected_n(subset):
+    if subset is None:
+        return 249
+    return len(subset)
+
+
 @pytest.fixture(scope="module")
 def degenerate_dirs(tmp_path_factory, sf_dir):
     base = tmp_path_factory.mktemp("degenerate")
@@ -137,21 +171,24 @@ def test_fixtures_preserve_schema(degenerate_dirs, sf_dir):
 
 
 def test_registry_on_empty_tables(spark, degenerate_dirs):
-    """Full registry differential on the 0-row star schema."""
+    """Registry differential on the 0-row star schema (default tier:
+    axis slice 0; full under FXSPARK_FULL_DEGEN=1)."""
+    names = _axis_slice(0)
     ok, fails = deg_sweep.sweep(
-        spark, degenerate_dirs[0], verbose=False
+        spark, degenerate_dirs[0], names=names, verbose=False
     )
     assert not fails, fails
-    assert len(ok) >= 249
+    assert len(ok) >= _expected_n(names)
 
 
 def test_registry_on_unit_tables(spark, degenerate_dirs):
-    """Full registry differential on the 1-row star schema."""
+    """Registry differential on the 1-row star schema (axis slice 1)."""
+    names = _axis_slice(1)
     ok, fails = deg_sweep.sweep(
-        spark, degenerate_dirs[1], verbose=False
+        spark, degenerate_dirs[1], names=names, verbose=False
     )
     assert not fails, fails
-    assert len(ok) >= 249
+    assert len(ok) >= _expected_n(names)
 
 
 def test_nulls_fixture_shape(nulls_dir, sf_dir):
@@ -175,18 +212,20 @@ def test_nulls_fixture_shape(nulls_dir, sf_dir):
 
 def test_registry_on_all_null_payload(spark, nulls_dir):
     """Full registry differential on the all-NULL-payload star schema."""
-    ok, fails = deg_sweep.sweep(spark, nulls_dir, verbose=False)
+    names = _axis_slice(2)
+    ok, fails = deg_sweep.sweep(spark, nulls_dir, names=names, verbose=False)
     assert not fails, fails
-    assert len(ok) >= 249
+    assert len(ok) >= _expected_n(names)
 
 
 def test_registry_on_alternating_null_payload(spark, mixed_dir):
     """Full registry differential on the alternating-NULL star schema —
     the partial-missing regime where default NULL ORDERING (not just NULL
     propagation) can diverge."""
-    ok, fails = deg_sweep.sweep(spark, mixed_dir, verbose=False)
+    names = _axis_slice(3)
+    ok, fails = deg_sweep.sweep(spark, mixed_dir, names=names, verbose=False)
     assert not fails, fails
-    assert len(ok) >= 249
+    assert len(ok) >= _expected_n(names)
 
 
 def test_ansi_divide_by_zero_divergence_pin(spark):
@@ -272,18 +311,24 @@ def test_skew_fixture_shape(skew_dirs, sf_dir):
 
 def test_registry_on_zipf_skewed_keys(spark, skew_dirs):
     """Full registry differential on the Zipf-key star schema."""
-    ok, fails = deg_sweep.sweep(spark, skew_dirs[0], verbose=False)
+    names = _axis_slice(4)
+    ok, fails = deg_sweep.sweep(
+        spark, skew_dirs[0], names=names, verbose=False
+    )
     assert not fails, fails
-    assert len(ok) >= 249
+    assert len(ok) >= _expected_n(names)
 
 
 def test_registry_on_single_key(spark, skew_dirs):
     """Full registry differential on the all-rows-one-key extreme — every
     keyed window/group/join funnels through one key, so rank totalization
     and exact-aggregation discipline carry the whole weight."""
-    ok, fails = deg_sweep.sweep(spark, skew_dirs[1], verbose=False)
+    names = _axis_slice(5)
+    ok, fails = deg_sweep.sweep(
+        spark, skew_dirs[1], names=names, verbose=False
+    )
     assert not fails, fails
-    assert len(ok) >= 249
+    assert len(ok) >= _expected_n(names)
 
 
 @pytest.fixture(scope="module")
@@ -323,9 +368,10 @@ def test_registry_on_independent_nulls(spark, inulls_dir):
     rank/asof op that drops NULL order coordinates while its oracle keeps
     them (or vice versa) diverges HERE even when co-nulled fixtures stay
     green (the round-16 ADVICE class: asof/nearest left-side NULL ts)."""
-    ok, fails = deg_sweep.sweep(spark, inulls_dir, verbose=False)
+    names = _axis_slice(6)
+    ok, fails = deg_sweep.sweep(spark, inulls_dir, names=names, verbose=False)
     assert not fails, fails
-    assert len(ok) >= 249
+    assert len(ok) >= _expected_n(names)
 
 
 @pytest.fixture(scope="module")
@@ -357,9 +403,12 @@ def test_registry_on_null_join_keys(spark, nullkeys_dir):
     NULL-key rights, a key-NULL-probing CDC oracle, a never-merging
     maintained-rollup state, and entity summaries fabricating a NULL
     pseudo-entity (rule D27)."""
-    ok, fails = deg_sweep.sweep(spark, nullkeys_dir, verbose=False)
+    names = _axis_slice(7)
+    ok, fails = deg_sweep.sweep(
+        spark, nullkeys_dir, names=names, verbose=False
+    )
     assert not fails, fails
-    assert len(ok) >= 249
+    assert len(ok) >= _expected_n(names)
 
 
 @pytest.fixture(scope="module")
@@ -424,7 +473,10 @@ def test_registry_on_duplicate_keys(spark, dups_dir, monkeypatch):
     from fxspark.ops.checks import ContractViolation  # noqa: F401
 
     monkeypatch.setenv("FXSPARK_VALIDATE_CONTRACTS", "1")
-    ok, fails = deg_sweep.sweep(spark, dups_dir, verbose=False)
+    # Default tier: axis slice 8 PLUS the whole declared boundary set (the
+    # raised == DUPS_BOUNDARY assertion needs every wired query present).
+    names = _axis_slice(8, always=DUPS_BOUNDARY)
+    ok, fails = deg_sweep.sweep(spark, dups_dir, names=names, verbose=False)
     raised = {
         n for n, r in fails.items() if "ContractViolation" in r
     }
@@ -434,7 +486,7 @@ def test_registry_on_duplicate_keys(spark, dups_dir, monkeypatch):
         f"declared-but-did-not-raise={sorted(DUPS_BOUNDARY - raised)}"
     )
     assert not other, f"silent divergence on duplicate keys: {other}"
-    assert len(ok) >= 236
+    assert len(ok) >= _expected_n(names) - len(DUPS_BOUNDARY)
 
 
 @pytest.fixture(scope="module")
@@ -475,7 +527,13 @@ def test_registry_on_timestamp_ties(spark, tsties_dir):
     with exact event-time ties the common case. First sweep: 248/249 —
     hourly_ohlc_bars' bare min_by/max_by(value, ts) leaned on data-level
     timestamp uniqueness (both engines picked arbitrary tied rows); fixed
-    with the D5 struct(ts, event_id) totalization + row_number oracle."""
-    ok, fails = deg_sweep.sweep(spark, tsties_dir, verbose=False)
+    with the D5 struct(ts, event_id) totalization + row_number oracle.
+    Default tier: axis slice 9 + the time-ordered family this axis exists
+    for (always swept here regardless of the slice)."""
+    names = _axis_slice(9, always={"hourly_ohlc_bars", "user_value_twap",
+                                   "latest_event_per_user",
+                                   "dedup_latest_events",
+                                   "second_latest_before_cutoff"})
+    ok, fails = deg_sweep.sweep(spark, tsties_dir, names=names, verbose=False)
     assert not fails, fails
-    assert len(ok) >= 249
+    assert len(ok) >= _expected_n(names)
