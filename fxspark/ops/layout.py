@@ -215,10 +215,13 @@ def hilbert_layout_index(
     hit = _HILBERT_PLAN_CACHE.get(key)
     if hit is not None:
         prev_in, prev_out = hit
-        if prev_in.sparkSession is df.sparkSession and prev_in._jdf.queryExecution().analyzed().sameResult(
-            df._jdf.queryExecution().analyzed()
-        ):
-            return prev_out
+        try:
+            if prev_in.sparkSession is df.sparkSession and prev_in._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            ):
+                return prev_out
+        except Exception:  # noqa: BLE001 — a dead cached session must
+            _HILBERT_PLAN_CACHE.pop(key, None)  # never fail the rebuild
     df_in = df
     n = 2**bits
     df = (
