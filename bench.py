@@ -371,7 +371,11 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             sink[name] = round(statistics.median(runs), 4)
-            rep_counts[name] = reps
+            if adaptive_secs is not None:
+                # extension-sweep path only: the headline loop's rep count
+                # is already capture.headline_reps, and a headline name in
+                # this dict would misread as an extension entry.
+                rep_counts[name] = reps
             print(f"# {name}: {sink[name]:.3f}s (reps {reps})", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001
             sink[name] = -1.0

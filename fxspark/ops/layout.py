@@ -183,6 +183,14 @@ def largest_remainder_quota(
 # next-round item 4 sanctions exactly this shape). A hit requires the same
 # owning session AND ``sameResult`` on the input's analyzed plan, so a
 # different sf_dir, a rebuilt fixture, or another session misses.
+#
+# LINEAGE CONTRACT for callers: a hit returns a frame built over an EARLIER
+# plan-equal input, so the result's attribute ids do not belong to the
+# caller's own `df` object. Downstream code must reference the result's
+# columns BY NAME (F.col / string refs) — passing `df["x"]` attribute refs
+# from the caller's input into filters/joins over the returned frame would
+# raise a missing-attribute AnalysisException on cache hits. Every in-repo
+# caller is name-based (pinned by the round-18 cache tests).
 _HILBERT_PLAN_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
@@ -210,7 +218,10 @@ def hilbert_layout_index(
     map — no UDF, no shuffle; ``hilbert_sql_ctes`` emits the identical
     walk as a SQL CTE chain so the layout decision stays oracle-checkable
     bit-for-bit. Repeat builds over the same input reuse the analyzed
-    plan via ``_HILBERT_PLAN_CACHE`` (see note above)."""
+    plan via ``_HILBERT_PLAN_CACHE`` (see note above — on a hit the
+    result's lineage roots in an earlier plan-equal input, so consumers
+    must reference its columns by NAME, never by the caller's own
+    attribute refs)."""
     key = (out_col, bits, str(x_col), str(y_col), tuple(df.columns))
     hit = _HILBERT_PLAN_CACHE.get(key)
     if hit is not None:

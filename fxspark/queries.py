@@ -12549,6 +12549,21 @@ def q_orders_seasonal_naive_mape(
     )
 
 
+def _copurchase_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst) co-purchase pair stream off the order-keyed
+    self-join — the exact clustering query's edge build, extracted so the
+    wedge-close plan pin (tests/test_plans.py) lints the REGISTERED build
+    and can never drift from it (round-18 review finding: since
+    ``wide_close=True`` materializes the close at build time, the
+    registered query's returned plan no longer contains the wedge
+    pipeline, so the pin must rebuild it from this shared helper)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
+
+
 @query(
     "part_copurchase_clustering",
     oracle="""
@@ -12608,12 +12623,9 @@ def q_part_copurchase_clustering(
     their hubs from going quadratic."""
     from fxspark.ops.graph import triangles_per_node
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
-    return triangles_per_node(edges, wide_close=True)
+    return triangles_per_node(
+        _copurchase_pair_edges(spark, sf_dir), wide_close=True
+    )
 
 
 @query(

@@ -211,7 +211,8 @@ def test_nulls_fixture_shape(nulls_dir, sf_dir):
 
 
 def test_registry_on_all_null_payload(spark, nulls_dir):
-    """Full registry differential on the all-NULL-payload star schema."""
+    """Registry differential on the all-NULL-payload star schema
+    (default tier: axis slice 2; full under FXSPARK_FULL_DEGEN=1)."""
     names = _axis_slice(2)
     ok, fails = deg_sweep.sweep(spark, nulls_dir, names=names, verbose=False)
     assert not fails, fails
@@ -219,9 +220,9 @@ def test_registry_on_all_null_payload(spark, nulls_dir):
 
 
 def test_registry_on_alternating_null_payload(spark, mixed_dir):
-    """Full registry differential on the alternating-NULL star schema —
-    the partial-missing regime where default NULL ORDERING (not just NULL
-    propagation) can diverge."""
+    """Registry differential (axis slice 3) on the alternating-NULL star
+    schema — the partial-missing regime where default NULL ORDERING (not
+    just NULL propagation) can diverge."""
     names = _axis_slice(3)
     ok, fails = deg_sweep.sweep(spark, mixed_dir, names=names, verbose=False)
     assert not fails, fails
@@ -310,7 +311,7 @@ def test_skew_fixture_shape(skew_dirs, sf_dir):
 
 
 def test_registry_on_zipf_skewed_keys(spark, skew_dirs):
-    """Full registry differential on the Zipf-key star schema."""
+    """Registry differential on the Zipf-key star schema (axis slice 4)."""
     names = _axis_slice(4)
     ok, fails = deg_sweep.sweep(
         spark, skew_dirs[0], names=names, verbose=False
@@ -320,7 +321,7 @@ def test_registry_on_zipf_skewed_keys(spark, skew_dirs):
 
 
 def test_registry_on_single_key(spark, skew_dirs):
-    """Full registry differential on the all-rows-one-key extreme — every
+    """Registry differential (axis slice 5) on the all-rows-one-key extreme — every
     keyed window/group/join funnels through one key, so rank totalization
     and exact-aggregation discipline carry the whole weight."""
     names = _axis_slice(5)
@@ -363,7 +364,7 @@ def test_inulls_fixture_shape(inulls_dir, sf_dir):
 
 
 def test_registry_on_independent_nulls(spark, inulls_dir):
-    """Full registry differential on the INDEPENDENT-NULL star schema —
+    """Registry differential (axis slice 6) on the INDEPENDENT-NULL star schema —
     every single-column-NULL-under-live-filter state is reachable, so a
     rank/asof op that drops NULL order coordinates while its oracle keeps
     them (or vice versa) diverges HERE even when co-nulled fixtures stay
@@ -396,7 +397,7 @@ def test_nullkeys_fixture_shape(nullkeys_dir, sf_dir):
 
 
 def test_registry_on_null_join_keys(spark, nullkeys_dir):
-    """Full registry differential on the NULL-JOIN-KEY star schema: keyed
+    """Registry differential (axis slice 7) on the NULL-JOIN-KEY star schema: keyed
     ops realized as window partitions (which GROUP NULL keys) must still
     deliver the SQL equi-join/GROUP BY semantics their oracles state —
     the round-16 sweep caught the as-of family matching NULL-key lefts to
@@ -523,7 +524,7 @@ def test_tsties_fixture_shape(tsties_dir, sf_dir):
 
 
 def test_registry_on_timestamp_ties(spark, tsties_dir):
-    """THE tenth fixture gate (round-17 axis): full registry differential
+    """THE tenth fixture gate (round-17 axis): registry differential
     with exact event-time ties the common case. First sweep: 248/249 —
     hourly_ohlc_bars' bare min_by/max_by(value, ts) leaned on data-level
     timestamp uniqueness (both engines picked arbitrary tied rows); fixed

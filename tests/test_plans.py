@@ -449,24 +449,25 @@ def test_triangles_orientation_keyed_joins(spark, sf_dir):
     # The wedge close must not SORT the Σ out-deg² wedge frame at
     # RUNTIME: with the session's full AQE join ladder the final plan's
     # closing semi-join is broadcast (edge set fits here) or shuffled
-    # hash (cluster regime) — never a surviving sort-merge.
-    from pyspark.sql import functions as F
-
+    # hash (cluster regime) — never a surviving sort-merge. The edge
+    # build comes from the SAME helper the registered query uses
+    # (queries._copurchase_pair_edges), so this pin lints the real
+    # pipeline and cannot drift from it.
     from fxspark.ops.graph import triangles_per_node
-    from fxspark.session import load_table
+    from fxspark.queries import _copurchase_pair_edges
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
-    df = triangles_per_node(edges)
+    df = triangles_per_node(_copurchase_pair_edges(spark, sf_dir))
     df.collect()
     full = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in full, full[:500]
     # The AQE plan string appends the superseded "== Initial Plan =="
     # section after the final plan — assert on the FINAL section only.
     final = full.split("== Initial Plan ==")[0]
+    # Global bans re-asserted on the WEDGE PIPELINE itself (the registered
+    # query's returned plan is the residual degree join over the eager
+    # checkpoint, so the file-level ban lint no longer sees this stage).
+    assert "CartesianProduct" not in final, final[:3000]
+    assert "BroadcastNestedLoopJoin" not in final, final[:3000]
     semi = [l for l in final.splitlines() if "Join" in l and "LeftSemi" in l]
     assert semi, final[:3000]
     assert all("SortMergeJoin" not in l for l in semi), semi
